@@ -1,0 +1,146 @@
+"""Database/Collection end-to-end tests (integration_scenarios.rs analog)."""
+
+import numpy as np
+import pytest
+
+from velesdb_tpu.database import Database
+from velesdb_tpu.ops import DistanceMetric
+
+
+def make_db(tmp_db_dir):
+    return Database.open(tmp_db_dir)
+
+
+def test_create_get_list_delete(tmp_db_dir):
+    db = make_db(tmp_db_dir)
+    db.create_collection("docs", 64)
+    assert db.list_collections() == ["docs"]
+    col = db.get_collection("docs")
+    assert col.dim == 64
+    with pytest.raises(ValueError):
+        db.create_collection("docs", 64)
+    with pytest.raises(KeyError):
+        db.get_collection("nope")
+    assert db.delete_collection("docs")
+    assert db.list_collections() == []
+    db.close()
+
+
+def test_invalid_collection_name(tmp_db_dir):
+    db = make_db(tmp_db_dir)
+    for bad in ("", "a/b", "..", "x\0y"):
+        with pytest.raises(ValueError):
+            db.create_collection(bad, 8)
+    db.close()
+
+
+def test_upsert_get_delete_search(tmp_db_dir, rng):
+    db = make_db(tmp_db_dir)
+    col = db.create_collection("items", 128, metric="cosine")
+    vecs = rng.standard_normal((100, 128)).astype(np.float32)
+    col.upsert_bulk(range(100), vecs, [{"i": i} for i in range(100)])
+    assert col.count() == 100
+
+    vec, payload = col.get(42)
+    np.testing.assert_array_equal(vec, vecs[42])
+    assert payload == {"i": 42}
+
+    # exact self-search: top-1 must be the vector itself
+    res = col.search(vecs[17], k=5)
+    assert res[0]["id"] == 17
+    assert res[0]["score"] > 0.999
+    assert res[0]["payload"] == {"i": 17}
+
+    # delete removes from results
+    col.delete(17)
+    assert col.count() == 99
+    res = col.search(vecs[17], k=5)
+    assert all(r["id"] != 17 for r in res)
+    db.close()
+
+
+def test_batched_search_matches_single(tmp_db_dir, rng):
+    db = make_db(tmp_db_dir)
+    col = db.create_collection("b", 32, metric="l2")
+    vecs = rng.standard_normal((50, 32)).astype(np.float32)
+    col.upsert_bulk(range(50), vecs)
+    batch = col.search_batch(vecs[:4], k=3)
+    for i, row in enumerate(batch):
+        assert row[0]["id"] == i
+        assert row[0]["score"] < 1e-3
+
+
+@pytest.mark.parametrize("mode", ["full", "sq8", "binary", "bf16"])
+def test_storage_modes_search(tmp_db_dir, rng, mode):
+    db = make_db(tmp_db_dir)
+    col = db.create_collection("m_" + mode, 256, metric="cosine", storage_mode=mode)
+    vecs = rng.standard_normal((200, 256)).astype(np.float32)
+    col.upsert_bulk(range(200), vecs)
+    res = col.search(vecs[5], k=10)
+    assert res[0]["id"] == 5  # self-match survives quantization
+    db.close()
+
+
+def test_persistence_across_reopen(tmp_db_dir, rng):
+    db = make_db(tmp_db_dir)
+    col = db.create_collection("p", 16, metric="dot")
+    vecs = rng.standard_normal((10, 16)).astype(np.float32)
+    col.upsert_bulk(range(10), vecs, [{"n": i} for i in range(10)])
+    col.flush()
+    db.close()
+
+    db2 = Database.open(tmp_db_dir)
+    assert db2.list_collections() == ["p"]
+    col2 = db2.get_collection("p")
+    assert col2.count() == 10
+    assert col2.metric == DistanceMetric.DOT_PRODUCT
+    res = col2.search(vecs[3], k=1)
+    assert res[0]["id"] == 3
+    assert res[0]["payload"] == {"n": 3}
+    db2.close()
+
+
+def test_crash_recovery_unflushed_upserts(tmp_db_dir, rng):
+    db = make_db(tmp_db_dir)
+    col = db.create_collection("c", 8)
+    col.flush()
+    vecs = rng.standard_normal((5, 8)).astype(np.float32)
+    col.upsert_bulk(range(5), vecs, [{"i": i} for i in range(5)])
+    # crash: no flush — close raw handles only
+    col.vectors._wal_file.close()
+    col.payloads._log.close()
+    del col.vectors._mmap
+    db._collections.clear()
+
+    db2 = Database.open(tmp_db_dir)
+    col2 = db2.get_collection("c")
+    assert col2.count() == 5
+    assert col2.search(vecs[2], k=1)[0]["id"] == 2
+    assert col2.get(4)[1] == {"i": 4}
+    db2.close()
+
+
+def test_dimension_mismatch_errors(tmp_db_dir, rng):
+    db = make_db(tmp_db_dir)
+    col = db.create_collection("d", 8)
+    with pytest.raises(ValueError):
+        col.upsert(1, np.ones(9, np.float32))
+    with pytest.raises(ValueError):
+        col.search(np.ones(9, np.float32))
+    db.close()
+
+
+def test_empty_collection_search(tmp_db_dir):
+    db = make_db(tmp_db_dir)
+    col = db.create_collection("e", 8)
+    assert col.search(np.ones(8, np.float32), k=5) == []
+    db.close()
+
+
+def test_k_larger_than_count(tmp_db_dir, rng):
+    db = make_db(tmp_db_dir)
+    col = db.create_collection("k", 8)
+    col.upsert_bulk(range(3), rng.standard_normal((3, 8)).astype(np.float32))
+    res = col.search(np.ones(8, np.float32), k=100)
+    assert len(res) == 3
+    db.close()

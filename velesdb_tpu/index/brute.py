@@ -1,0 +1,150 @@
+"""Brute-force (exact) device index over a padded slot array.
+
+Replaces the reference's ``search_brute_force`` / ``search_brute_force_gpu``
+(``index/hnsw/index/search.rs:189-229``): the corpus lives as a padded
+``[N_pad, D]`` device array in HBM, one MXU matmul scores a whole query batch
+against every vector, and masked ``lax.top_k`` selects results. Exact search on
+TPU is fast enough that it is also the recall ground truth for the ANN suite.
+
+Storage modes (``quantization.rs`` ``StorageMode``):
+
+- ``full``  — f32 (or bf16) slots
+- ``sq8``   — uint8 codes + per-vector affine; scores via one matmul +
+  rank-1 correction (no dequantized copy is materialized)
+- ``binary``— packed uint32 sign bits; Hamming via XOR+popcount
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from velesdb_tpu.ops import (
+    DistanceMetric,
+    StorageMode,
+    binary_quantize,
+    pairwise_hamming_packed,
+    pairwise_scores,
+    sq8_dot_scores,
+    sq8_quantize,
+    normalize,
+    top_k,
+)
+from velesdb_tpu.ops.quantization import SQ8Vectors
+
+__all__ = ["BruteForceIndex", "pad_rows"]
+
+
+def pad_rows(n: int, minimum: int = 1024) -> int:
+    """Round row count up to a padded bucket (next power of two) so device
+    array shapes — and therefore XLA compilations — stay bounded."""
+    target = max(n, minimum)
+    return 1 << (target - 1).bit_length()
+
+
+class BruteForceIndex:
+    """Exact search over a device-resident padded corpus."""
+
+    def __init__(self, dim: int, metric: DistanceMetric, storage_mode: StorageMode):
+        self.dim = dim
+        self.metric = DistanceMetric.parse(metric)
+        self.storage_mode = StorageMode.parse(storage_mode)
+        self.n_pad = 0
+        self._valid = None  # [N_pad] bool device
+        self._full = None  # [N_pad, D] device (full/bf16 modes)
+        self._sq8: SQ8Vectors | None = None
+        self._packed = None  # [N_pad, W] uint32 (binary mode)
+        self._sq_norm = None  # [N_pad] f32 squared norms (euclidean w/ sq8)
+
+    # -- build -------------------------------------------------------------
+
+    def rebuild(self, slots: np.ndarray, valid: np.ndarray) -> None:
+        """Upload the host slot array (``[used, D]``) as padded device state."""
+        used = slots.shape[0]
+        self.n_pad = pad_rows(used)
+        pad = self.n_pad - used
+        slots = np.pad(slots, ((0, pad), (0, 0)))
+        valid = np.pad(valid, (0, pad))
+        self._valid = jax.device_put(jnp.asarray(valid))
+        mode = self.storage_mode
+        if mode in (StorageMode.FULL, StorageMode.F16, StorageMode.BF16):
+            dtype = {
+                StorageMode.FULL: jnp.float32,
+                StorageMode.F16: jnp.float16,
+                StorageMode.BF16: jnp.bfloat16,
+            }[mode]
+            self._full = jax.device_put(jnp.asarray(slots, dtype=dtype))
+        elif mode is StorageMode.SQ8:
+            sq = sq8_quantize(jnp.asarray(slots))
+            self._sq8 = jax.device_put(sq)
+            if self.metric is DistanceMetric.EUCLIDEAN:
+                deq_norm = jnp.sum(
+                    (sq.codes.astype(jnp.float32) * sq.scale[:, None] + sq.minv[:, None])
+                    ** 2,
+                    axis=-1,
+                )
+                self._sq_norm = jax.device_put(deq_norm)
+            elif self.metric is DistanceMetric.COSINE:
+                deq = sq.codes.astype(jnp.float32) * sq.scale[:, None] + sq.minv[:, None]
+                self._sq_norm = jax.device_put(
+                    jnp.sqrt(jnp.sum(deq * deq, axis=-1))
+                )
+        elif mode is StorageMode.BINARY:
+            self._packed = jax.device_put(binary_quantize(jnp.asarray(slots)))
+        else:
+            raise ValueError(f"unsupported storage mode {mode}")
+
+    # -- search ------------------------------------------------------------
+
+    def scores(self, queries: jax.Array) -> jax.Array:
+        """``[B, N_pad]`` scores in the metric's native direction."""
+        mode = self.storage_mode
+        metric = self.metric
+        if mode in (StorageMode.FULL, StorageMode.F16, StorageMode.BF16):
+            corpus = self._full
+            if mode is not StorageMode.FULL:
+                corpus = corpus.astype(jnp.float32)
+            return pairwise_scores(queries, corpus, metric)
+        if mode is StorageMode.SQ8:
+            return _sq8_metric_scores(queries, self._sq8, self._sq_norm, metric)
+        if mode is StorageMode.BINARY:
+            packed_q = binary_quantize(queries)
+            d = pairwise_hamming_packed(packed_q, self._packed).astype(jnp.float32)
+            if metric.higher_is_better:
+                # similarity metrics ride on Hamming similarity in binary mode
+                return 1.0 - d / float(self.dim)
+            return d
+        raise ValueError(f"unsupported storage mode {mode}")
+
+    def search(self, queries, k: int, mask=None):
+        """Masked exact top-k. Returns ``(values [B,k], slot_indices [B,k])``."""
+        queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        s = self.scores(queries)
+        valid = self._valid
+        if mask is not None:
+            valid = jnp.logical_and(valid, mask)
+        k_eff = min(k, self.n_pad)
+        vals, idx = top_k(
+            s, k_eff, higher_is_better=self.metric.higher_is_better, mask=valid[None, :]
+        )
+        return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _sq8_metric_scores(queries, sq: SQ8Vectors, sq_norm, metric: DistanceMetric):
+    queries = jnp.asarray(queries, jnp.float32)
+    dots = sq8_dot_scores(queries, sq)
+    if metric is DistanceMetric.DOT_PRODUCT:
+        return dots
+    if metric is DistanceMetric.COSINE:
+        qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
+        denom = jnp.maximum(qn * sq_norm[None, :], 1e-30)
+        return jnp.where(denom > 1e-30, dots / denom, 0.0)
+    if metric is DistanceMetric.EUCLIDEAN:
+        qq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+        d2 = qq + sq_norm[None, :] - 2.0 * dots
+        return jnp.sqrt(jnp.maximum(d2, 0.0))
+    raise ValueError(f"metric {metric} not supported in sq8 mode")

@@ -1,0 +1,248 @@
+"""Durable vector storage: memmap data file + write-ahead log.
+
+TPU-native counterpart of ``velesdb-core/src/storage/mmap.rs`` (``MmapStorage``,
+``mmap.rs:44``): vectors live in a ``np.memmap``-backed ``vectors.bin`` with an
+id->slot index and a binary WAL (``vectors.wal``) replayed on open. Durability
+is host-side by design — the device only ever sees read-only snapshots of the
+slot array (SURVEY.md §7 hard part (f)).
+
+Layout on disk (per collection directory):
+
+- ``vectors.bin``   — ``[capacity, dim] float32`` slots (16MB initial /
+  2x growth, mirroring ``mmap.rs`` prealloc policy)
+- ``vectors.idx``   — JSON: id->slot map, free slots, count, capacity
+- ``vectors.wal``   — CRC32-framed binary records of mutations since the last
+  flush (replayed on open; truncated after flush)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = ["VectorStore"]
+
+_MAGIC = 0x56
+_OP_UPSERT = 1
+_OP_DELETE = 2
+# record header: magic u8, op u8, id u64, dim u32, crc u32
+_HDR = struct.Struct("<BBQII")
+
+_INITIAL_SLOTS_BYTES = 16 * 1024 * 1024  # 16MB initial file, like mmap.rs
+
+
+class VectorStore:
+    """Append-mostly slot store of f32 vectors keyed by u64 ids."""
+
+    def __init__(self, directory: str, dim: int, create: bool = False):
+        self.dir = directory
+        self.dim = int(dim)
+        self._bin_path = os.path.join(directory, "vectors.bin")
+        self._idx_path = os.path.join(directory, "vectors.idx")
+        self._wal_path = os.path.join(directory, "vectors.wal")
+        self.id_to_slot: dict[int, int] = {}
+        self._free_slots: list[int] = []
+        self._next_slot = 0  # high-water mark
+        self._capacity = 0
+        self._mmap: np.memmap | None = None
+        if create and not os.path.exists(self._bin_path):
+            os.makedirs(directory, exist_ok=True)
+            initial = max(1024, _INITIAL_SLOTS_BYTES // (4 * self.dim))
+            self._allocate(initial)
+            self._save_index()
+        else:
+            self._load_index()
+            self._open_mmap()
+            self._replay_wal()
+        self._wal_file = open(self._wal_path, "ab")
+
+    # -- file plumbing -----------------------------------------------------
+
+    def _allocate(self, capacity: int) -> None:
+        self._capacity = capacity
+        self._mmap = np.memmap(
+            self._bin_path, dtype=np.float32, mode="w+", shape=(capacity, self.dim)
+        )
+
+    def _open_mmap(self) -> None:
+        self._mmap = np.memmap(
+            self._bin_path,
+            dtype=np.float32,
+            mode="r+",
+            shape=(self._capacity, self.dim),
+        )
+
+    def _grow(self, needed: int) -> None:
+        new_cap = max(self._capacity * 2, needed, 1024)
+        self._mmap.flush()
+        old = np.array(self._mmap[: self._capacity])
+        del self._mmap
+        self._mmap = np.memmap(
+            self._bin_path, dtype=np.float32, mode="r+", shape=(new_cap, self.dim)
+        )
+        # numpy reopens at existing byte size; extend file explicitly
+        with open(self._bin_path, "r+b") as f:
+            f.truncate(new_cap * 4 * self.dim)
+        self._mmap = np.memmap(
+            self._bin_path, dtype=np.float32, mode="r+", shape=(new_cap, self.dim)
+        )
+        self._mmap[: self._capacity] = old
+        self._capacity = new_cap
+
+    def _save_index(self) -> None:
+        tmp = self._idx_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "dim": self.dim,
+                    "capacity": self._capacity,
+                    "ids": {str(k): v for k, v in self.id_to_slot.items()},
+                    "free": self._free_slots,
+                    "next_slot": self._next_slot,
+                },
+                f,
+            )
+        os.replace(tmp, self._idx_path)
+
+    def _load_index(self) -> None:
+        with open(self._idx_path) as f:
+            idx = json.load(f)
+        if idx["dim"] != self.dim:
+            raise ValueError(
+                f"dimension mismatch: store has {idx['dim']}, expected {self.dim}"
+            )
+        self._capacity = idx["capacity"]
+        self.id_to_slot = {int(k): v for k, v in idx["ids"].items()}
+        self._free_slots = list(idx["free"])
+        self._next_slot = idx.get("next_slot", len(self.id_to_slot) + len(self._free_slots))
+
+    # -- WAL ---------------------------------------------------------------
+
+    def _wal_append(self, op: int, vid: int, vec: np.ndarray | None) -> None:
+        body = b"" if vec is None else vec.tobytes()
+        dim = 0 if vec is None else vec.shape[0]
+        crc = zlib.crc32(body)
+        self._wal_file.write(_HDR.pack(_MAGIC, op, vid, dim, crc))
+        self._wal_file.write(body)
+        self._wal_file.flush()
+
+    def _replay_wal(self) -> None:
+        """Replay mutations recorded after the last flush. Torn/corrupt tail
+        records are dropped (crash-recovery semantics of ``mmap.rs`` WAL)."""
+        if not os.path.exists(self._wal_path):
+            return
+        with open(self._wal_path, "rb") as f:
+            data = f.read()
+        pos = 0
+        while pos + _HDR.size <= len(data):
+            magic, op, vid, dim, crc = _HDR.unpack_from(data, pos)
+            if magic != _MAGIC:
+                break
+            body = data[pos + _HDR.size : pos + _HDR.size + dim * 4]
+            if len(body) != dim * 4 or zlib.crc32(body) != crc:
+                break  # torn write at tail
+            pos += _HDR.size + dim * 4
+            if op == _OP_UPSERT:
+                vec = np.frombuffer(body, dtype=np.float32)
+                self._apply_upsert(vid, vec)
+            elif op == _OP_DELETE:
+                self._apply_delete(vid)
+
+    # -- mutations ---------------------------------------------------------
+
+    def _apply_upsert(self, vid: int, vec: np.ndarray) -> int:
+        slot = self.id_to_slot.get(vid)
+        if slot is None:
+            if self._free_slots:
+                slot = self._free_slots.pop()
+            else:
+                slot = self._next_slot
+                self._next_slot += 1
+                if slot >= self._capacity:
+                    self._grow(slot + 1)
+            self.id_to_slot[vid] = slot
+        self._mmap[slot] = vec
+        return slot
+
+    def _apply_delete(self, vid: int) -> bool:
+        slot = self.id_to_slot.pop(vid, None)
+        if slot is None:
+            return False
+        self._free_slots.append(slot)
+        return True
+
+    def store(self, vid: int, vec: np.ndarray) -> int:
+        vec = np.asarray(vec, dtype=np.float32)
+        if vec.shape != (self.dim,):
+            raise ValueError(f"expected dim {self.dim}, got {vec.shape}")
+        self._wal_append(_OP_UPSERT, vid, vec)
+        return self._apply_upsert(vid, vec)
+
+    def store_batch(self, ids, vecs: np.ndarray) -> list[int]:
+        vecs = np.asarray(vecs, dtype=np.float32)
+        if vecs.ndim != 2 or vecs.shape[1] != self.dim:
+            raise ValueError(f"expected [N, {self.dim}], got {vecs.shape}")
+        slots = []
+        for vid, vec in zip(ids, vecs):
+            self._wal_append(_OP_UPSERT, int(vid), vec)
+            slots.append(self._apply_upsert(int(vid), vec))
+        return slots
+
+    def delete(self, vid: int) -> bool:
+        self._wal_append(_OP_DELETE, int(vid), None)
+        return self._apply_delete(int(vid))
+
+    # -- reads -------------------------------------------------------------
+
+    def retrieve(self, vid: int) -> np.ndarray | None:
+        slot = self.id_to_slot.get(int(vid))
+        if slot is None:
+            return None
+        return np.array(self._mmap[slot])
+
+    def __contains__(self, vid) -> bool:
+        return int(vid) in self.id_to_slot
+
+    def __len__(self) -> int:
+        return len(self.id_to_slot)
+
+    @property
+    def capacity(self) -> int:
+        return self._capacity
+
+    @property
+    def used_slots(self) -> int:
+        """High-water slot count (device arrays only need this many rows)."""
+        return self._next_slot
+
+    def slot_view(self) -> np.ndarray:
+        """Zero-copy view of all slots ``[capacity, dim]`` (device upload
+        source; parity with ``VectorSliceGuard`` zero-copy reads)."""
+        return self._mmap
+
+    def occupancy(self) -> tuple[np.ndarray, np.ndarray]:
+        """(slot ids int64[used_slots] with -1 for empty, valid mask bool)."""
+        ids = np.full(self._next_slot, -1, dtype=np.int64)
+        for vid, slot in self.id_to_slot.items():
+            ids[slot] = vid
+        return ids, ids >= 0
+
+    # -- durability --------------------------------------------------------
+
+    def flush(self) -> None:
+        """Flush memmap + index, then truncate the WAL (checkpoint)."""
+        self._mmap.flush()
+        self._save_index()
+        self._wal_file.truncate(0)
+        self._wal_file.seek(0)
+        self._wal_file.flush()
+
+    def close(self) -> None:
+        self.flush()
+        self._wal_file.close()
+        del self._mmap
+        self._mmap = None
