@@ -1,0 +1,146 @@
+"""ANN graph index: recall validation vs brute-force ground truth.
+
+Mirrors the reference's ``tests/recall_validation.rs`` — synthetic clustered
+data, exact ground truth, recall@k thresholds per quality profile.
+"""
+
+import numpy as np
+import pytest
+
+from velesdb_tpu.index.graph_index import GraphIndex, _assemble_adjacency
+from velesdb_tpu.index.params import GraphParams, SearchQuality
+from velesdb_tpu.ops import DistanceMetric
+from velesdb_tpu.ops.chunked import brute_force_topk
+
+
+def clustered(rng, n, dim, n_clusters=32, spread=0.15, centers=None):
+    """Clustered Gaussian data (benchmark_recall.py:27-50 analog)."""
+    if centers is None:
+        centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    assign = rng.integers(0, len(centers), n)
+    data = (
+        centers[assign] + spread * rng.standard_normal((n, dim)).astype(np.float32)
+    ).astype(np.float32)
+    return data, centers
+
+
+def recall_at_k(got_idx, true_idx, k):
+    hits = 0
+    for g, t in zip(got_idx, true_idx):
+        hits += len(set(g[:k].tolist()) & set(t[:k].tolist()))
+    return hits / (len(got_idx) * k)
+
+
+@pytest.fixture(scope="module")
+def corpus_and_truth():
+    rng = np.random.default_rng(3)
+    corpus, centers = clustered(rng, 20_000, 64)
+    queries, _ = clustered(rng, 64, 64, centers=centers)
+    valid = np.ones(len(corpus), bool)
+    truth = {}
+    for metric in (DistanceMetric.EUCLIDEAN, DistanceMetric.COSINE):
+        _, ti = brute_force_topk(queries, corpus, 10, metric, valid=valid)
+        truth[metric] = ti
+    return corpus, queries, valid, truth
+
+
+@pytest.mark.parametrize("metric", [DistanceMetric.EUCLIDEAN, DistanceMetric.COSINE])
+def test_recall_balanced(corpus_and_truth, metric):
+    corpus, queries, valid, truth = corpus_and_truth
+    idx = GraphIndex(64, metric, GraphParams(degree=32, knn_k=16))
+    idx.build(corpus, valid)
+    _, got = idx.search(queries, 10, quality=SearchQuality.BALANCED)
+    r = recall_at_k(np.asarray(got), truth[metric], 10)
+    assert r >= 0.90, f"recall@10={r:.3f} below 0.90 (balanced, {metric})"
+
+
+def test_recall_profiles_ordered(corpus_and_truth):
+    corpus, queries, valid, truth = corpus_and_truth
+    metric = DistanceMetric.EUCLIDEAN
+    idx = GraphIndex(64, metric, GraphParams(degree=32, knn_k=16))
+    idx.build(corpus, valid)
+    recalls = {}
+    for q in (SearchQuality.FAST, SearchQuality.BALANCED, SearchQuality.ACCURATE):
+        _, got = idx.search(queries, 10, quality=q)
+        recalls[q] = recall_at_k(np.asarray(got), truth[metric], 10)
+    assert recalls[SearchQuality.FAST] >= 0.75
+    assert recalls[SearchQuality.ACCURATE] >= 0.95
+    assert recalls[SearchQuality.ACCURATE] >= recalls[SearchQuality.FAST] - 0.02
+
+
+def test_tombstones_excluded(corpus_and_truth):
+    corpus, queries, valid, _ = corpus_and_truth
+    valid2 = valid.copy()
+    # tombstone the true nearest neighbors of query 0
+    _, ti = brute_force_topk(queries[:1], corpus, 5, DistanceMetric.EUCLIDEAN)
+    dead = set(ti[0].tolist())
+    for d in dead:
+        valid2[d] = False
+    idx = GraphIndex(64, DistanceMetric.EUCLIDEAN, GraphParams(degree=32, knn_k=16))
+    idx.build(corpus, valid2)
+    _, got = idx.search(queries[:1], 10)
+    assert not (set(np.asarray(got)[0].tolist()) & dead)
+
+
+def test_result_filter_mask(corpus_and_truth):
+    corpus, queries, valid, _ = corpus_and_truth
+    idx = GraphIndex(64, DistanceMetric.EUCLIDEAN, GraphParams(degree=32, knn_k=16))
+    idx.build(corpus, valid)
+    mask = np.zeros(idx.n_pad, bool)
+    mask[: len(corpus) : 2] = True  # only even slots allowed
+    _, got = idx.search(queries[:4], 10, ef=256, mask=mask)
+    got = np.asarray(got)
+    real = got[got >= 0]
+    assert len(real) and np.all(real % 2 == 0)
+
+
+def test_save_load_roundtrip(tmp_path, corpus_and_truth):
+    corpus, queries, valid, truth = corpus_and_truth
+    idx = GraphIndex(64, DistanceMetric.EUCLIDEAN, GraphParams(degree=32, knn_k=16))
+    idx.build(corpus, valid)
+    path = str(tmp_path / "ann.npz")
+    idx.save(path, version=42)
+    _, want = idx.search(queries[:8], 10)
+
+    idx2 = GraphIndex(64, DistanceMetric.EUCLIDEAN)
+    assert not idx2.load(path, corpus, valid, version=41)  # stale version
+    assert idx2.load(path, corpus, valid, version=42)
+    _, got = idx2.search(queries[:8], 10)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_assemble_adjacency_reverse_edges():
+    fwd = np.array([[1, 2], [2, -1], [0, -1]], dtype=np.int32)
+    adj = _assemble_adjacency(fwd, 3, 4)
+    assert adj.shape == (3, 4)
+    # forward edges preserved
+    assert {1, 2} <= set(adj[0].tolist())
+    # reverse edge 0<-2 (because 2->0) present in row 0
+    assert 0 in adj[2].tolist() or 2 in adj[0].tolist()
+    # all slots filled (random long-range fill) and no self-edges
+    assert (adj >= 0).all()
+    for i, row in enumerate(adj):
+        assert i not in row.tolist()
+
+
+def test_unsupported_metric_raises():
+    with pytest.raises(ValueError):
+        GraphIndex(8, DistanceMetric.HAMMING)
+
+
+def test_chunked_topk_matches_exact(rng):
+    corpus = rng.standard_normal((3000, 32)).astype(np.float32)
+    queries = rng.standard_normal((10, 32)).astype(np.float32)
+    vals, idx = brute_force_topk(queries, corpus, 7, DistanceMetric.EUCLIDEAN)
+    # exact numpy truth
+    d = np.linalg.norm(queries[:, None] - corpus[None], axis=-1)
+    ti = np.argsort(d, axis=1)[:, :7]
+    assert (idx == ti).mean() > 0.99  # ties may reorder
+    np.testing.assert_allclose(vals, np.sort(d, axis=1)[:, :7], rtol=1e-3, atol=1e-3)
+
+
+def test_chunked_exclude_self(rng):
+    corpus = rng.standard_normal((500, 16)).astype(np.float32)
+    _, idx = brute_force_topk(corpus, corpus, 3, DistanceMetric.EUCLIDEAN, exclude_self=True)
+    for i in range(500):
+        assert i not in idx[i]

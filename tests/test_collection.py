@@ -144,3 +144,27 @@ def test_k_larger_than_count(tmp_db_dir, rng):
     res = col.search(np.ones(8, np.float32), k=100)
     assert len(res) == 3
     db.close()
+
+
+def test_ann_path_activates_and_matches_exact(tmp_db_dir, rng):
+    """Above ANN_MIN_ROWS the graph index serves searches with high recall."""
+    db = make_db(tmp_db_dir)
+    col = db.create_collection("ann", 32, metric="l2")
+    n = 6000
+    vecs = rng.standard_normal((n, 32)).astype(np.float32)
+    col.upsert_bulk(range(n), vecs)
+    res = col.search(vecs[100], k=10, quality="balanced")
+    assert col.ann is not None and not col.ann.dirty  # ANN was built
+    assert res[0]["id"] == 100
+    exact = col.search(vecs[100], k=10, quality="perfect")
+    got = {r["id"] for r in res}
+    want = {r["id"] for r in exact}
+    assert len(got & want) >= 8  # recall@10 >= 0.8 on one query
+    # ANN persists across reopen via ann.npz + version check
+    col.flush()
+    db.close()
+    db2 = Database.open(tmp_db_dir)
+    col2 = db2.get_collection("ann")
+    col2.search(vecs[0], k=1)
+    assert not col2.ann.dirty
+    db2.close()

@@ -18,10 +18,24 @@ from typing import Any, Iterable
 
 import numpy as np
 
+from velesdb_tpu.column.store import ColumnStore
 from velesdb_tpu.index.brute import BruteForceIndex
+from velesdb_tpu.index.graph_index import GraphIndex
+from velesdb_tpu.index.params import GraphParams, SearchQuality
 from velesdb_tpu.ops import DistanceMetric, StorageMode
 from velesdb_tpu.storage.payload_log import PayloadLog
 from velesdb_tpu.storage.vector_store import VectorStore
+
+# Below this row count exact search is both faster and perfectly accurate, so
+# the ANN graph only kicks in past it (HnswParams::for_dataset_size analog).
+ANN_MIN_ROWS = 4096
+
+_ANN_METRICS = (
+    DistanceMetric.COSINE,
+    DistanceMetric.EUCLIDEAN,
+    DistanceMetric.DOT_PRODUCT,
+)
+_ANN_MODES = (StorageMode.FULL, StorageMode.F16, StorageMode.BF16)
 
 __all__ = ["Collection", "SearchResult", "CollectionType"]
 
@@ -78,9 +92,13 @@ class Collection:
         self._brute = BruteForceIndex(self.dim, self.metric, self.storage_mode)
         self._device_dirty = True
         self._slot_ids: np.ndarray | None = None  # [used] int64, -1 = tombstone
-        # set by later layers (ANN index, column store, text indexes, graph)
-        self.ann = None
-        self.columns = None
+        self.ann: GraphIndex | None = None
+        self.ann_min_rows = ANN_MIN_ROWS
+        if self.metric in _ANN_METRICS and self.storage_mode in _ANN_MODES:
+            self.ann = GraphIndex(self.dim, self.metric)
+        self.columns = ColumnStore()
+        self._columns_built = False
+        # set by later layers (text indexes, graph)
         self.text_index = None
         self.graph = None
 
@@ -125,9 +143,11 @@ class Collection:
                 f"dimension mismatch: expected {self.dim}, got {vec.shape}"
             )
         with self._lock:
-            self.vectors.store(int(vid), vec)
+            slot = self.vectors.store(int(vid), vec)
             if payload is not None:
                 self.payloads.store(int(vid), payload)
+            if self._columns_built:
+                self.columns.upsert_row(slot, payload)
             self._on_mutation([int(vid)])
 
     def upsert_bulk(
@@ -143,11 +163,17 @@ class Collection:
         if len(ids) != vecs.shape[0]:
             raise ValueError("ids and vectors length mismatch")
         with self._lock:
-            self.vectors.store_batch(ids, vecs)
+            slots = self.vectors.store_batch(ids, vecs)
+            payloads = list(payloads) if payloads is not None else None
             if payloads is not None:
                 for vid, payload in zip(ids, payloads):
                     if payload is not None:
                         self.payloads.store(vid, payload)
+            if self._columns_built:
+                for i, slot in enumerate(slots):
+                    self.columns.upsert_row(
+                        slot, payloads[i] if payloads is not None else None
+                    )
             self._on_mutation(ids)
 
     def get(self, vid: int):
@@ -159,9 +185,12 @@ class Collection:
 
     def delete(self, vid: int) -> bool:
         with self._lock:
+            slot = self.vectors.id_to_slot.get(int(vid))
             existed = self.vectors.delete(vid)
             self.payloads.delete(vid)
             if existed:
+                if self._columns_built and slot is not None:
+                    self.columns.remove_row(slot)
                 self._on_mutation([int(vid)])
             return existed
 
@@ -198,35 +227,90 @@ class Collection:
             self._brute.rebuild(slots, valid)
             self._device_dirty = False
 
+    def _ensure_ann(self) -> bool:
+        """Build (or restore) the graph index if this collection should use it."""
+        if self.ann is None or self.count() < self.ann_min_rows:
+            return False
+        if self.ann.dirty:
+            used = self.vectors.used_slots
+            slots = np.array(self.vectors.slot_view()[:used])
+            _, valid = self.vectors.occupancy()
+            ann_path = os.path.join(self.path, "ann.npz")
+            version = self.vectors.version
+            if not self.ann.load(ann_path, slots, valid, version=version):
+                self.ann.params = GraphParams.auto(self.dim, used)
+                self.ann.build(slots, valid)
+                self.ann.save(ann_path, version=version)
+        return True
+
     # -- search (parity with collection/search/vector.rs) ------------------
 
-    def search(self, query, k: int = 10, filter: dict | None = None, ef: int | None = None):
+    def search(
+        self,
+        query,
+        k: int = 10,
+        filter: dict | None = None,
+        ef: int | None = None,
+        quality: SearchQuality | str | None = None,
+    ):
         """Single-query search; returns hydrated results best-first."""
-        return self.search_batch([query], k, filter=filter, ef=ef)[0]
+        return self.search_batch([query], k, filter=filter, ef=ef, quality=quality)[0]
 
-    def search_batch(self, queries, k: int = 10, filter: dict | None = None, ef: int | None = None):
+    def search_batch(
+        self,
+        queries,
+        k: int = 10,
+        filter: dict | None = None,
+        ef: int | None = None,
+        quality: SearchQuality | str | None = None,
+    ):
         """Batched search — the TPU-native primary path (one MXU pass for the
         whole batch; replaces the reference's rayon ``search_batch_parallel``,
-        ``collection/search/batch.rs:154``)."""
+        ``collection/search/batch.rs:154``).
+
+        ``quality`` maps to ef via the reference's profiles
+        (fast=64 / balanced=128 / accurate=256 / perfect=exact); explicit
+        ``ef`` wins (the ``WITH (ef_search=..)`` override path).
+        """
         self.refresh_device()
         q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         if q.shape[1] != self.dim:
             raise ValueError(
                 f"dimension mismatch: expected {self.dim}, got {q.shape[1]}"
             )
+        quality = SearchQuality.parse(quality) if quality is not None else None
         mask = self._filter_mask(filter)
-        if self.ann is not None and mask is None and ef is not None:
-            vals, idx = self.ann.search(q, k, ef=ef)
+        exact = quality is SearchQuality.PERFECT
+        if not exact and self._ensure_ann():
+            if ef is None:
+                ef = (quality or SearchQuality.BALANCED).ef
+            # filtered ANN: over-fetch, filter at final selection
+            k_fetch = min(4 * k, ef) if mask is not None else k
+            ann_mask = None
+            if mask is not None:
+                ann_mask = _pad_mask(np.asarray(mask), self.ann.n_pad)
+            vals, idx = self.ann.search(q, max(k_fetch, k), ef=ef, mask=ann_mask)
         else:
             vals, idx = self._brute.search(q, k, mask=mask)
         return self._hydrate(np.asarray(vals), np.asarray(idx), k)
 
+    def _ensure_columns(self) -> None:
+        """Lazily populate the column store from the payload log (cold open)."""
+        if self._columns_built:
+            return
+        for vid, payload in self.payloads.payloads.items():
+            slot = self.vectors.id_to_slot.get(vid)
+            if slot is not None:
+                self.columns.upsert_row(slot, payload)
+        self._columns_built = True
+
     def _filter_mask(self, filt):
         if filt is None:
             return None
-        if self.columns is None:
-            raise ValueError("collection has no column store; cannot filter")
-        return self.columns.mask_for_filter(filt, self.vectors.used_slots)
+        self._ensure_columns()
+        used = max(self.vectors.used_slots, 1)
+        mask = self.columns.mask_for_filter(filt, used)
+        return _pad_mask(mask, self._brute.n_pad or used)
 
     def _hydrate(self, vals: np.ndarray, idx: np.ndarray, k: int):
         """Map device slot indices back to user ids + payloads (host-side;
@@ -275,3 +359,9 @@ class Collection:
             "collection_type": self.collection_type,
             "count": self.count(),
         }
+
+
+def _pad_mask(mask: np.ndarray, n_pad: int) -> np.ndarray:
+    if mask.shape[0] >= n_pad:
+        return mask[:n_pad]
+    return np.pad(mask, (0, n_pad - mask.shape[0]))

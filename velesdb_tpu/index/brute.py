@@ -120,17 +120,53 @@ class BruteForceIndex:
         raise ValueError(f"unsupported storage mode {mode}")
 
     def search(self, queries, k: int, mask=None):
-        """Masked exact top-k. Returns ``(values [B,k], slot_indices [B,k])``."""
+        """Masked exact top-k. Returns ``(values [B,k], slot_indices [B,k])``.
+
+        One fused jit dispatch per call (scores + mask + top-k) — multiple
+        dispatches pay a full host<->device round trip each, which dominates
+        latency on remote-attached TPUs.
+        """
         queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
-        s = self.scores(queries)
-        valid = self._valid
-        if mask is not None:
-            valid = jnp.logical_and(valid, mask)
         k_eff = min(k, self.n_pad)
-        vals, idx = top_k(
-            s, k_eff, higher_is_better=self.metric.higher_is_better, mask=valid[None, :]
+        mode = self.storage_mode
+        if mode in (StorageMode.FULL, StorageMode.F16, StorageMode.BF16):
+            corpus_args = (self._full,)
+        elif mode is StorageMode.SQ8:
+            corpus_args = (self._sq8, self._sq_norm)
+        else:
+            corpus_args = (self._packed,)
+        return _fused_search(
+            queries,
+            corpus_args,
+            self._valid,
+            mask,
+            k_eff,
+            self.metric,
+            mode,
+            self.dim,
         )
-        return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "mode", "dim"))
+def _fused_search(queries, corpus_args, valid, mask, k, metric, mode, dim):
+    """Scores + mask + top-k in one compiled program (single dispatch)."""
+    if mode in (StorageMode.FULL, StorageMode.F16, StorageMode.BF16):
+        (corpus,) = corpus_args
+        if mode is not StorageMode.FULL:
+            corpus = corpus.astype(jnp.float32)
+        s = pairwise_scores(queries, corpus, metric)
+    elif mode is StorageMode.SQ8:
+        sq, sq_norm = corpus_args
+        s = _sq8_metric_scores(queries, sq, sq_norm, metric)
+    else:
+        (packed,) = corpus_args
+        d = pairwise_hamming_packed(binary_quantize(queries), packed).astype(
+            jnp.float32
+        )
+        s = (1.0 - d / float(dim)) if metric.higher_is_better else d
+    if mask is not None:
+        valid = jnp.logical_and(valid, mask)
+    return top_k(s, k, higher_is_better=metric.higher_is_better, mask=valid[None, :])
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))

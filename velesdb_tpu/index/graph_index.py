@@ -1,0 +1,473 @@
+"""Graph ANN index: batched beam search over padded adjacency arrays.
+
+The TPU re-architecture of the reference's native HNSW
+(``index/hnsw/native/graph.rs``): instead of pointer-chasing one node at a time
+with SIMD distance calls (``search_layer``, ``graph.rs:438``), the graph is a
+flat ``[N_pad, degree] int32`` adjacency table and search is a *batched beam
+search*: every iteration expands the best unvisited candidate of each query in
+the batch simultaneously — one gather of ``[B, degree]`` neighbor rows, one
+gather of their vectors, one batched matmul for distances, one sort-merge into
+the per-query candidate pool. All shapes are static, the whole search is a
+single jitted program, and B queries amortize every HBM access (SURVEY.md §7).
+
+Build (CAGRA-style, replaces HNSW's sequential inserts ``graph.rs:158``):
+
+1. exact kNN graph via chunked brute force on the MXU (``ops/chunked.py``)
+2. VAMANA alpha-diversification prune of forward edges (``select_neighbors``
+   analog, ``graph.rs:526``)
+3. reverse-edge augmentation up to the degree cap (``add_bidirectional_
+   connection`` analog, ``graph.rs:592``) — vectorized host-side scatter
+
+There are no layers: with batched expansion the hierarchy buys little (the
+beam converges in O(diameter) hops and entry points are strided seeds), which
+removes HNSW's random-level machinery entirely.
+
+Supported metrics: cosine / euclidean / dot (graph ANN over Hamming/Jaccard
+falls back to exact binary search in the collection layer).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from velesdb_tpu.index.params import GraphParams, SearchQuality
+from velesdb_tpu.ops.chunked import brute_force_topk
+from velesdb_tpu.ops.distance import DistanceMetric
+
+__all__ = ["GraphIndex"]
+
+_INF = jnp.float32(jnp.inf)
+
+
+def _pad_pow2(n: int, minimum: int = 8) -> int:
+    return 1 << (max(n, minimum) - 1).bit_length()
+
+
+class GraphIndex:
+    """Beam-search ANN over a device-resident padded adjacency table."""
+
+    def __init__(self, dim: int, metric: DistanceMetric, params: GraphParams | None = None):
+        self.dim = dim
+        self.metric = DistanceMetric.parse(metric)
+        if self.metric not in (
+            DistanceMetric.COSINE,
+            DistanceMetric.EUCLIDEAN,
+            DistanceMetric.DOT_PRODUCT,
+        ):
+            raise ValueError(f"graph index does not support metric {self.metric}")
+        self.params = params or GraphParams()
+        self.n = 0  # valid rows (build-time high-water mark)
+        self.n_pad = 0
+        self._corpus = None  # [N_pad, D] f32 device
+        self._adj = None  # [N_pad, degree] int32 device, -1 = empty
+        self._sqnorm = None  # [N_pad] f32 squared norms (euclidean/cosine)
+        self._valid = None  # [N_pad] bool
+        self._seed_ids = None  # [S] int32 routing sample
+        self._dirty = True
+
+    # ------------------------------------------------------------------
+    # build
+    # ------------------------------------------------------------------
+
+    def build(self, corpus: np.ndarray, valid: np.ndarray) -> None:
+        """Full (re)build from the host slot array. Throughput-oriented: the
+        kNN stage is pure MXU work (~N^2 D flops, chunked), the graph
+        assembly is vectorized NumPy."""
+        n = corpus.shape[0]
+        p = self.params
+        self.n = n
+        if n == 0:
+            self.n_pad = 0
+            self._dirty = False
+            return
+        knn_k = min(p.knn_k, max(1, int(valid.sum()) - 1))
+        # 1. exact kNN graph (self-edges excluded)
+        _, knn_idx = brute_force_topk(
+            corpus, corpus, knn_k, self.metric, valid=valid, exclude_self=True
+        )
+        # distance-ordered forward candidates
+        fwd = knn_idx.astype(np.int32)  # [n, knn_k], -1 where few valid
+        # 2. alpha-diversification prune (device, blockwise)
+        fwd = self._alpha_prune_host(corpus, fwd)
+        # 3. reverse-edge augmentation + final adjacency
+        adj = _assemble_adjacency(fwd, n, p.degree)
+        self._upload(corpus, valid, adj)
+        self._dirty = False
+
+    def _alpha_prune_host(self, corpus: np.ndarray, fwd: np.ndarray) -> np.ndarray:
+        """VAMANA prune in blocks of nodes (keeps diverse neighbors)."""
+        if self.params.alpha <= 1.0:
+            return fwd
+        n, k = fwd.shape
+        block = 2048
+        out = np.empty_like(fwd)
+        corpus_dev = jax.device_put(jnp.asarray(corpus))
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            pad = block - (e - s)
+            blk = np.pad(fwd[s:e], ((0, pad), (0, 0)), constant_values=-1)
+            base = np.pad(corpus[s:e], ((0, pad), (0, 0)))
+            keep = _alpha_prune_block(
+                jnp.asarray(base),
+                jnp.asarray(blk),
+                corpus_dev,
+                self.metric,
+                self.params.alpha,
+            )
+            kept = np.where(np.asarray(keep), blk, -1)
+            out[s:e] = kept[: e - s]
+        return out
+
+    def _upload(self, corpus, valid, adj) -> None:
+        n = corpus.shape[0]
+        self.n_pad = _pad_pow2(n, 1024)
+        pad = self.n_pad - n
+        corpus_p = np.pad(np.asarray(corpus, np.float32), ((0, pad), (0, 0)))
+        valid_p = np.pad(np.asarray(valid, bool), (0, pad))
+        adj_p = np.pad(adj, ((0, pad), (0, 0)), constant_values=-1)
+        self._corpus = jax.device_put(jnp.asarray(corpus_p))
+        self._adj = jax.device_put(jnp.asarray(adj_p))
+        self._valid = jax.device_put(jnp.asarray(valid_p))
+        self._sqnorm = jax.device_put(jnp.sum(jnp.asarray(corpus_p) ** 2, axis=-1))
+        # routing sample: strided over valid rows, padded by repetition
+        s = min(self.params.seed_sample, max(1, n))
+        valid_rows = np.flatnonzero(valid_p[:n])
+        if len(valid_rows) == 0:
+            valid_rows = np.array([0])
+        pick = valid_rows[
+            np.linspace(0, len(valid_rows) - 1, s).astype(np.int64)
+        ].astype(np.int32)
+        self._seed_ids = jax.device_put(jnp.asarray(pick))
+
+    def invalidate(self, _ids=None) -> None:
+        self._dirty = True
+
+    @property
+    def dirty(self) -> bool:
+        return self._dirty
+
+    # ------------------------------------------------------------------
+    # search
+    # ------------------------------------------------------------------
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        ef: int | None = None,
+        quality: SearchQuality | None = None,
+        mask=None,
+    ):
+        """Batched ANN search. Returns ``(values [B, k], slot_indices [B, k])``
+        with scores in the metric's native orientation.
+
+        ``mask`` (optional ``[N_pad] bool``) applies *result filtering* during
+        final selection; traversal still routes through filtered nodes so the
+        graph stays connected (filtered-ANN standard practice).
+        """
+        if quality is not None:
+            ef = SearchQuality.parse(quality).ef
+        ef = ef or 128
+        beam, expansions = self.params.beam_for_ef(ef, k)
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        b = q.shape[0]
+        b_pad = _pad_pow2(b)
+        qp = jnp.asarray(np.pad(q, ((0, b_pad - b), (0, 0))))
+        vals, idx = _beam_search(
+            qp,
+            self._corpus,
+            self._adj,
+            self._sqnorm,
+            self._valid,
+            self._seed_ids,
+            mask,
+            k=min(k, beam),
+            beam=beam,
+            expansions=expansions,
+            degree=self._adj.shape[1],
+            entry_points=min(self.params.entry_points, beam),
+            metric=self.metric,
+        )
+        return vals[:b], idx[:b]
+
+    # ------------------------------------------------------------------
+    # persistence (hnsw.bin dump/load analog, native_inner.rs:72,81)
+    # ------------------------------------------------------------------
+
+    def save(self, path: str, version: int = 0) -> None:
+        if self._adj is None:
+            return
+        np.savez_compressed(
+            path,
+            adj=np.asarray(self._adj[: self.n]),
+            degree=self.params.degree,
+            knn_k=self.params.knn_k,
+            alpha=self.params.alpha,
+            entry_points=self.params.entry_points,
+            metric=self.metric.value,
+            n=self.n,
+            version=version,
+        )
+
+    def load(
+        self, path: str, corpus: np.ndarray, valid: np.ndarray, version: int = 0
+    ) -> bool:
+        """Restore adjacency if it matches the current corpus size + version."""
+        if not os.path.exists(path):
+            return False
+        data = np.load(path, allow_pickle=False)
+        if (
+            int(data["n"]) != corpus.shape[0]
+            or str(data["metric"]) != self.metric.value
+            or int(data["version"] if "version" in data else -1) != version
+        ):
+            return False
+        self.params = GraphParams(
+            degree=int(data["degree"]),
+            knn_k=int(data["knn_k"]),
+            alpha=float(data["alpha"]),
+            entry_points=int(data["entry_points"]),
+        )
+        self.n = corpus.shape[0]
+        self._upload(corpus, valid, data["adj"])
+        self._dirty = False
+        return True
+
+
+# ----------------------------------------------------------------------
+# kernels
+# ----------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "alpha"))
+def _alpha_prune_block(base, cand_idx, corpus, metric, alpha):
+    """VAMANA diversification for a block of nodes.
+
+    ``base [Bn, D]`` nodes, ``cand_idx [Bn, K]`` distance-ordered candidates.
+    Keep candidate j unless an already-kept candidate i (nearer to the node)
+    satisfies ``alpha * d(c_i, c_j) <= d(node, c_j)`` (``graph.rs:526``).
+    """
+    cvecs = corpus[jnp.maximum(cand_idx, 0)]  # [Bn, K, D]
+    node_d = _metric_dist(base[:, None, :], cvecs, metric)  # [Bn, K]
+    # pairwise distances among candidates: [Bn, K, K]
+    cc = _metric_dist(cvecs[:, :, None, :], cvecs[:, None, :, :], metric)
+    k = cand_idx.shape[1]
+    invalid = cand_idx < 0
+
+    def body(j, keep):
+        # prune j if any kept i<j has alpha*d(i,j) <= d(node,j)
+        before = jnp.arange(k) < j
+        conflict = jnp.any(
+            keep & before[None, :] & (alpha * cc[:, :, j] <= node_d[:, j][:, None]),
+            axis=1,
+        )
+        keep_j = ~conflict & ~invalid[:, j]
+        return keep.at[:, j].set(keep_j)
+
+    keep0 = jnp.zeros(cand_idx.shape, bool).at[:, 0].set(~invalid[:, 0])
+    return jax.lax.fori_loop(1, k, body, keep0)
+
+
+def _metric_dist(a, b, metric):
+    """Lower-is-better internal distance (broadcasting)."""
+    if metric is DistanceMetric.EUCLIDEAN:
+        return jnp.sum((a - b) ** 2, axis=-1)
+    if metric is DistanceMetric.COSINE:
+        an = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-30)
+        bn = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-30)
+        return 1.0 - jnp.sum(an * bn, axis=-1)
+    return -jnp.sum(a * b, axis=-1)
+
+
+def _assemble_adjacency(fwd: np.ndarray, n: int, degree: int) -> np.ndarray:
+    """Forward edges + reverse-edge fill to ``degree`` (vectorized NumPy).
+
+    Reverse edges make the graph navigable from any seed (the reference gets
+    this from ``add_bidirectional_connection``, ``graph.rs:592``).
+    """
+    k = fwd.shape[1]
+    adj = np.full((n, degree), -1, dtype=np.int32)
+    width = min(k, degree)
+    adj[:, :width] = fwd[:, :width]
+    fill = (adj >= 0).sum(axis=1)
+
+    # reverse edges grouped by destination
+    src = np.repeat(np.arange(n, dtype=np.int32), k)
+    dst = fwd.reshape(-1)
+    ok = dst >= 0
+    src, dst = src[ok], dst[ok]
+    order = np.argsort(dst, kind="stable")
+    dst_s, src_s = dst[order], src[order]
+    group_start = np.searchsorted(dst_s, np.arange(n))
+    pos = np.arange(len(dst_s)) - group_start[dst_s]
+    slot = fill[dst_s] + pos
+    sel = slot < degree
+    adj[dst_s[sel], slot[sel]] = src_s[sel]
+
+    # drop duplicate ids within each row (reverse edge already forward):
+    # sort descending so -1 lands last, then blank adjacent repeats
+    s = np.sort(adj, axis=1)[:, ::-1]
+    dup = np.zeros_like(s, dtype=bool)
+    dup[:, 1:] = (s[:, 1:] == s[:, :-1]) & (s[:, 1:] >= 0)
+    s[dup] = -1
+    s = np.sort(s, axis=1)[:, ::-1]
+
+    # fill remaining empty slots with pseudo-random long-range edges: rows are
+    # gathered at fixed width regardless, so these edges cost nothing at
+    # search time and they de-island clustered kNN graphs (NSW-style links)
+    if n > 1:
+        empty = s < 0
+        rows, cols = np.nonzero(empty)
+        rnd = ((rows.astype(np.uint64) * 2654435761 + cols * 40503 + 12345) % n).astype(
+            np.int32
+        )
+        rnd = np.where(rnd == rows, (rnd + 1) % n, rnd)
+        s[rows, cols] = rnd
+    return s
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "beam", "expansions", "degree", "entry_points", "metric"),
+)
+def _beam_search(
+    queries,  # [B, D] f32
+    corpus,  # [N_pad, D] f32
+    adj,  # [N_pad, degree] int32
+    sqnorm,  # [N_pad] f32
+    valid,  # [N_pad] bool
+    seed_ids,  # [S] int32 routing sample
+    mask,  # [N_pad] bool or None — result filter
+    *,
+    k: int,
+    beam: int,
+    expansions: int,
+    degree: int,
+    entry_points: int,
+    metric: DistanceMetric,
+):
+    """Batched best-first beam search (the ``search_layer`` hot loop of
+    ``graph.rs:438`` re-phrased as fixed-shape tensor ops).
+
+    Stage 1 — seed scan: exact scores against the ``[S]`` routing sample (one
+    MXU matmul) pick per-query entry points (upper-layer descent analog).
+    Stage 2 — beam: iterative expand/gather/score/merge at fixed shapes.
+
+    Internal distances are lower-is-better: L2^2, ``1-cos``, ``-dot``.
+    """
+    b, d = queries.shape
+    if metric is DistanceMetric.COSINE:
+        qn = queries / jnp.maximum(
+            jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-30
+        )
+    else:
+        qn = queries
+
+    def q_dist(node_ids):
+        """Distances from each query to its own gathered nodes [B, M]."""
+        vecs = corpus[jnp.maximum(node_ids, 0)]  # [B, M, D]
+        dots = jnp.einsum(
+            "bd,bmd->bm", qn, vecs, preferred_element_type=jnp.float32
+        )
+        if metric is DistanceMetric.EUCLIDEAN:
+            qq = jnp.sum(qn * qn, axis=-1, keepdims=True)
+            return qq + sqnorm[jnp.maximum(node_ids, 0)] - 2.0 * dots
+        if metric is DistanceMetric.COSINE:
+            cn = jnp.sqrt(jnp.maximum(sqnorm[jnp.maximum(node_ids, 0)], 1e-30))
+            return 1.0 - dots / cn
+        return -dots
+
+    # ---- stage 1: dense seed scan -> per-query entry points ----
+    seed_vecs = corpus[seed_ids]  # [S, D]
+    seed_dots = jax.lax.dot_general(
+        qn, seed_vecs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [B, S]
+    if metric is DistanceMetric.EUCLIDEAN:
+        seed_d = (
+            jnp.sum(qn * qn, axis=-1, keepdims=True)
+            + sqnorm[seed_ids][None, :]
+            - 2.0 * seed_dots
+        )
+    elif metric is DistanceMetric.COSINE:
+        seed_d = 1.0 - seed_dots / jnp.sqrt(
+            jnp.maximum(sqnorm[seed_ids][None, :], 1e-30)
+        )
+    else:
+        seed_d = -seed_dots
+    seed_d = jnp.where(valid[seed_ids][None, :], seed_d, _INF)
+    e = min(entry_points, seed_ids.shape[0])
+    neg_sd, entry_pos = jax.lax.top_k(-seed_d, e)
+    init_ids = seed_ids[entry_pos]  # [B, E]
+    init_d = -neg_sd
+    # dedup repeated seeds (padded routing samples repeat ids)
+    first = jnp.concatenate(
+        [
+            jnp.ones((b, 1), bool),
+            init_ids[:, 1:] != init_ids[:, :-1],
+        ],
+        axis=1,
+    )
+    init_d = jnp.where(first, init_d, _INF)
+    init_ids = jnp.where(first, init_ids, -1)
+
+    pad = beam - e
+    ids0 = jnp.concatenate(
+        [init_ids, jnp.full((b, max(pad, 0)), -1, jnp.int32)], axis=1
+    )[:, :beam]
+    d0 = jnp.concatenate([init_d, jnp.full((b, max(pad, 0)), _INF)], axis=1)[:, :beam]
+    vis0 = jnp.zeros((b, beam), bool)
+
+    def body(_, state):
+        ids, dist, vis = state
+        # pick best unvisited candidate per query
+        sel = jnp.where(vis | (ids < 0), _INF, dist)
+        best = jnp.argmin(sel, axis=1)  # [B]
+        has = jnp.take_along_axis(sel, best[:, None], axis=1)[:, 0] < _INF
+        bid = jnp.take_along_axis(ids, best[:, None], axis=1)[:, 0]  # [B]
+        vis = vis.at[jnp.arange(b), best].set(True)
+        # expand: gather neighbor rows and score them
+        nbrs = adj[jnp.maximum(bid, 0)]  # [B, degree]
+        nd = q_dist(nbrs)
+        bad = (
+            (nbrs < 0)
+            | ~valid[jnp.maximum(nbrs, 0)]
+            | ~has[:, None]
+            | jnp.any(nbrs[:, :, None] == ids[:, None, :], axis=2)  # dedup
+        )
+        nd = jnp.where(bad, _INF, nd)
+        nids = jnp.where(bad, -1, nbrs)
+        # merge + keep best `beam`
+        all_ids = jnp.concatenate([ids, nids], axis=1)
+        all_d = jnp.concatenate([dist, nd], axis=1)
+        all_v = jnp.concatenate([vis, jnp.zeros((b, degree), bool)], axis=1)
+        _, order = jax.lax.top_k(-all_d, beam)
+        ids = jnp.take_along_axis(all_ids, order, axis=1)
+        dist = jnp.take_along_axis(all_d, order, axis=1)
+        vis = jnp.take_along_axis(all_v, order, axis=1)
+        return ids, dist, vis
+
+    ids, dist, _ = jax.lax.fori_loop(0, expansions, body, (ids0, d0, vis0))
+
+    # ---- final selection (apply result filter here) ----
+    if mask is not None:
+        keep = mask[jnp.maximum(ids, 0)] & (ids >= 0)
+        dist = jnp.where(keep, dist, _INF)
+    _, order = jax.lax.top_k(-dist, k)
+    out_ids = jnp.take_along_axis(ids, order, axis=1)
+    out_d = jnp.take_along_axis(dist, order, axis=1)
+    # back to native score orientation
+    if metric is DistanceMetric.EUCLIDEAN:
+        out_v = jnp.sqrt(jnp.maximum(out_d, 0.0))
+    elif metric is DistanceMetric.COSINE:
+        out_v = 1.0 - out_d
+    else:
+        out_v = -out_d
+    out_v = jnp.where(jnp.isinf(out_d), jnp.where(out_d > 0, jnp.inf, -jnp.inf), out_v)
+    if metric.higher_is_better:
+        out_v = jnp.where(jnp.isinf(out_d) & (out_d > 0), -jnp.inf, out_v)
+    return out_v, jnp.where(jnp.isinf(out_d), -1, out_ids)

@@ -1,0 +1,89 @@
+"""ANN index parameters and quality profiles with auto-tuning.
+
+Counterpart of ``index/hnsw/params.rs`` (``HnswParams::auto``, ``params.rs:40``,
+``for_dataset_size`` ``:73``) and the quality profiles of ``index/mod.rs:7-12``
+(Fast ef=64 / Balanced ef=128 / Accurate ef=256 / Perfect ef=2048). On TPU the
+knobs map to: graph degree (adjacency row width), beam width L (candidate pool)
+and expansion count (nodes expanded per query) of the batched beam search.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+__all__ = ["SearchQuality", "GraphParams"]
+
+
+class SearchQuality(str, enum.Enum):
+    """Parity with ``SearchQuality`` quality profiles (``index/mod.rs:7-12``)."""
+
+    FAST = "fast"
+    BALANCED = "balanced"
+    ACCURATE = "accurate"
+    PERFECT = "perfect"  # exact (brute force) — ef=2048 in the reference
+
+    @property
+    def ef(self) -> int:
+        return {
+            SearchQuality.FAST: 64,
+            SearchQuality.BALANCED: 128,
+            SearchQuality.ACCURATE: 256,
+            SearchQuality.PERFECT: 2048,
+        }[self]
+
+    @classmethod
+    def parse(cls, v) -> "SearchQuality":
+        return v if isinstance(v, cls) else cls(str(v).strip().lower())
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphParams:
+    """Build/search parameters of the beam-search graph index.
+
+    ``degree`` plays the role of HNSW's M0 (layer-0 out-degree); ``knn_k`` is
+    the forward kNN width before reverse-edge merge (CAGRA-style build:
+    exact kNN graph -> reverse-edge augmentation -> degree-capped prune).
+    """
+
+    degree: int = 32  # adjacency row width (multiple of 8 for tiling)
+    knn_k: int = 16  # forward kNN edges per node
+    alpha: float = 1.2  # VAMANA-style diversification factor (prune pass)
+    entry_points: int = 16  # per-query beam seeds taken from the seed scan
+    seed_sample: int = 2048  # routing-set size for the dense seed scan
+    # The seed scan replaces HNSW's upper layers: instead of greedy descent
+    # through sparse coarse layers (graph.rs:251 descent loop), one small
+    # [B, S] matmul against a strided routing sample ranks entry points —
+    # denser, batched, and immune to cluster-disconnection of the kNN graph.
+
+    @classmethod
+    def auto(cls, dim: int, n: int | None = None) -> "GraphParams":
+        """Auto-tuning mirroring ``HnswParams::auto`` / ``for_dataset_size``:
+        larger corpora and higher dims get wider graphs for equal recall."""
+        n = n or 0
+        if n >= 1_000_000:
+            degree, knn_k = 64, 32
+        elif n >= 100_000:
+            degree, knn_k = 48, 24
+        else:
+            degree, knn_k = 32, 16
+        if dim >= 1024:
+            degree = max(degree, 48)
+        return cls(degree=degree, knn_k=knn_k)
+
+    def beam_for_ef(self, ef: int, k: int) -> tuple[int, int]:
+        """Map an ef budget to (beam width L, expansions).
+
+        HNSW with ef expands ~ef nodes; here each expansion scores ``degree``
+        neighbors in one batched gather+matmul, so ``expansions ~= ef/2`` holds
+        recall at equal distance-computation budget (validated by the recall
+        suite).
+        """
+        ef = max(ef, k)
+        beam = max(32, min(512, _round8(ef)))
+        expansions = max(8, min(256, _round8(ef // 2)))
+        return beam, expansions
+
+
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8

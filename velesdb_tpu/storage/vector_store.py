@@ -47,6 +47,7 @@ class VectorStore:
         self.id_to_slot: dict[int, int] = {}
         self._free_slots: list[int] = []
         self._next_slot = 0  # high-water mark
+        self.version = 0  # monotone mutation counter (index staleness checks)
         self._capacity = 0
         self._mmap: np.memmap | None = None
         if create and not os.path.exists(self._bin_path):
@@ -103,6 +104,7 @@ class VectorStore:
                     "ids": {str(k): v for k, v in self.id_to_slot.items()},
                     "free": self._free_slots,
                     "next_slot": self._next_slot,
+                    "version": self.version,
                 },
                 f,
             )
@@ -119,6 +121,7 @@ class VectorStore:
         self.id_to_slot = {int(k): v for k, v in idx["ids"].items()}
         self._free_slots = list(idx["free"])
         self._next_slot = idx.get("next_slot", len(self.id_to_slot) + len(self._free_slots))
+        self.version = idx.get("version", 0)
 
     # -- WAL ---------------------------------------------------------------
 
@@ -155,6 +158,7 @@ class VectorStore:
     # -- mutations ---------------------------------------------------------
 
     def _apply_upsert(self, vid: int, vec: np.ndarray) -> int:
+        self.version += 1
         slot = self.id_to_slot.get(vid)
         if slot is None:
             if self._free_slots:
@@ -172,6 +176,7 @@ class VectorStore:
         slot = self.id_to_slot.pop(vid, None)
         if slot is None:
             return False
+        self.version += 1
         self._free_slots.append(slot)
         return True
 
