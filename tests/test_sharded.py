@@ -1,0 +1,91 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Counterpart of the reference's concurrency/stress suites (SURVEY.md §4) —
+but validating the collective merge path instead of lock interleavings.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from velesdb_tpu.ops import DistanceMetric, pairwise_scores, top_k
+from velesdb_tpu.parallel import (
+    ShardedBruteForce,
+    make_mesh,
+    shard_rows,
+    sharded_ingest_search_step,
+)
+
+
+def _reference_topk(q, corpus, k, metric, mask=None):
+    s = np.asarray(pairwise_scores(q, corpus, metric))
+    if mask is not None:
+        s = np.where(mask[None, :], s, -np.inf if metric.higher_is_better else np.inf)
+    order = np.argsort(-s if metric.higher_is_better else s, axis=1)[:, :k]
+    return np.take_along_axis(s, order, axis=1), order
+
+
+@pytest.mark.parametrize("metric", [DistanceMetric.COSINE, DistanceMetric.EUCLIDEAN])
+@pytest.mark.parametrize("dp", [1, 2])
+def test_sharded_matches_single_device(rng, metric, dp):
+    mesh = make_mesh(8, dp=dp)
+    n, d, b, k = 1000, 64, 8, 10
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((b, d)).astype(np.float32)
+    idx = ShardedBruteForce(mesh, d, metric)
+    idx.rebuild(corpus)
+    vals, gidx = idx.search(queries, k)
+    ref_v, ref_i = _reference_topk(queries, corpus, k, metric)
+    assert np.array_equal(np.sort(gidx, axis=1), np.sort(ref_i, axis=1)), (
+        "sharded merge must equal the single-device exact top-k"
+    )
+    np.testing.assert_allclose(vals, ref_v, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_masked_search(rng):
+    mesh = make_mesh(8)
+    n, d, k = 512, 32, 5
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((2, d)).astype(np.float32)
+    mask = rng.random(n) < 0.3
+    idx = ShardedBruteForce(mesh, d, DistanceMetric.COSINE)
+    idx.rebuild(corpus)
+    vals, gidx = idx.search(q, k, mask=mask)
+    assert mask[gidx[gidx >= 0]].all(), "masked-out rows must never surface"
+    ref_v, ref_i = _reference_topk(q, corpus, k, DistanceMetric.COSINE, mask=mask)
+    assert np.array_equal(np.sort(gidx, axis=1), np.sort(ref_i, axis=1))
+
+
+def test_shard_rows_pads_and_distributes(rng):
+    mesh = make_mesh(8)
+    arr = rng.standard_normal((13, 4)).astype(np.float32)
+    sharded = shard_rows(mesh, arr)
+    assert sharded.shape[0] % 8 == 0
+    np.testing.assert_array_equal(np.asarray(sharded)[:13], arr)
+
+
+def test_ingest_search_step(rng):
+    mesh = make_mesh(8, dp=2)
+    d, n, r, b, k = 16, 64, 8, 4, 5
+    metric = DistanceMetric.DOT_PRODUCT
+    step = sharded_ingest_search_step(mesh, d, metric)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    corpus = jax.device_put(
+        np.zeros((n, d), np.float32), NamedSharding(mesh, P("rows", None))
+    )
+    valid = jax.device_put(np.zeros(n, bool), NamedSharding(mesh, P("rows")))
+    rows1 = rng.standard_normal((r, d)).astype(np.float32)
+    rows2 = rng.standard_normal((r, d)).astype(np.float32)
+    queries = rng.standard_normal((b, d)).astype(np.float32)
+    pos0 = np.array([0], np.int32)
+    corpus, valid, _, _ = step(corpus, valid, rows1, pos0, queries, k=k)
+    # second ingest crosses a shard boundary (n/8 = 8 rows per shard)
+    corpus, valid, vals, idx = step(
+        corpus, valid, rows2, np.array([r], np.int32), queries, k=k
+    )
+    host = np.vstack([rows1, rows2])
+    ref_v, ref_i = _reference_topk(queries, host, k, metric)
+    assert np.asarray(valid)[: 2 * r].all() and not np.asarray(valid)[2 * r :].any()
+    assert np.array_equal(np.sort(np.asarray(idx), axis=1), np.sort(ref_i, axis=1))
+    np.testing.assert_allclose(np.asarray(vals), ref_v, rtol=1e-4, atol=1e-5)
