@@ -98,8 +98,11 @@ class Collection:
             self.ann = GraphIndex(self.dim, self.metric)
         self.columns = ColumnStore()
         self._columns_built = False
-        # set by later layers (text indexes, graph)
-        self.text_index = None
+        # text indexes build lazily from the payload log at first text query
+        self.text_index = None  # Bm25Index
+        self.trigram_index = None  # TrigramIndex
+        self._text_built = False
+        # set by later layers (graph)
         self.graph = None
 
     # -- config ------------------------------------------------------------
@@ -148,6 +151,8 @@ class Collection:
                 self.payloads.store(int(vid), payload)
             if self._columns_built:
                 self.columns.upsert_row(slot, payload)
+            if self._text_built:
+                self._index_text(slot, payload)
             self._on_mutation([int(vid)])
 
     def upsert_bulk(
@@ -174,6 +179,11 @@ class Collection:
                     self.columns.upsert_row(
                         slot, payloads[i] if payloads is not None else None
                     )
+            if self._text_built:
+                for i, slot in enumerate(slots):
+                    self._index_text(
+                        slot, payloads[i] if payloads is not None else None
+                    )
             self._on_mutation(ids)
 
     def get(self, vid: int):
@@ -191,6 +201,9 @@ class Collection:
             if existed:
                 if self._columns_built and slot is not None:
                     self.columns.remove_row(slot)
+                if self._text_built and slot is not None:
+                    self.text_index.remove_document(slot)
+                    self.trigram_index.remove_document(slot)
                 self._on_mutation([int(vid)])
             return existed
 
@@ -305,12 +318,114 @@ class Collection:
         self._columns_built = True
 
     def _filter_mask(self, filt):
+        mask = self._raw_filter_mask(filt)
+        if mask is None:
+            return None
+        used = max(self.vectors.used_slots, 1)
+        return _pad_mask(mask, self._brute.n_pad or used)
+
+    def _raw_filter_mask(self, filt):
+        """``[used_slots] bool`` mask for a filter dict (unpadded)."""
         if filt is None:
             return None
         self._ensure_columns()
         used = max(self.vectors.used_slots, 1)
-        mask = self.columns.mask_for_filter(filt, used)
-        return _pad_mask(mask, self._brute.n_pad or used)
+        return self.columns.mask_for_filter(filt, used)
+
+    # -- text + hybrid search (parity with collection/search/text.rs) -------
+
+    def _index_text(self, slot: int, payload) -> None:
+        from velesdb_tpu.text.tokenizer import extract_text
+
+        text = extract_text(payload) if payload is not None else ""
+        if text:
+            self.text_index.add_document(slot, text)
+            self.trigram_index.add_document(slot, text)
+        else:
+            self.text_index.remove_document(slot)
+            self.trigram_index.remove_document(slot)
+
+    def _ensure_text(self) -> None:
+        """Lazily build BM25 + trigram indexes from the payload log (the
+        reference indexes payload strings at upsert, ``crud.rs:19-128``; we
+        defer to first text query so vector-only workloads pay nothing)."""
+        if self._text_built:
+            return
+        from velesdb_tpu.text.bm25 import Bm25Index
+        from velesdb_tpu.text.trigram import TrigramIndex
+
+        self.text_index = Bm25Index()
+        self.trigram_index = TrigramIndex()
+        self._text_built = True
+        for vid, payload in self.payloads.payloads.items():
+            slot = self.vectors.id_to_slot.get(vid)
+            if slot is not None:
+                self._index_text(slot, payload)
+
+    def text_search(self, query: str, k: int = 10, filter: dict | None = None):
+        """BM25 full-text search (``text_search``, ``search/text.rs``)."""
+        return self.text_search_batch([query], k, filter=filter)[0]
+
+    def text_search_batch(self, queries, k: int = 10, filter: dict | None = None):
+        self._ensure_text()
+        used = max(self.vectors.used_slots, 1)
+        mask = self._raw_filter_mask(filter)
+        vals, slots = self.text_index.search_batch(
+            list(queries), k, used, mask=mask
+        )
+        slot_ids, _ = self.vectors.occupancy()
+        self._slot_ids = slot_ids
+        out = []
+        for b in range(vals.shape[0]):
+            row = []
+            for v, s in zip(vals[b], slots[b]):
+                if s < 0 or v <= 0 or s >= slot_ids.shape[0]:
+                    continue
+                vid = int(slot_ids[s])
+                if vid < 0:
+                    continue
+                row.append(
+                    SearchResult(
+                        id=vid, score=float(v), payload=self.payloads.retrieve(vid)
+                    )
+                )
+            out.append(row)
+        return out
+
+    def hybrid_search(
+        self,
+        query_vector,
+        query_text: str,
+        k: int = 10,
+        vector_weight: float = 0.5,
+        filter: dict | None = None,
+    ):
+        """Vector + BM25 fusion via weighted RRF (k=60), fetching 2k from
+        each branch (``hybrid_search``, ``search/text.rs:113-221``)."""
+        from velesdb_tpu.fusion import weighted_rrf
+
+        fetch = max(2 * k, k)
+        vec_hits = self.search(query_vector, fetch, filter=filter)
+        txt_hits = self.text_search(query_text, fetch, filter=filter)
+        fused = weighted_rrf(
+            [(r.id, r.score) for r in vec_hits],
+            [(r.id, r.score) for r in txt_hits],
+            k,
+            vector_weight=vector_weight,
+        )
+        return [
+            SearchResult(id=vid, score=score, payload=self.payloads.retrieve(vid))
+            for vid, score in fused
+        ]
+
+    def like_mask(self, pattern: str, case_insensitive: bool = False):
+        """``[used_slots] bool`` mask of payload texts matching LIKE pattern
+        (trigram-pruned; feeds predicate pushdown)."""
+        self._ensure_text()
+        used = max(self.vectors.used_slots, 1)
+        return self.trigram_index.match_mask(
+            pattern, used, case_insensitive=case_insensitive
+        )
 
     def _hydrate(self, vals: np.ndarray, idx: np.ndarray, k: int):
         """Map device slot indices back to user ids + payloads (host-side;
