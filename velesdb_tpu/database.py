@@ -26,6 +26,7 @@ class Database:
         os.makedirs(self.path, exist_ok=True)
         self._collections: dict[str, Collection] = {}
         self._lock = threading.RLock()
+        self._query_cache = None  # lazy QueryCache
 
     @classmethod
     def open(cls, path: str) -> "Database":
@@ -104,6 +105,30 @@ class Database:
             self.get_collection(name)
             loaded.append(name)
         return loaded
+
+    # -- VelesQL (parity with server /query, python .query()) ---------------
+
+    @property
+    def query_cache(self):
+        if self._query_cache is None:
+            from velesdb_tpu.velesql.cache import QueryCache
+
+            self._query_cache = QueryCache()
+        return self._query_cache
+
+    def query(self, velesql: str, params: dict | None = None) -> list[dict]:
+        """Parse (cached) + execute a VelesQL query; rows as dicts
+        (``Collection::execute_query`` dispatch, ``search/query/mod.rs:78``)."""
+        from velesdb_tpu.velesql.executor import execute
+
+        q = self.query_cache.parse(velesql)
+        return execute(self, q, params)
+
+    def explain_query(self, velesql: str):
+        """Query plan tree (``QueryPlan::from_select``, ``velesql/explain.rs``)."""
+        from velesdb_tpu.velesql.explain import explain
+
+        return explain(self.query_cache.parse(velesql))
 
     def close(self) -> None:
         with self._lock:
