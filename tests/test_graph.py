@@ -1,0 +1,314 @@
+"""Graph layer tests: EdgeStore/CSR, BFS guardrails, indexes, MATCH.
+
+Counterpart of the reference's graph test modules (``collection/graph/``
+co-located tests + ``match_exec`` integration tests, SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+from velesdb_tpu.database import Database
+from velesdb_tpu.graph import (
+    EdgeStore,
+    Guardrails,
+    MatchError,
+    PropertyIndex,
+    RangeIndex,
+    bfs,
+    parse_match,
+    traverse,
+)
+from velesdb_tpu.velesql.parser import ParseError
+
+
+# -- EdgeStore ----------------------------------------------------------------
+
+
+def test_edge_store_basic():
+    es = EdgeStore()
+    e1 = es.add_edge(1, 2, "knows")
+    es.add_edge(1, 3, "knows", {"since": 2020})
+    es.add_edge(2, 3, "likes")
+    assert len(es) == 3
+    assert sorted(es.neighbors(1, "out", "knows")) == [2, 3]
+    assert es.neighbors(1, "out", "likes") == []
+    assert es.neighbors(3, "in") == [1, 2]
+    assert es.degree(1, "out") == 2 and es.degree(3, "in") == 2
+    assert es.degree(1, "both") == 2
+    edges = es.edges_of(1, "out", "knows")
+    assert {e.dst for e in edges} == {2, 3}
+    assert es.edge(e1).label == "knows"
+    assert es.remove_edge(e1) and not es.remove_edge(e1)
+    assert sorted(es.neighbors(1, "out", "knows")) == [3]
+
+
+def test_edge_store_remove_node_edges():
+    es = EdgeStore()
+    es.add_edge(1, 2, "a")
+    es.add_edge(2, 3, "a")
+    es.add_edge(3, 1, "b")
+    assert es.remove_node_edges(1) == 2
+    assert len(es) == 1 and es.neighbors(2, "out") == [3]
+
+
+def test_edge_store_frontier_expansion_vectorized():
+    es = EdgeStore()
+    rng = np.random.default_rng(0)
+    n = 500
+    for _ in range(3000):
+        a, b = rng.integers(0, n, 2)
+        es.add_edge(int(a), int(b), "e")
+    view = es.csr("out")
+    frontier = np.arange(0, n, 7, dtype=np.int64)
+    src, dst, lab, eids = view.neighbors_of(frontier)
+    # cross-check against per-node listing
+    expect = sum(len(es.neighbors(int(f), "out")) for f in frontier)
+    assert len(dst) == expect
+    assert all(int(s) in set(frontier) for s in src[:50])
+
+
+def test_edge_store_save_load(tmp_path):
+    es = EdgeStore()
+    es.add_edge(1, 2, "knows", {"w": 1.5})
+    eid = es.add_edge(2, 3, "likes")
+    es.remove_edge(eid)
+    path = str(tmp_path / "edges.npz")
+    es.save(path)
+    es2 = EdgeStore.load(path)
+    assert len(es2) == 1
+    e = es2.edges_of(1, "out")[0]
+    assert e.label == "knows" and e.properties == {"w": 1.5}
+
+
+# -- BFS / traverse --------------------------------------------------------------
+
+
+@pytest.fixture
+def chain_graph():
+    es = EdgeStore()
+    # 0 -> 1 -> 2 -> 3 -> 4, plus a side branch 1 -> 10 (label "side")
+    for i in range(4):
+        es.add_edge(i, i + 1, "next")
+    es.add_edge(1, 10, "side")
+    return es
+
+
+def test_bfs_depths(chain_graph):
+    depths = bfs(chain_graph, [0], max_depth=3)
+    assert depths == {0: 0, 1: 1, 2: 2, 10: 2, 3: 3}
+    depths = bfs(chain_graph, [0], max_depth=3, label="next")
+    assert depths == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_direction_and_guardrails(chain_graph):
+    depths = bfs(chain_graph, [4], direction="in", max_depth=10)
+    assert set(depths) == {4, 3, 2, 1, 0}
+    limited = bfs(
+        chain_graph, [0], guardrails=Guardrails(max_depth=10, max_visited=3)
+    )
+    assert len(limited) == 3
+    from velesdb_tpu.graph import GuardrailError
+
+    with pytest.raises(GuardrailError):
+        bfs(
+            chain_graph,
+            [0],
+            guardrails=Guardrails(max_depth=10, max_visited=2, strict=True),
+        )
+
+
+def test_traverse_paths(chain_graph):
+    results = traverse(chain_graph, 0, max_depth=2)
+    by_node = {n: (d, p) for n, d, p in results}
+    assert by_node[0] == (0, [])
+    assert by_node[2][0] == 2 and len(by_node[2][1]) == 2
+    assert 10 in by_node
+
+
+# -- property / range indexes ------------------------------------------------------
+
+
+def test_property_index():
+    pi = PropertyIndex()
+    pi.index_node(1, {"city": "paris", "meta": {"tier": 2}})
+    pi.index_node(2, {"city": "paris"})
+    pi.index_node(3, {"city": "tokyo"})
+    assert pi.lookup("city", "paris") == {1, 2}
+    assert pi.lookup("meta.tier", 2) == {1}
+    pi.index_node(1, {"city": "tokyo"})  # reindex replaces
+    assert pi.lookup("city", "paris") == {2}
+    pi.remove_node(2)
+    assert pi.lookup("city", "paris") == set()
+
+
+def test_range_index():
+    ri = RangeIndex()
+    for n, age in [(1, 25), (2, 30), (3, 35), (4, 40)]:
+        ri.index_node(n, {"age": age})
+    assert ri.range("age", lo=30) == {2, 3, 4}
+    assert ri.range("age", lo=30, include_lo=False) == {3, 4}
+    assert ri.range("age", lo=26, hi=36) == {2, 3}
+    ri.remove_node(3)
+    assert ri.range("age", lo=26, hi=36) == {2}
+    assert ri.range("missing") == set()
+
+
+# -- MATCH parser -----------------------------------------------------------------
+
+
+def test_parse_match_pattern():
+    s = parse_match(
+        "MATCH (a:Person {city: 'Paris'})-[r:KNOWS*1..2]->(b:Person) "
+        "WHERE b.age > 30 RETURN a, b.name AS name, r "
+        "ORDER BY name DESC LIMIT 5"
+    )
+    assert s.nodes[0].var == "a" and s.nodes[0].labels == ["Person"]
+    assert s.nodes[0].props == {"city": "Paris"}
+    assert s.edges[0].labels == ["KNOWS"]
+    assert (s.edges[0].min_hops, s.edges[0].max_hops) == (1, 2)
+    assert s.where[0]["field"] == "age" and s.where[0]["op"] == "gt"
+    assert s.returns[1].alias == "name"
+    assert s.order_by[0].desc and s.limit == 5
+
+
+def test_parse_match_anonymous_and_directions():
+    s = parse_match("MATCH (:City)<-[:LIVES_IN]-(p) RETURN p")
+    assert s.nodes[0].var is None and s.nodes[0].labels == ["City"]
+    assert s.edges[0].direction == "in"
+    s = parse_match("MATCH (a)-[e]-(b) RETURN a, b")
+    assert s.edges[0].direction == "both" and s.edges[0].var == "e"
+
+
+def test_parse_match_unbounded_hops_capped():
+    s = parse_match("MATCH (a)-[*]->(b) RETURN b")
+    assert s.edges[0].min_hops == 1 and s.edges[0].max_hops == 16
+
+
+def test_parse_match_errors():
+    with pytest.raises(ParseError):
+        parse_match("MATCH (a RETURN a")
+    with pytest.raises(ParseError):
+        parse_match("MATCH (a)-[*3..1]->(b) RETURN b")
+
+
+# -- end-to-end MATCH over a collection ----------------------------------------------
+
+
+@pytest.fixture
+def social(tmp_db_dir, rng):
+    db = Database.open(tmp_db_dir)
+    c = db.create_collection("social", dim=4)
+    people = [
+        (1, "alice", 34, "paris"),
+        (2, "bob", 28, "paris"),
+        (3, "carol", 41, "tokyo"),
+        (4, "dave", 35, "tokyo"),
+    ]
+    for pid, name, age, city in people:
+        c.add_node(
+            pid,
+            labels=["Person"],
+            properties={"name": name, "age": age, "city": city},
+            vector=rng.standard_normal(4),
+        )
+    c.add_node(100, labels=["City"], properties={"name": "paris"})
+    c.add_edge(1, 2, "KNOWS", {"since": 2019})
+    c.add_edge(2, 3, "KNOWS")
+    c.add_edge(3, 4, "KNOWS")
+    c.add_edge(1, 100, "LIVES_IN")
+    c.add_edge(2, 100, "LIVES_IN")
+    return db, c
+
+
+def test_match_single_hop(social):
+    _, c = social
+    rows = c.execute_match(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN a.name AS a, b.name AS b"
+    )
+    pairs = {(r["a"], r["b"]) for r in rows}
+    assert pairs == {("alice", "bob"), ("bob", "carol"), ("carol", "dave")}
+
+
+def test_match_var_hops(social):
+    _, c = social
+    rows = c.execute_match(
+        "MATCH (a:Person {name: 'alice'})-[r:KNOWS*1..3]->(b) RETURN b.name AS n, r"
+    )
+    names = {r["n"] for r in rows}
+    assert names == {"bob", "carol", "dave"}
+    lens = {r["n"]: len(r["r"]) for r in rows}
+    assert lens == {"bob": 1, "carol": 2, "dave": 3}
+
+
+def test_match_where_and_order(social):
+    _, c = social
+    rows = c.execute_match(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) WHERE b.age > 30 "
+        "RETURN b.name AS n, b.age AS age ORDER BY age DESC"
+    )
+    assert [r["n"] for r in rows] == ["carol", "dave"]
+
+
+def test_match_incoming_and_label_selection(social):
+    _, c = social
+    rows = c.execute_match(
+        "MATCH (c:City)<-[:LIVES_IN]-(p:Person) RETURN p.name AS n"
+    )
+    assert {r["n"] for r in rows} == {"alice", "bob"}
+
+
+def test_match_property_map_start(social):
+    _, c = social
+    rows = c.execute_match(
+        "MATCH (a:Person {city: 'tokyo'})-[:KNOWS]->(b) RETURN a.name AS a, b.name AS b"
+    )
+    assert {(r["a"], r["b"]) for r in rows} == {("carol", "dave")}
+
+
+def test_match_similarity_integration(social, rng):
+    _, c = social
+    target = c.get(3)[0]  # carol's vector
+    rows = c.execute_match(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+        "WHERE similarity(b, $v) >= 0.99 RETURN b.name AS n, similarity(b, $v) AS s",
+        {"v": target},
+    )
+    assert [r["n"] for r in rows] == ["carol"]
+    assert rows[0]["s"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_match_unbound_var_raises(social):
+    _, c = social
+    with pytest.raises(MatchError):
+        c.execute_match("MATCH (a:Person)-[:KNOWS]->(b) WHERE z.age > 1 RETURN a")
+
+
+def test_match_via_database(social):
+    db, _ = social
+    rows = db.match_query(
+        "social", "MATCH (a {name: 'bob'})-[:KNOWS]->(b) RETURN b.name AS n"
+    )
+    assert [r["n"] for r in rows] == ["carol"]
+
+
+def test_graph_persistence(tmp_db_dir, rng):
+    db = Database.open(tmp_db_dir)
+    c = db.create_collection("g", dim=2)
+    c.add_node(1, ["X"], {"k": 1})
+    c.add_node(2, ["X"], {"k": 2})
+    c.add_edge(1, 2, "rel", {"w": 3})
+    c.flush()
+    c.close()
+    db2 = Database.open(tmp_db_dir)
+    c2 = db2.get_collection("g")
+    rows = c2.execute_match("MATCH (a:X)-[r:rel]->(b:X) RETURN a, r, b")
+    assert len(rows) == 1
+    assert rows[0]["r"][0]["properties"] == {"w": 3}
+    assert rows[0]["b"]["properties"]["k"] == 2
+
+
+def test_delete_node_cleans_graph(social):
+    _, c = social
+    c.delete(2)
+    rows = c.execute_match("MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN a.name AS a, b.name AS b")
+    assert {(r["a"], r["b"]) for r in rows} == {("carol", "dave")}

@@ -102,8 +102,8 @@ class Collection:
         self.text_index = None  # Bm25Index
         self.trigram_index = None  # TrigramIndex
         self._text_built = False
-        # set by later layers (graph)
-        self.graph = None
+        # knowledge graph state builds lazily at first graph op
+        self.graph = None  # CollectionGraph
 
     # -- config ------------------------------------------------------------
 
@@ -153,6 +153,8 @@ class Collection:
                 self.columns.upsert_row(slot, payload)
             if self._text_built:
                 self._index_text(slot, payload)
+            if self.graph is not None:
+                self.graph.index_node(int(vid), payload)
             self._on_mutation([int(vid)])
 
     def upsert_bulk(
@@ -184,6 +186,11 @@ class Collection:
                     self._index_text(
                         slot, payloads[i] if payloads is not None else None
                     )
+            if self.graph is not None:
+                for i, vid in enumerate(ids):
+                    self.graph.index_node(
+                        vid, payloads[i] if payloads is not None else None
+                    )
             self._on_mutation(ids)
 
     def get(self, vid: int):
@@ -204,6 +211,8 @@ class Collection:
                 if self._text_built and slot is not None:
                     self.text_index.remove_document(slot)
                     self.trigram_index.remove_document(slot)
+                if self.graph is not None:
+                    self.graph.remove_node(int(vid))
                 self._on_mutation([int(vid)])
             return existed
 
@@ -453,12 +462,92 @@ class Collection:
             out.append(row)
         return out
 
+    # -- knowledge graph (parity with collection/graph/, match_exec.rs) -----
+
+    def ensure_graph(self):
+        """Lazily build graph state: node indexes from payloads, edges from
+        ``edges.npz`` (``Database::load_collections`` graph analog)."""
+        if self.graph is None:
+            from velesdb_tpu.graph import CollectionGraph
+
+            g = CollectionGraph()
+            g.load_edges(self.path)
+            for vid, payload in self.payloads.payloads.items():
+                if vid in self.vectors.id_to_slot:
+                    g.index_node(vid, payload)
+            self.graph = g
+        return self.graph
+
+    def add_node(
+        self,
+        node_id: int,
+        labels=(),
+        properties: dict | None = None,
+        vector=None,
+    ) -> None:
+        """Insert a graph node: payload = properties + reserved ``_labels``;
+        vector defaults to zeros (graph-only nodes still live in slot space)."""
+        from velesdb_tpu.graph import LABELS_KEY
+
+        payload = dict(properties or {})
+        payload[LABELS_KEY] = list(labels)
+        vec = (
+            np.zeros(self.dim, np.float32)
+            if vector is None
+            else np.asarray(vector, np.float32)
+        )
+        self.upsert(node_id, vec, payload)
+
+    def add_edge(
+        self, src: int, dst: int, label: str, properties: dict | None = None
+    ) -> int:
+        g = self.ensure_graph()
+        for node in (src, dst):
+            if int(node) not in self.vectors.id_to_slot:
+                raise KeyError(f"node {node} not found")
+        return g.edges.add_edge(src, dst, label, properties)
+
+    def get_edges(self, node: int, direction: str = "out", label: str | None = None):
+        return self.ensure_graph().edges.edges_of(node, direction, label)
+
+    def neighbors(self, node: int, direction: str = "out", label: str | None = None):
+        return self.ensure_graph().edges.neighbors(node, direction, label)
+
+    def degree(self, node: int, direction: str = "out") -> int:
+        return self.ensure_graph().edges.degree(node, direction)
+
+    def traverse(
+        self,
+        start: int,
+        max_depth: int = 3,
+        direction: str = "out",
+        label: str | None = None,
+    ):
+        """BFS traversal with guardrails (``graph/streaming.rs:247``)."""
+        from velesdb_tpu.graph import traverse as _traverse
+
+        return _traverse(
+            self.ensure_graph().edges,
+            start,
+            direction=direction,
+            label=label,
+            max_depth=max_depth,
+        )
+
+    def execute_match(self, match_text: str, params: dict | None = None):
+        """Cypher-ish MATCH over this collection (``match_exec.rs:104``)."""
+        from velesdb_tpu.graph import execute_match as _exec
+
+        return _exec(self, match_text, params)
+
     # -- durability --------------------------------------------------------
 
     def flush(self) -> None:
         with self._lock:
             self.vectors.flush()
             self.payloads.flush()
+            if self.graph is not None:
+                self.graph.save(self.path)
 
     def close(self) -> None:
         with self._lock:

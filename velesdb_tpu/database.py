@@ -124,6 +124,13 @@ class Database:
         q = self.query_cache.parse(velesql)
         return execute(self, q, params)
 
+    def match_query(
+        self, collection: str, match_text: str, params: dict | None = None
+    ) -> list[dict]:
+        """MATCH graph query against one collection
+        (server ``/collections/{n}/match`` analog)."""
+        return self.get_collection(collection).execute_match(match_text, params)
+
     def explain_query(self, velesql: str):
         """Query plan tree (``QueryPlan::from_select``, ``velesql/explain.rs``)."""
         from velesdb_tpu.velesql.explain import explain

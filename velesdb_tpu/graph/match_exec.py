@@ -1,0 +1,329 @@
+"""MATCH executor: pattern bindings over the edge CSR + node indexes.
+
+Counterpart of ``execute_match`` (``query/match_exec.rs:104``), the match
+planner (``match_planner.rs:13`` GraphFirst/VectorFirst) and similarity
+integration (``match_exec.rs:697``). Execution:
+
+1. **Start selection** — pick the most selective pattern node (property-map
+   and PropertyIndex lookups, label buckets), reference's planner heuristic.
+2. **Hop expansion** — each edge pattern expands every current binding's
+   frontier with ONE vectorized CSR segment-gather per hop depth
+   (``CsrView.neighbors_of``), honoring label filters and hop ranges.
+3. **WHERE** — per-binding predicates over node properties; ``similarity()``
+   thresholds score candidate node vectors in one device batch.
+4. **RETURN** — projection of vars / fields / similarity with ORDER BY/LIMIT.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from velesdb_tpu.column.filter import get_path, like_to_regex
+from velesdb_tpu.graph.match_parser import MatchStatement, parse_match
+from velesdb_tpu.graph.traverse import Guardrails
+from velesdb_tpu.velesql.parser import _Now
+
+__all__ = ["execute_match", "MatchError"]
+
+MAX_BINDINGS = 100_000  # cardinality guardrail (guardrails.rs analog)
+
+
+class MatchError(ValueError):
+    pass
+
+
+def _resolve(v, params):
+    if isinstance(v, str) and v.startswith("$"):
+        if v[1:] not in params:
+            raise MatchError(f"missing parameter {v}")
+        return params[v[1:]]
+    if isinstance(v, _Now):
+        return v.resolve()
+    return v
+
+
+def execute_match(coll, stmt_or_text, params: dict | None = None,
+                  guardrails: Guardrails | None = None) -> list[dict]:
+    params = params or {}
+    g = guardrails or Guardrails()
+    stmt = (
+        parse_match(stmt_or_text)
+        if isinstance(stmt_or_text, str)
+        else stmt_or_text
+    )
+    graph = coll.ensure_graph()
+
+    # -- candidate sets per pattern node (None = unconstrained) -------------
+    node_cands: list[set[int] | None] = []
+    for np_ in stmt.nodes:
+        cands = _node_candidates(coll, graph, np_, stmt, params)
+        node_cands.append(cands)
+
+    # -- pick start: most selective bound node (planner heuristic) ----------
+    sized = [
+        (len(c), i) for i, c in enumerate(node_cands) if c is not None
+    ]
+    start_idx = min(sized)[1] if sized else 0
+    if node_cands[start_idx] is None:
+        node_cands[start_idx] = set(_all_node_ids(coll))
+
+    # -- expand bindings outward from the start node -------------------------
+    bindings = [
+        {_var(stmt, start_idx): int(n)} for n in sorted(node_cands[start_idx])
+    ]
+    # walk right then left from the start
+    for i in range(start_idx, len(stmt.edges)):
+        bindings = _expand(
+            coll, stmt, bindings, edge_idx=i, from_idx=i, to_idx=i + 1,
+            reverse=False, cands=node_cands[i + 1], guardrails=g,
+        )
+    for i in range(start_idx - 1, -1, -1):
+        bindings = _expand(
+            coll, stmt, bindings, edge_idx=i, from_idx=i + 1, to_idx=i,
+            reverse=True, cands=node_cands[i], guardrails=g,
+        )
+
+    # -- WHERE ----------------------------------------------------------------
+    if stmt.where:
+        bindings = _apply_where(coll, stmt, bindings, params)
+
+    # -- RETURN / ORDER BY / LIMIT ---------------------------------------------
+    rows = [_project(coll, stmt, b, params) for b in bindings]
+    rows = _order(rows, stmt)
+    if stmt.limit is not None:
+        rows = rows[: stmt.limit]
+    return rows
+
+
+def _var(stmt: MatchStatement, idx: int) -> str:
+    return stmt.nodes[idx].var or f"_n{idx}"
+
+
+def _all_node_ids(coll) -> list[int]:
+    slot_ids, valid = coll.vectors.occupancy()
+    return [int(v) for v in slot_ids[valid] if v >= 0]
+
+
+def _node_candidates(coll, graph, pat, stmt, params) -> set[int] | None:
+    """Candidate ids for one pattern node, or None if unconstrained."""
+    cands: set[int] | None = None
+    for label in pat.labels:
+        bucket = graph.label_nodes.get(label, set())
+        cands = set(bucket) if cands is None else cands & bucket
+    for field, value in pat.props.items():
+        value = _resolve(value, params)
+        hits = graph.property_index.lookup(field, value)
+        cands = hits if cands is None else cands & hits
+    return cands
+
+
+def _expand(coll, stmt, bindings, *, edge_idx, from_idx, to_idx, reverse,
+            cands, guardrails) -> list[dict]:
+    """Expand every binding across one edge pattern (vectorized per hop)."""
+    if not bindings:
+        return []
+    edge = stmt.edges[edge_idx]
+    graph = coll.ensure_graph()
+    direction = edge.direction
+    if reverse:  # walking the pattern right-to-left flips edge direction
+        direction = {"out": "in", "in": "out", "both": "both"}[direction]
+    from_var = _var(stmt, from_idx)
+    to_var = _var(stmt, to_idx)
+    edge_var = edge.var
+
+    label_ids = None
+    if edge.labels:
+        label_ids = {graph.edges.label_id(l) for l in edge.labels}
+        if None in label_ids:
+            return []
+
+    # collect (frontier per unique source) once, then join back to bindings
+    srcs = np.unique(np.asarray([b[from_var] for b in bindings], np.int64))
+    reach: dict[int, list[tuple[int, list[int]]]] = {int(s): [] for s in srcs}
+
+    views = (
+        [graph.edges.csr("out"), graph.edges.csr("in")]
+        if direction == "both"
+        else [graph.edges.csr(direction)]
+    )
+    # BFS by depth, tracking (origin, current, path)
+    frontier_src = srcs.copy()
+    frontier_cur = srcs.copy()
+    paths: list[list[int]] = [[] for _ in srcs]
+    for depth in range(1, edge.max_hops + 1):
+        if frontier_cur.size == 0:
+            break
+        nxt_src, nxt_cur, nxt_paths = [], [], []
+        for view in views:
+            s, d, lab, eids = view.neighbors_of(frontier_cur)
+            if label_ids is not None:
+                keep = np.isin(lab, list(label_ids))
+                s, d, eids = s[keep], d[keep], eids[keep]
+            # map each expansion row back to its frontier entry
+            pos_by_cur: dict[int, list[int]] = {}
+            for fi, c in enumerate(frontier_cur):
+                pos_by_cur.setdefault(int(c), []).append(fi)
+            for row in range(len(s)):
+                for fi in pos_by_cur.get(int(s[row]), ()):  # usually 1
+                    origin = int(frontier_src[fi])
+                    path = paths[fi] + [int(eids[row])]
+                    dst = int(d[row])
+                    if depth >= edge.min_hops:
+                        reach[origin].append((dst, path))
+                    nxt_src.append(origin)
+                    nxt_cur.append(dst)
+                    nxt_paths.append(path)
+                    if len(nxt_cur) > MAX_BINDINGS:
+                        raise MatchError("MATCH expansion exceeds guardrails")
+        if depth >= edge.max_hops:
+            break
+        frontier_src = np.asarray(nxt_src, np.int64)
+        frontier_cur = np.asarray(nxt_cur, np.int64)
+        paths = nxt_paths
+    if edge.min_hops == 0:
+        for s in srcs:
+            reach[int(s)].append((int(s), []))
+
+    out = []
+    for b in bindings:
+        for dst, path in reach.get(b[from_var], ()):  # join
+            if cands is not None and dst not in cands:
+                continue
+            if to_var in b and b[to_var] != dst:
+                continue
+            nb = dict(b)
+            nb[to_var] = dst
+            if edge_var:
+                nb[edge_var] = path
+            out.append(nb)
+            if len(out) > MAX_BINDINGS:
+                raise MatchError("MATCH bindings exceed guardrails")
+    return out
+
+
+def _apply_where(coll, stmt, bindings, params) -> list[dict]:
+    sim_cache: dict[tuple, dict[int, float]] = {}
+    out = []
+    for b in bindings:
+        ok = True
+        for cond in stmt.where:
+            if not _check_cond(coll, cond, b, params, sim_cache):
+                ok = False
+                break
+        if ok:
+            out.append(b)
+    return out
+
+
+def _props_of(coll, node: int) -> dict:
+    p = coll.payloads.retrieve(node) or {}
+    return p
+
+
+def _check_cond(coll, cond, binding, params, sim_cache) -> bool:
+    var = cond["var"]
+    if var not in binding:
+        raise MatchError(f"unbound variable {var!r} in WHERE")
+    node = binding[var]
+    kind = cond["kind"]
+    if kind == "sim":
+        score = _sim_score(coll, cond, node, params, sim_cache)
+        thr = float(_resolve(cond["value"], params))
+        return {
+            "gt": score > thr,
+            "gte": score >= thr,
+            "lt": score < thr,
+            "lte": score <= thr,
+        }[cond["op"]]
+    v = get_path(_props_of(coll, node), cond["field"])
+    if kind == "cmp":
+        t = _resolve(cond["value"], params)
+        if cond["op"] == "eq":
+            return v == t
+        if cond["op"] == "neq":
+            return v != t
+        if v is None:
+            return False
+        try:
+            return {
+                "gt": v > t,
+                "gte": v >= t,
+                "lt": v < t,
+                "lte": v <= t,
+            }[cond["op"]]
+        except TypeError:
+            return False
+    if kind == "in":
+        vals = [_resolve(x, params) for x in cond["values"]]
+        return v in vals
+    if kind == "like":
+        return isinstance(v, str) and bool(
+            like_to_regex(_resolve(cond["pattern"], params)).match(v)
+        )
+    if kind == "is_null":
+        return v is None
+    if kind == "is_not_null":
+        return v is not None
+    raise MatchError(f"unknown WHERE kind {kind}")
+
+
+def _sim_score(coll, cond, node, params, sim_cache) -> float:
+    from velesdb_tpu.ops import pairwise_scores
+
+    key = (cond["var"], id(cond))
+    cache = sim_cache.setdefault(key, {})
+    if node in cache:
+        return cache[node]
+    vec = np.asarray(_resolve(cond["vector"], params), np.float32)
+    nv = coll.vectors.retrieve(node)
+    if nv is None:
+        return float("-inf")
+    score = float(np.asarray(pairwise_scores(vec[None, :], nv[None, :], coll.metric))[0, 0])
+    cache[node] = score
+    return score
+
+
+def _project(coll, stmt, binding, params) -> dict:
+    graph = coll.ensure_graph()
+    row = {}
+    items = stmt.returns or []
+    for item in items:
+        expr = item.expr
+        if expr[0] == "var":
+            var = expr[1]
+            if var not in binding:
+                raise MatchError(f"unbound RETURN variable {var!r}")
+            val = binding[var]
+            if isinstance(val, list):  # edge variable: path of edges
+                row[item.alias or var] = [dict(graph.edges.edge(e)) for e in val]
+            else:
+                row[item.alias or var] = {
+                    "id": val,
+                    "properties": _props_of(coll, val),
+                }
+        elif expr[0] == "field":
+            var, path = expr[1], expr[2]
+            if var not in binding:
+                raise MatchError(f"unbound RETURN variable {var!r}")
+            row[item.alias or f"{var}.{path}"] = get_path(
+                _props_of(coll, binding[var]), path
+            )
+        elif expr[0] == "similarity":
+            cond = {"var": expr[1], "vector": expr[2]}
+            row[item.alias or "similarity"] = _sim_score(
+                coll, cond, binding[expr[1]], params, {}
+            )
+    return row
+
+
+def _order(rows, stmt) -> list[dict]:
+    for ob in reversed(stmt.order_by):
+        if isinstance(ob.expr, tuple):
+            key_name = f"{ob.expr[1]}.{ob.expr[2]}"
+        else:
+            key_name = ob.expr
+        non_null = [r for r in rows if r.get(key_name) is not None]
+        nulls = [r for r in rows if r.get(key_name) is None]
+        non_null.sort(key=lambda r: r[key_name], reverse=ob.desc)
+        rows = non_null + nulls
+    return rows
