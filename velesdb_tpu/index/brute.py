@@ -33,9 +33,12 @@ from velesdb_tpu.ops import (
     normalize,
     top_k,
 )
+from velesdb_tpu.ops.pallas_kernels import fused_topk, use_pallas
 from velesdb_tpu.ops.quantization import SQ8Vectors
 
 __all__ = ["BruteForceIndex", "pad_rows"]
+
+_PALLAS_OK = [True]  # sticky off-switch after a Mosaic failure
 
 
 def pad_rows(n: int, minimum: int = 1024) -> int:
@@ -124,11 +127,34 @@ class BruteForceIndex:
 
         One fused jit dispatch per call (scores + mask + top-k) — multiple
         dispatches pay a full host<->device round trip each, which dominates
-        latency on remote-attached TPUs.
+        latency on remote-attached TPUs. On real TPU hardware the
+        full-precision path uses the streaming Pallas kernel (running top-k
+        in VMEM, ``[B, N]`` scores never materialized); everything else (and
+        any Mosaic failure) falls back to the fused XLA program.
         """
         queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
         k_eff = min(k, self.n_pad)
         mode = self.storage_mode
+        if (
+            _PALLAS_OK[0]
+            and use_pallas()
+            and mode in (StorageMode.FULL, StorageMode.F16, StorageMode.BF16)
+            and self.metric
+            in (
+                DistanceMetric.COSINE,
+                DistanceMetric.DOT_PRODUCT,
+                DistanceMetric.EUCLIDEAN,
+            )
+        ):
+            try:
+                valid = self._valid
+                if mask is not None:
+                    valid = jnp.logical_and(valid, jnp.asarray(mask))
+                return fused_topk(
+                    queries, self._full, valid=valid, k=k_eff, metric=self.metric
+                )
+            except Exception:  # Mosaic lowering/runtime issue: fall back once
+                _PALLAS_OK[0] = False
         if mode in (StorageMode.FULL, StorageMode.F16, StorageMode.BF16):
             corpus_args = (self._full,)
         elif mode is StorageMode.SQ8:
