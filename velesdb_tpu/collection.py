@@ -551,6 +551,8 @@ class Collection:
 
     def close(self) -> None:
         with self._lock:
+            if self.graph is not None:
+                self.graph.save(self.path)
             self.vectors.close()
             self.payloads.close()
 

@@ -1,0 +1,426 @@
+"""REST server: ~20 routes mirroring the reference's axum surface.
+
+Counterpart of ``velesdb-server`` (``main.rs:77-131``, ``handlers/``):
+health, collections CRUD, points upsert/get/delete, search (vector / batch /
+text / hybrid), ``/query`` (VelesQL), ``/collections/{n}/match`` (graph),
+edges / traverse / degree, Prometheus ``/metrics``.
+
+Built on stdlib ``ThreadingHTTPServer`` (FastAPI/axum equivalents are not in
+the image — zero-dependency is also the reference's local-first ethos). JSON
+in/out; errors as ``{"error": msg}`` with proper status codes.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from velesdb_tpu.database import Database
+from velesdb_tpu.utils.config import VelesConfig
+from velesdb_tpu.utils.metrics import OperationalMetrics
+from velesdb_tpu.velesql import ParseError, QueryError
+
+__all__ = ["VelesServer", "make_server"]
+
+
+class HttpError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+        self.message = message
+
+
+class VelesServer:
+    """Routing + handlers bound to one Database (AppState analog)."""
+
+    def __init__(self, db: Database, config: VelesConfig | None = None):
+        self.db = db
+        self.config = config or VelesConfig()
+        self.metrics = OperationalMetrics()
+        self._routes: list[tuple[str, re.Pattern, object]] = []
+        r = self._route
+        r("GET", r"/health", self.health)
+        r("GET", r"/collections", self.list_collections)
+        r("POST", r"/collections", self.create_collection)
+        r("GET", r"/collections/(?P<name>[^/]+)", self.collection_info)
+        r("DELETE", r"/collections/(?P<name>[^/]+)", self.delete_collection)
+        r("PUT", r"/collections/(?P<name>[^/]+)/points", self.upsert_points)
+        r("GET", r"/collections/(?P<name>[^/]+)/points/(?P<id>-?\d+)", self.get_point)
+        r(
+            "DELETE",
+            r"/collections/(?P<name>[^/]+)/points/(?P<id>-?\d+)",
+            self.delete_point,
+        )
+        r("POST", r"/collections/(?P<name>[^/]+)/search", self.search)
+        r("POST", r"/collections/(?P<name>[^/]+)/search/batch", self.search_batch)
+        r("POST", r"/collections/(?P<name>[^/]+)/search/text", self.search_text)
+        r("POST", r"/collections/(?P<name>[^/]+)/search/hybrid", self.search_hybrid)
+        r("POST", r"/query", self.query)
+        r("POST", r"/collections/(?P<name>[^/]+)/query", self.collection_query)
+        r("POST", r"/collections/(?P<name>[^/]+)/match", self.match)
+        r("POST", r"/collections/(?P<name>[^/]+)/edges", self.add_edge)
+        r(
+            "GET",
+            r"/collections/(?P<name>[^/]+)/edges/(?P<node>-?\d+)",
+            self.get_edges,
+        )
+        r(
+            "DELETE",
+            r"/collections/(?P<name>[^/]+)/edges/(?P<eid>\d+)",
+            self.delete_edge,
+        )
+        r("POST", r"/collections/(?P<name>[^/]+)/traverse", self.traverse)
+        r(
+            "GET",
+            r"/collections/(?P<name>[^/]+)/degree/(?P<node>-?\d+)",
+            self.degree,
+        )
+        r("POST", r"/collections/(?P<name>[^/]+)/explain", self.explain)
+        r("GET", r"/metrics", self.prometheus)
+
+    def _route(self, method: str, pattern: str, handler) -> None:
+        self._routes.append((method, re.compile("^" + pattern + "$"), handler))
+
+    # -- dispatch -------------------------------------------------------------
+
+    def dispatch(self, method: str, path: str, query: dict, body):
+        matched_path = False
+        for m, pattern, handler in self._routes:
+            match = pattern.match(path)
+            if match:
+                matched_path = True
+                if m == method:
+                    self.metrics.inc("http_requests_total", route=pattern.pattern)
+                    with self.metrics.latency("http_request").timer():
+                        return handler(body=body, query=query, **match.groupdict())
+        if matched_path:
+            raise HttpError(405, f"method {method} not allowed on {path}")
+        raise HttpError(404, f"no route for {path}")
+
+    def _coll(self, name: str):
+        try:
+            return self.db.get_collection(name)
+        except KeyError:
+            raise HttpError(404, f"collection {name!r} not found")
+
+    # -- handlers ----------------------------------------------------------------
+
+    def health(self, **_):
+        return {
+            "status": "ok",
+            "collections": len(self.db.list_collections()),
+            "version": _version(),
+        }
+
+    def list_collections(self, **_):
+        out = []
+        for name in self.db.list_collections():
+            out.append(self.db.get_collection(name).info())
+        return {"collections": out}
+
+    def create_collection(self, body, **_):
+        b = _require(body, "name", "dim")
+        try:
+            col = self.db.create_collection(
+                b["name"],
+                int(b["dim"]),
+                metric=b.get("metric", "cosine"),
+                storage_mode=b.get("storage_mode", "full"),
+            )
+        except ValueError as e:
+            raise HttpError(409 if "exists" in str(e) else 400, str(e))
+        return {"created": col.info()}
+
+    def collection_info(self, name, **_):
+        return self._coll(name).info()
+
+    def delete_collection(self, name, **_):
+        if not self.db.delete_collection(name):
+            raise HttpError(404, f"collection {name!r} not found")
+        return {"deleted": name}
+
+    def upsert_points(self, name, body, **_):
+        col = self._coll(name)
+        points = _require(body, "points")["points"]
+        if not isinstance(points, list) or not points:
+            raise HttpError(400, "points must be a non-empty list")
+        ids, vecs, payloads = [], [], []
+        for p in points:
+            if "id" not in p or "vector" not in p:
+                raise HttpError(400, "each point needs id and vector")
+            ids.append(int(p["id"]))
+            vecs.append(p["vector"])
+            payloads.append(p.get("payload"))
+        try:
+            col.upsert_bulk(ids, np.asarray(vecs, np.float32), payloads)
+        except ValueError as e:
+            raise HttpError(400, str(e))
+        self.metrics.inc("points_upserted_total", value=len(ids))
+        return {"upserted": len(ids)}
+
+    def get_point(self, name, id, **_):
+        got = self._coll(name).get(int(id))
+        if got is None:
+            raise HttpError(404, f"point {id} not found")
+        vec, payload = got
+        return {"id": int(id), "vector": np.asarray(vec).tolist(), "payload": payload}
+
+    def delete_point(self, name, id, **_):
+        if not self._coll(name).delete(int(id)):
+            raise HttpError(404, f"point {id} not found")
+        return {"deleted": int(id)}
+
+    def search(self, name, body, **_):
+        col = self._coll(name)
+        b = _require(body, "vector")
+        k = int(b.get("k", b.get("limit", 10)))
+        try:
+            with self.metrics.latency("search").timer():
+                hits = col.search(
+                    np.asarray(b["vector"], np.float32),
+                    k,
+                    filter=b.get("filter"),
+                    ef=b.get("ef"),
+                    quality=b.get("quality"),
+                )
+        except ValueError as e:
+            raise HttpError(400, str(e))
+        return {"results": [dict(h) for h in hits]}
+
+    def search_batch(self, name, body, **_):
+        col = self._coll(name)
+        b = _require(body, "vectors")
+        k = int(b.get("k", 10))
+        try:
+            with self.metrics.latency("search_batch").timer():
+                res = col.search_batch(
+                    np.asarray(b["vectors"], np.float32),
+                    k,
+                    filter=b.get("filter"),
+                    ef=b.get("ef"),
+                    quality=b.get("quality"),
+                )
+        except ValueError as e:
+            raise HttpError(400, str(e))
+        return {"results": [[dict(h) for h in row] for row in res]}
+
+    def search_text(self, name, body, **_):
+        col = self._coll(name)
+        b = _require(body, "query")
+        hits = col.text_search(
+            str(b["query"]), int(b.get("k", 10)), filter=b.get("filter")
+        )
+        return {"results": [dict(h) for h in hits]}
+
+    def search_hybrid(self, name, body, **_):
+        col = self._coll(name)
+        b = _require(body, "vector", "query")
+        hits = col.hybrid_search(
+            np.asarray(b["vector"], np.float32),
+            str(b["query"]),
+            int(b.get("k", 10)),
+            vector_weight=float(b.get("vector_weight", 0.5)),
+            filter=b.get("filter"),
+        )
+        return {"results": [dict(h) for h in hits]}
+
+    def query(self, body, **_):
+        b = _require(body, "query")
+        try:
+            with self.metrics.latency("velesql").timer():
+                rows = self.db.query(str(b["query"]), b.get("params"))
+        except (ParseError, QueryError) as e:
+            raise HttpError(400, str(e))
+        return {"rows": rows}
+
+    def collection_query(self, name, body, **_):
+        self._coll(name)  # 404 check; VelesQL names the collection in FROM
+        return self.query(body)
+
+    def match(self, name, body, **_):
+        from velesdb_tpu.graph import MatchError
+
+        col = self._coll(name)
+        b = _require(body, "query")
+        try:
+            rows = col.execute_match(str(b["query"]), b.get("params"))
+        except (ParseError, MatchError) as e:
+            raise HttpError(400, str(e))
+        return {"rows": rows}
+
+    def add_edge(self, name, body, **_):
+        col = self._coll(name)
+        b = _require(body, "src", "dst", "label")
+        try:
+            eid = col.add_edge(
+                int(b["src"]), int(b["dst"]), str(b["label"]), b.get("properties")
+            )
+        except KeyError as e:
+            raise HttpError(404, str(e))
+        return {"edge_id": eid}
+
+    def get_edges(self, name, node, query, **_):
+        col = self._coll(name)
+        direction = query.get("direction", ["out"])[0]
+        label = query.get("label", [None])[0]
+        edges = col.get_edges(int(node), direction=direction, label=label)
+        return {"edges": [dict(e) for e in edges]}
+
+    def delete_edge(self, name, eid, **_):
+        col = self._coll(name)
+        if not col.ensure_graph().edges.remove_edge(int(eid)):
+            raise HttpError(404, f"edge {eid} not found")
+        return {"deleted": int(eid)}
+
+    def traverse(self, name, body, **_):
+        col = self._coll(name)
+        b = _require(body, "start")
+        results = col.traverse(
+            int(b["start"]),
+            max_depth=int(b.get("max_depth", 3)),
+            direction=b.get("direction", "out"),
+            label=b.get("label"),
+        )
+        return {
+            "nodes": [
+                {"id": n, "depth": d, "path_edges": p} for n, d, p in results
+            ]
+        }
+
+    def degree(self, name, node, query, **_):
+        col = self._coll(name)
+        direction = query.get("direction", ["out"])[0]
+        return {"node": int(node), "degree": col.degree(int(node), direction)}
+
+    def explain(self, name, body, **_):
+        self._coll(name)
+        b = _require(body, "query")
+        try:
+            plan = self.db.explain_query(str(b["query"]))
+        except ParseError as e:
+            raise HttpError(400, str(e))
+        return {"plan": plan.to_dict(), "rendered": plan.render()}
+
+    def prometheus(self, **_):
+        if not self.config.server.enable_metrics:
+            raise HttpError(404, "metrics disabled")
+        return self.metrics.prometheus_text()
+
+
+def _require(body, *keys):
+    if not isinstance(body, dict):
+        raise HttpError(400, "JSON object body required")
+    for k in keys:
+        if k not in body:
+            raise HttpError(400, f"missing field {k!r}")
+    return body
+
+
+def _version() -> str:
+    from velesdb_tpu import __version__
+
+    return __version__
+
+
+# -- stdlib HTTP plumbing -------------------------------------------------------
+
+
+def make_server(
+    db_path: str,
+    host: str | None = None,
+    port: int | None = None,
+    config: VelesConfig | None = None,
+) -> ThreadingHTTPServer:
+    """Build (not start) a ThreadingHTTPServer bound to a Database."""
+    config = config or VelesConfig()
+    app = VelesServer(Database.open(db_path), config)
+    host = host if host is not None else config.server.host
+    port = port if port is not None else config.server.port
+
+    class Handler(BaseHTTPRequestHandler):
+        server_version = "velesdb-tpu"
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *args):
+            pass  # quiet; operational metrics cover observability
+
+        def _respond(self, status: int, payload, content_type="application/json"):
+            data = (
+                payload.encode()
+                if isinstance(payload, str)
+                else json.dumps(payload, default=_json_default).encode()
+            )
+            self.send_response(status)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(data)))
+            if config.server.cors:
+                self.send_header("Access-Control-Allow-Origin", "*")
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _handle(self, method: str):
+            parsed = urlparse(self.path)
+            body = None
+            length = int(self.headers.get("Content-Length") or 0)
+            if length:
+                raw = self.rfile.read(length)
+                try:
+                    body = json.loads(raw)
+                except json.JSONDecodeError:
+                    self._respond(400, {"error": "invalid JSON body"})
+                    return
+            try:
+                result = app.dispatch(method, parsed.path, parse_qs(parsed.query), body)
+            except HttpError as e:
+                self._respond(e.status, {"error": e.message})
+                return
+            except Exception as e:  # internal error
+                self._respond(500, {"error": f"internal error: {e}"})
+                return
+            if isinstance(result, str):  # e.g. Prometheus text
+                self._respond(200, result, content_type="text/plain; version=0.0.4")
+            else:
+                self._respond(200, result)
+
+        def do_GET(self):
+            self._handle("GET")
+
+        def do_POST(self):
+            self._handle("POST")
+
+        def do_PUT(self):
+            self._handle("PUT")
+
+        def do_DELETE(self):
+            self._handle("DELETE")
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    httpd.app = app  # exposed for tests/CLI
+    return httpd
+
+
+def _json_default(o):
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(f"not JSON serializable: {type(o)}")
+
+
+def serve(db_path: str, host: str | None = None, port: int | None = None) -> None:
+    httpd = make_server(db_path, host, port)
+    host_, port_ = httpd.server_address[:2]
+    print(f"velesdb-tpu REST server on http://{host_}:{port_}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.app.db.close()
