@@ -6,6 +6,10 @@ recall@10=0.988 on 10K x 768D cosine, k=10 — `docs/BENCHMARKS.md:58`) but at
 meaningfully until HBM streaming dominates. `vs_baseline` divides our QPS by
 the reference's 9,200 QPS headline.
 
+Device->host transfers through the remote TPU tunnel carry multi-second
+latency, so everything (ground truth, recall accounting) stays on device;
+the whole run reads back a handful of scalars.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env knobs: BENCH_N, BENCH_D, BENCH_QUERIES, BENCH_BATCH.
 """
@@ -25,8 +29,7 @@ def make_clustered(rng, n, d, n_clusters=64):
     (`recall_validation.rs`, `benchmarks/benchmark_recall.py:27-50`)."""
     centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 2.0
     assign = rng.integers(0, n_clusters, n)
-    data = centers[assign] + rng.standard_normal((n, d)).astype(np.float32) * 0.7
-    return data
+    return centers[assign] + rng.standard_normal((n, d)).astype(np.float32) * 0.7
 
 
 def main():
@@ -36,7 +39,10 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 256))
     k = 10
 
+    import functools
+
     import jax
+    import jax.numpy as jnp
 
     from velesdb_tpu.index.graph_index import GraphIndex
     from velesdb_tpu.index.params import GraphParams
@@ -55,20 +61,23 @@ def main():
     build_s = time.perf_counter() - t0
     build_rate = n / build_s
 
-    _, gt = brute_force_topk(queries, corpus, k, metric)
+    # exact ground truth, kept on device
+    _, gt = brute_force_topk(queries, corpus, k, metric, return_device=True)
+
+    @jax.jit
+    def hits_in(ann_idx, gt_idx):
+        # for each ground-truth id: is it anywhere in the ANN list?
+        eq = (ann_idx[:, :, None] == gt_idx[:, None, :]) & (gt_idx[:, None, :] >= 0)
+        return jnp.sum(jnp.any(eq, axis=1))
 
     chosen = None
     for ef in (128, 192, 256, 384, 512, 768):
-        ids = np.concatenate(
-            [
-                np.asarray(index.search(queries[s : s + batch], k, ef=ef)[1])
-                for s in range(0, n_queries, batch)
-            ]
-        )
-        hits = np.array(
-            [len(set(ids[i][ids[i] >= 0]) & set(gt[i])) for i in range(n_queries)]
-        )
-        recall = float(hits.mean()) / k
+        hits = None
+        for s in range(0, n_queries, batch):
+            _, idx = index.search(queries[s : s + batch], k, ef=ef)
+            h = hits_in(idx, jax.lax.dynamic_slice_in_dim(gt, s, batch))
+            hits = h if hits is None else hits + h
+        recall = float(hits) / (n_queries * k)  # ONE scalar readback per ef
         if recall >= 0.95:
             chosen = (ef, recall)
             break
@@ -76,10 +85,9 @@ def main():
         chosen = (ef, recall)  # report best-effort; vs_baseline still honest
     ef, recall = chosen
 
-    # throughput: steady-state batched QPS on one chip
-    qb = queries[:batch]
+    # throughput: steady-state batched QPS on one chip (no readbacks timed)
     for _ in range(3):  # warmup/compile
-        jax.block_until_ready(index.search(qb, k, ef=ef)[0])
+        jax.block_until_ready(index.search(queries[:batch], k, ef=ef)[0])
     iters = 20
     t0 = time.perf_counter()
     for i in range(iters):

@@ -100,28 +100,33 @@ class GraphIndex:
         self._dirty = False
 
     def _alpha_prune_host(self, corpus: np.ndarray, fwd: np.ndarray) -> np.ndarray:
-        """VAMANA prune in blocks of nodes (keeps diverse neighbors)."""
+        """VAMANA prune in blocks of nodes (keeps diverse neighbors).
+
+        Per-block keep-masks accumulate on device; ONE host transfer at the
+        end (round-trip latency dominates on remote-attached TPUs).
+        """
         if self.params.alpha <= 1.0:
             return fwd
         n, k = fwd.shape
         block = 2048
-        out = np.empty_like(fwd)
         corpus_dev = jax.device_put(jnp.asarray(corpus))
+        keeps = []
         for s in range(0, n, block):
             e = min(s + block, n)
             pad = block - (e - s)
             blk = np.pad(fwd[s:e], ((0, pad), (0, 0)), constant_values=-1)
             base = np.pad(corpus[s:e], ((0, pad), (0, 0)))
-            keep = _alpha_prune_block(
-                jnp.asarray(base),
-                jnp.asarray(blk),
-                corpus_dev,
-                self.metric,
-                self.params.alpha,
+            keeps.append(
+                _alpha_prune_block(
+                    jnp.asarray(base),
+                    jnp.asarray(blk),
+                    corpus_dev,
+                    self.metric,
+                    self.params.alpha,
+                )[: e - s]
             )
-            kept = np.where(np.asarray(keep), blk, -1)
-            out[s:e] = kept[: e - s]
-        return out
+        keep = np.asarray(keeps[0] if len(keeps) == 1 else jnp.concatenate(keeps))
+        return np.where(keep, fwd, -1)
 
     def _upload(self, corpus, valid, adj) -> None:
         n = corpus.shape[0]

@@ -97,12 +97,18 @@ def brute_force_topk(
     q_block: int = 1024,
     c_chunk: int = 65536,
     exclude_self: bool = False,
+    return_device: bool = False,
 ):
     """Host-orchestrated exact top-k for arbitrary sizes (NumPy in/out).
 
     Pads the corpus to a chunk multiple, loops query blocks on the host, and
     runs :func:`chunked_topk` per block. The recall ground-truth oracle for the
     ANN suite (reference ``recall_validation.rs``) and the kNN-graph builder.
+
+    Per-block results stay on device and transfer back as ONE concatenated
+    array — device->host round trips carry a large fixed latency on
+    remote-attached TPUs, so the transfer count (not byte count) dominates.
+    ``return_device=True`` skips the host transfer entirely.
     """
     queries = np.atleast_2d(np.asarray(queries, np.float32))
     corpus_np = np.asarray(corpus, np.float32)
@@ -130,6 +136,10 @@ def brute_force_topk(
             chunk=c_chunk,
             exclude_self_base=start if exclude_self else None,
         )
-        out_v.append(np.asarray(vals)[: qb.shape[0]])
-        out_i.append(np.asarray(idx)[: qb.shape[0]])
-    return np.concatenate(out_v), np.concatenate(out_i)
+        out_v.append(vals[: qb.shape[0]])
+        out_i.append(idx[: qb.shape[0]])
+    vals = out_v[0] if len(out_v) == 1 else jnp.concatenate(out_v)
+    idx = out_i[0] if len(out_i) == 1 else jnp.concatenate(out_i)
+    if return_device:
+        return vals, idx
+    return np.asarray(vals), np.asarray(idx)
