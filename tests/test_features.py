@@ -1,0 +1,145 @@
+"""Rerank, multi-query fusion, caching, vacuum, auto-reindex, async ops.
+
+Counterpart of the reference's dual-precision / batch / cache / vacuum /
+auto-reindex test modules (SURVEY.md §2.2-2.3).
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from velesdb_tpu.cache import BloomFilter, LruCache
+from velesdb_tpu.database import Database
+from velesdb_tpu.ops import StorageMode
+
+
+@pytest.fixture
+def db(tmp_db_dir):
+    return Database.open(tmp_db_dir)
+
+
+def test_rerank_recovers_quantization_loss(db, rng):
+    # binary quantization is lossy; f32 rerank must fix the final order
+    c = db.create_collection("bq", dim=64, storage_mode=StorageMode.BINARY)
+    vecs = rng.standard_normal((200, 64)).astype(np.float32)
+    c.upsert_bulk(range(200), vecs)
+    q = vecs[17] + 0.01 * rng.standard_normal(64).astype(np.float32)
+    coarse = c.search(q, 5)
+    reranked = c.search_with_rerank(q, 5, oversample=8)
+    assert reranked[0].id == 17
+    # rerank scores are exact cosine (bounded by 1), coarse are Hamming-based
+    assert -1.001 <= reranked[0].score <= 1.001
+    ids = [r.id for r in reranked]
+    assert len(set(ids)) == len(ids)
+    assert coarse  # coarse path functional too
+
+
+def test_rerank_with_filter(db, rng):
+    c = db.create_collection("sq", dim=32, storage_mode=StorageMode.SQ8)
+    vecs = rng.standard_normal((100, 32)).astype(np.float32)
+    c.upsert_bulk(range(100), vecs, [{"even": i % 2 == 0} for i in range(100)])
+    q = vecs[42]
+    out = c.search_with_rerank(
+        q, 5, filter={"type": "eq", "field": "even", "value": True}
+    )
+    assert out[0].id == 42
+    assert all(r.payload["even"] for r in out)
+
+
+def test_multi_query_search_fusion(db, rng):
+    c = db.create_collection("mq", dim=16)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    c.upsert_bulk(range(50), vecs)
+    fused = c.multi_query_search([vecs[3], vecs[30]], k=6, strategy="rrf")
+    ids = {r.id for r in fused}
+    assert {3, 30} <= ids
+    weighted = c.multi_query_search(
+        [vecs[3], vecs[30]], k=1, strategy="weighted_average", weights=[1.0, 0.0]
+    )
+    assert weighted[0].id == 3
+
+
+def test_result_cache(db, rng):
+    c = db.create_collection("rc", dim=8)
+    vecs = rng.standard_normal((30, 8)).astype(np.float32)
+    c.upsert_bulk(range(30), vecs)
+    c.enable_result_cache()
+    q = vecs[5]
+    r1 = c.search(q, 3)
+    assert c.cache_stats()["misses"] == 1
+    r2 = c.search(q, 3)
+    assert c.cache_stats()["hits"] == 1 and r2 == r1
+    # different k = different key; mutation invalidates
+    c.search(q, 4)
+    assert c.cache_stats()["misses"] == 2
+    c.upsert(99, rng.standard_normal(8))
+    c.search(q, 3)
+    assert c.cache_stats()["size"] >= 1 and c.cache_stats()["misses"] == 3
+
+
+def test_vacuum_compacts_and_preserves_search(db, rng):
+    c = db.create_collection("vac", dim=8)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    c.upsert_bulk(range(40), vecs, [{"i": i} for i in range(40)])
+    for i in range(0, 40, 2):
+        c.delete(i)
+    assert c.vectors.fragmentation_ratio > 0.4
+    report = c.vacuum()
+    assert report["reclaimed_slots"] == 20
+    assert c.vectors.used_slots == 20 and c.count() == 20
+    hit = c.search(vecs[7], 1)[0]
+    assert hit.id == 7 and hit.payload == {"i": 7}
+    out = c.text_search("anything", 3)  # text index rebuilt against new slots
+    assert isinstance(out, list)
+    mask = c._filter_mask({"type": "gt", "field": "i", "value": 30})
+    assert mask is not None
+
+
+def test_auto_reindex_event_on_growth(db, rng):
+    c = db.create_collection("ar", dim=8)
+    c.ann_min_rows = 64
+    vecs = rng.standard_normal((80, 8)).astype(np.float32)
+    c.upsert_bulk(range(80), vecs)
+    c.search(vecs[0], 1)
+    assert len(c.reindex_events) == 1
+    # growth past the next auto-params tier forces a rebuild with wider degree
+    more = rng.standard_normal((120_000, 8)).astype(np.float32)
+    # (simulate: just check param policy, not a 120K build — params only)
+    from velesdb_tpu.index.params import GraphParams
+
+    assert GraphParams.auto(8, 120_000).degree > GraphParams.auto(8, 80).degree
+
+
+def test_lru_cache_and_bloom():
+    lru = LruCache(2)
+    lru.put("a", 1)
+    lru.put("b", 2)
+    assert lru.get("a") == 1
+    lru.put("c", 3)  # evicts b (a was refreshed)
+    assert lru.get("b") is None and lru.get("c") == 3
+    bf = BloomFilter(capacity=1000, fp_rate=0.01)
+    for i in range(500):
+        bf.add(f"item-{i}")
+    assert all(f"item-{i}" in bf for i in range(500))
+    fps = sum(1 for i in range(10_000) if f"other-{i}" in bf)
+    assert fps < 300  # ~1% fp target with margin
+
+
+def test_async_ops(db, rng):
+    from velesdb_tpu.aio import AsyncCollection, AsyncDatabase
+
+    c = db.create_collection("aio", dim=8)
+    vecs = rng.standard_normal((10, 8)).astype(np.float32)
+
+    async def drive():
+        ac = AsyncCollection(c)
+        await ac.upsert_bulk(range(10), vecs, [{"i": i} for i in range(10)])
+        hits = await ac.search(vecs[4], 2)
+        assert hits[0].id == 4
+        adb = AsyncDatabase(db)
+        rows = await adb.query("SELECT i FROM aio WHERE i = 7")
+        assert rows == [{"i": 7}]
+        await ac.flush()
+
+    asyncio.run(drive())

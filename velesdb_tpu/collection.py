@@ -104,6 +104,8 @@ class Collection:
         self._text_built = False
         # knowledge graph state builds lazily at first graph op
         self.graph = None  # CollectionGraph
+        self.reindex_events: list[dict] = []  # auto-reindex audit trail
+        self._result_cache = None  # SearchResultCache when enabled
 
     # -- config ------------------------------------------------------------
 
@@ -230,6 +232,8 @@ class Collection:
             self.text_index.invalidate(ids)
         if self.ann is not None:
             self.ann.invalidate(ids)
+        if self._result_cache is not None:
+            self._result_cache.invalidate()
 
     # -- device state ------------------------------------------------------
 
@@ -250,7 +254,14 @@ class Collection:
             self._device_dirty = False
 
     def _ensure_ann(self) -> bool:
-        """Build (or restore) the graph index if this collection should use it."""
+        """Build (or restore) the graph index if this collection should use it.
+
+        Auto-reindex (``collection/auto_reindex/mod.rs`` analog): when the
+        dataset outgrows the parameters the index was built with, the restore
+        path rejects the stale index and a rebuild with
+        ``GraphParams.auto(dim, n)`` runs; each rebuild appends an event to
+        :attr:`reindex_events`.
+        """
         if self.ann is None or self.count() < self.ann_min_rows:
             return False
         if self.ann.dirty:
@@ -259,10 +270,25 @@ class Collection:
             _, valid = self.vectors.occupancy()
             ann_path = os.path.join(self.path, "ann.npz")
             version = self.vectors.version
-            if not self.ann.load(ann_path, slots, valid, version=version):
-                self.ann.params = GraphParams.auto(self.dim, used)
+            want = GraphParams.auto(self.dim, used)
+            if (
+                not self.ann.load(ann_path, slots, valid, version=version)
+                or self.ann.params.degree < want.degree
+            ):
+                import time as _time
+
+                old = self.ann.params
+                self.ann.params = want
                 self.ann.build(slots, valid)
                 self.ann.save(ann_path, version=version)
+                self.reindex_events.append(
+                    {
+                        "at": _time.time(),
+                        "rows": used,
+                        "from_degree": old.degree,
+                        "to_degree": want.degree,
+                    }
+                )
         return True
 
     # -- search (parity with collection/search/vector.rs) ------------------
@@ -276,6 +302,16 @@ class Collection:
         quality: SearchQuality | str | None = None,
     ):
         """Single-query search; returns hydrated results best-first."""
+        if self._result_cache is not None:
+            key = self._result_cache.key(
+                np.asarray(query, np.float32), k, filter, ef, quality
+            )
+            hit = self._result_cache.get(key)
+            if hit is not None:
+                return hit
+            res = self.search_batch([query], k, filter=filter, ef=ef, quality=quality)[0]
+            self._result_cache.put(key, res)
+            return res
         return self.search_batch([query], k, filter=filter, ef=ef, quality=quality)[0]
 
     def search_batch(
@@ -315,6 +351,117 @@ class Collection:
         else:
             vals, idx = self._brute.search(q, k, mask=mask)
         return self._hydrate(np.asarray(vals), np.asarray(idx), k)
+
+    def search_with_rerank(
+        self,
+        query,
+        k: int = 10,
+        oversample: float = 4.0,
+        filter: dict | None = None,
+        ef: int | None = None,
+    ):
+        """Quantized first pass + exact f32 rerank (dual-precision search,
+        ``native/dual_precision.rs`` / ``search_with_rerank``
+        ``index/search.rs:118``): fetch ``oversample*k`` candidates with the
+        collection's storage mode (SQ8/binary/…), rescore them in f32, keep
+        the exact top-k. Highest win on quantized collections."""
+        return self.search_batch_with_rerank(
+            [query], k, oversample=oversample, filter=filter, ef=ef
+        )[0]
+
+    def search_batch_with_rerank(
+        self,
+        queries,
+        k: int = 10,
+        oversample: float = 4.0,
+        filter: dict | None = None,
+        ef: int | None = None,
+    ):
+        from velesdb_tpu.ops import pairwise_scores, top_k
+
+        self.refresh_device()
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        m = max(k, int(round(oversample * k)))
+        coarse = self.search_batch(q, m, filter=filter, ef=ef)
+        out = []
+        for b, row in enumerate(coarse):
+            if not row:
+                out.append([])
+                continue
+            ids = [r.id for r in row]
+            vecs = np.stack(
+                [self.vectors.retrieve(vid) for vid in ids]
+            )  # [m, D] f32 exact
+            scores = np.asarray(
+                pairwise_scores(q[b : b + 1], vecs, self.metric)
+            )[0]
+            order = np.argsort(-scores if self.metric.higher_is_better else scores)
+            out.append(
+                [
+                    SearchResult(
+                        id=ids[j],
+                        score=float(scores[j]),
+                        payload=row[j]["payload"],
+                    )
+                    for j in order[:k]
+                ]
+            )
+        return out
+
+    def multi_query_search(
+        self,
+        queries,
+        k: int = 10,
+        strategy="rrf",
+        weights=None,
+        filter: dict | None = None,
+        ef: int | None = None,
+    ):
+        """Fuse several query vectors into ONE result list
+        (``multi_query_search`` with FusionStrategy, ``search/batch.rs:231``)."""
+        from velesdb_tpu.fusion import FusionStrategy
+
+        strategy = FusionStrategy.parse(strategy)
+        per_query = self.search_batch(queries, max(2 * k, k), filter=filter, ef=ef)
+        fused = strategy.fuse(
+            [[(r.id, r.score) for r in row] for row in per_query],
+            k,
+            weights=weights,
+        )
+        return [
+            SearchResult(id=vid, score=score, payload=self.payloads.retrieve(vid))
+            for vid, score in fused
+        ]
+
+    # -- result cache (cache/ analog) ----------------------------------------
+
+    def enable_result_cache(self, capacity: int = 512) -> None:
+        from velesdb_tpu.cache import SearchResultCache
+
+        self._result_cache = SearchResultCache(capacity)
+
+    def cache_stats(self) -> dict | None:
+        return self._result_cache.stats() if self._result_cache else None
+
+    # -- maintenance -----------------------------------------------------------
+
+    def vacuum(self) -> dict:
+        """Compact tombstoned slots and rebuild slot-keyed indexes
+        (``index/vacuum.rs`` + ``compaction.rs`` analog)."""
+        with self._lock:
+            reclaimed = self.vectors.vacuum()
+            if reclaimed:
+                # slot numbers changed: all slot-keyed state must rebuild
+                self.columns = ColumnStore()
+                self._columns_built = False
+                self.text_index = None
+                self.trigram_index = None
+                self._text_built = False
+                self._on_mutation([])
+            return {
+                "reclaimed_slots": reclaimed,
+                "fragmentation": self.vectors.fragmentation_ratio,
+            }
 
     def _ensure_columns(self) -> None:
         """Lazily populate the column store from the payload log (cold open)."""

@@ -236,6 +236,34 @@ class VectorStore:
             ids[slot] = vid
         return ids, ids >= 0
 
+    def vacuum(self) -> int:
+        """Compact the slot space: live rows migrate below the new high-water
+        mark, free slots vanish (``compaction.rs:50,251`` / ``vacuum.rs``
+        analog). Returns slots reclaimed. Slot numbers CHANGE — slot-keyed
+        indexes must rebuild afterwards.
+        """
+        live = sorted(self.id_to_slot.items(), key=lambda kv: kv[1])
+        reclaimed = self._next_slot - len(live)
+        if reclaimed <= 0:
+            self._free_slots = []
+            return 0
+        for new_slot, (vid, old_slot) in enumerate(live):
+            if old_slot != new_slot:
+                self._mmap[new_slot] = self._mmap[old_slot]
+                self.id_to_slot[vid] = new_slot
+        self._next_slot = len(live)
+        self._free_slots = []
+        self.version += 1
+        self.flush()
+        return reclaimed
+
+    @property
+    def fragmentation_ratio(self) -> float:
+        """Free-slot fraction below the high-water mark (``compaction.rs:341``)."""
+        if self._next_slot == 0:
+            return 0.0
+        return len(self._free_slots) / self._next_slot
+
     # -- durability --------------------------------------------------------
 
     def flush(self) -> None:
