@@ -39,7 +39,7 @@ from velesdb_tpu.index.params import GraphParams, SearchQuality
 from velesdb_tpu.ops.chunked import brute_force_topk
 from velesdb_tpu.ops.distance import DistanceMetric
 
-__all__ = ["GraphIndex"]
+__all__ = ["GraphIndex", "beam_search_impl"]
 
 _INF = jnp.float32(jnp.inf)
 
@@ -336,11 +336,7 @@ def _assemble_adjacency(fwd: np.ndarray, n: int, degree: int) -> np.ndarray:
     return s
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "beam", "expansions", "degree", "entry_points", "metric"),
-)
-def _beam_search(
+def beam_search_impl(
     queries,  # [B, D] f32
     corpus,  # [N_pad, D] f32
     adj,  # [N_pad, degree] int32
@@ -476,3 +472,9 @@ def _beam_search(
     if metric.higher_is_better:
         out_v = jnp.where(jnp.isinf(out_d) & (out_d > 0), -jnp.inf, out_v)
     return out_v, jnp.where(jnp.isinf(out_d), -1, out_ids)
+
+
+_beam_search = functools.partial(
+    jax.jit,
+    static_argnames=("k", "beam", "expansions", "degree", "entry_points", "metric"),
+)(beam_search_impl)

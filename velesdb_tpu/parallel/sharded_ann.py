@@ -1,0 +1,210 @@
+"""Sharded ANN: per-shard beam-search graphs merged over ICI.
+
+The north star's scale-out design (BASELINE.json: "indexes beyond one chip
+shard across ICI with per-shard top-k merged by allgather"): corpus rows
+partition across the mesh's ``rows`` axis, each shard owns an independent
+beam-search graph over its rows (graphs never cross shards, so there is no
+cross-device pointer chasing), and a query batch runs ONE ``shard_map``
+program — local beam search per shard, tiny ``[B, k]`` partials
+``all_gather``-ed over ICI, merged top-k on every device.
+
+Recall composition: per-shard graphs search their ef over *fewer* rows, so
+recall@k at equal ef is >= the single-shard index (each shard's top-k is
+exact over its candidates; union of per-shard top-k contains the global ANN
+top-k whenever each true neighbor is found by its home shard).
+
+Build is embarrassingly parallel across shards (independent kNN graphs =
+1/S^2 of the single-device kNN FLOPs each, S x fewer total).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from velesdb_tpu.index.graph_index import GraphIndex, beam_search_impl
+from velesdb_tpu.index.params import GraphParams, SearchQuality
+from velesdb_tpu.ops.distance import DistanceMetric
+
+__all__ = ["ShardedGraphIndex"]
+
+
+class ShardedGraphIndex:
+    """Row-sharded beam-search ANN over a device mesh."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        dim: int,
+        metric: DistanceMetric,
+        params: GraphParams | None = None,
+    ):
+        self.mesh = mesh
+        self.n_shards = mesh.shape["rows"]
+        self.dim = dim
+        self.metric = DistanceMetric.parse(metric)
+        self.params = params
+        self.n = 0
+        self.n_local = 0
+        self._corpus = None  # [S*n_local, D] sharded over rows
+        self._adj = None  # [S*n_local, degree] sharded, LOCAL indices
+        self._sqnorm = None  # [S*n_local]
+        self._valid = None  # [S*n_local]
+        self._seeds = None  # [S*E] sharded, local indices
+        self._row_of = None  # host: global row -> original corpus row
+
+    # -- build ---------------------------------------------------------------
+
+    def build(self, corpus: np.ndarray, valid: np.ndarray | None = None) -> None:
+        """Partition rows round-robin across shards and build one graph per
+        shard (balanced shards keep per-device work uniform)."""
+        corpus = np.asarray(corpus, np.float32)
+        n = corpus.shape[0]
+        if valid is None:
+            valid = np.ones(n, bool)
+        self.n = n
+        s = self.n_shards
+        self.params = self.params or GraphParams.auto(self.dim, max(n // s, 1))
+        n_local = -(-n // s)
+
+        corpus_blocks, adj_blocks, valid_blocks, seed_blocks = [], [], [], []
+        row_of = np.full(s * n_local, -1, np.int64)
+        seeds_per_shard = None
+        for shard in range(s):
+            rows = np.arange(shard, n, s)  # round-robin partition
+            sub = GraphIndex(self.dim, self.metric, params=self.params)
+            sub.build(corpus[rows], valid[rows])
+            pad = n_local - len(rows)
+            row_of[shard * n_local : shard * n_local + len(rows)] = rows
+            corpus_blocks.append(
+                np.pad(corpus[rows], ((0, pad), (0, 0)))
+            )
+            adj = np.asarray(sub._adj)[: len(rows)] if sub._adj is not None else (
+                np.full((len(rows), self.params.degree), -1, np.int32)
+            )
+            adj_blocks.append(np.pad(adj, ((0, pad), (0, 0)), constant_values=-1))
+            valid_blocks.append(np.pad(valid[rows], (0, pad)))
+            seeds = (
+                np.asarray(sub._seed_ids)
+                if sub._seed_ids is not None
+                else np.zeros(1, np.int32)
+            )
+            seed_blocks.append(seeds)
+            if seeds_per_shard is None or len(seeds) < seeds_per_shard:
+                seeds_per_shard = len(seeds)
+        seed_blocks = [b[:seeds_per_shard] for b in seed_blocks]
+
+        self.n_local = n_local
+        self._row_of = row_of
+        shard_spec = NamedSharding(self.mesh, P("rows", None))
+        vec_spec = NamedSharding(self.mesh, P("rows"))
+        self._corpus = jax.device_put(np.concatenate(corpus_blocks), shard_spec)
+        self._adj = jax.device_put(np.concatenate(adj_blocks), shard_spec)
+        self._valid = jax.device_put(np.concatenate(valid_blocks), vec_spec)
+        self._sqnorm = jax.device_put(
+            np.concatenate([np.sum(b.astype(np.float64) ** 2, axis=1).astype(np.float32) for b in corpus_blocks]),
+            vec_spec,
+        )
+        self._seeds = jax.device_put(np.concatenate(seed_blocks), vec_spec)
+
+    # -- search ---------------------------------------------------------------
+
+    def search(
+        self,
+        queries,
+        k: int,
+        ef: int | None = None,
+        quality: SearchQuality | None = None,
+    ):
+        """Returns ``(values [B, k], corpus_row_indices [B, k])`` best-first."""
+        if quality is not None:
+            ef = SearchQuality.parse(quality).ef
+        ef = ef or 128
+        beam, expansions = self.params.beam_for_ef(ef, k)
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        b = q.shape[0]
+        dp = self.mesh.shape["dp"]
+        b_pad = -(-max(b, 8) // dp) * dp
+        qd = jax.device_put(
+            np.pad(q, ((0, b_pad - b), (0, 0))),
+            NamedSharding(self.mesh, P("dp", None)),
+        )
+        vals, gidx = _sharded_beam(
+            qd,
+            self._corpus,
+            self._adj,
+            self._sqnorm,
+            self._valid,
+            self._seeds,
+            mesh=self.mesh,
+            k=min(k, beam),
+            beam=beam,
+            expansions=expansions,
+            degree=self._adj.shape[1],
+            entry_points=min(self.params.entry_points, beam),
+            metric=self.metric,
+            n_local=self.n_local,
+        )
+        vals, gidx = np.asarray(vals[:b]), np.asarray(gidx[:b])
+        # map padded global rows back to original corpus rows
+        rows = np.where(gidx >= 0, self._row_of[np.maximum(gidx, 0)], -1)
+        return vals, rows
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "k",
+        "beam",
+        "expansions",
+        "degree",
+        "entry_points",
+        "metric",
+        "n_local",
+    ),
+)
+def _sharded_beam(
+    queries, corpus, adj, sqnorm, valid, seeds, *,
+    mesh, k, beam, expansions, degree, entry_points, metric, n_local,
+):
+    def kernel(q, c, a, sn, v, sd):
+        lv, li = beam_search_impl(
+            q, c, a, sn, v, sd, None,
+            k=k, beam=beam, expansions=expansions, degree=degree,
+            entry_points=entry_points, metric=metric,
+        )
+        shard = jax.lax.axis_index("rows")
+        gi = jnp.where(li >= 0, li + shard * n_local, -1)
+        av = jax.lax.all_gather(lv, "rows")  # [S, B, k]
+        ai = jax.lax.all_gather(gi, "rows")
+        bsz = q.shape[0]
+        av = jnp.moveaxis(av, 0, 1).reshape(bsz, -1)
+        ai = jnp.moveaxis(ai, 0, 1).reshape(bsz, -1)
+        # merge best-first in the metric's native orientation
+        key = av if metric.higher_is_better else -av
+        key = jnp.where(ai >= 0, key, -jnp.inf)
+        mv, pos = jax.lax.top_k(key, k)
+        out_v = jnp.take_along_axis(av, pos, axis=-1)
+        out_i = jnp.take_along_axis(ai, pos, axis=-1)
+        out_i = jnp.where(jnp.isinf(mv), -1, out_i)
+        return out_v, out_i
+
+    return jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(
+            P("dp", None),
+            P("rows", None),
+            P("rows", None),
+            P("rows"),
+            P("rows"),
+            P("rows"),
+        ),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )(queries, corpus, adj, sqnorm, valid, seeds)
