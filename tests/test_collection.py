@@ -150,6 +150,7 @@ def test_ann_path_activates_and_matches_exact(tmp_db_dir, rng):
     """Above ANN_MIN_ROWS the graph index serves searches with high recall."""
     db = make_db(tmp_db_dir)
     col = db.create_collection("ann", 32, metric="l2")
+    col.ann_min_rows = 4096  # force the ANN path at test scale
     n = 6000
     vecs = rng.standard_normal((n, 32)).astype(np.float32)
     col.upsert_bulk(range(n), vecs)
@@ -165,6 +166,7 @@ def test_ann_path_activates_and_matches_exact(tmp_db_dir, rng):
     db.close()
     db2 = Database.open(tmp_db_dir)
     col2 = db2.get_collection("ann")
+    col2.ann_min_rows = 4096
     col2.search(vecs[0], k=1)
     assert not col2.ann.dirty
     db2.close()

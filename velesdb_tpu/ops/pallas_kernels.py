@@ -63,6 +63,7 @@ def _merge_topk(run_v, run_i, cand_v, cand_i, k_pad: int):
     merged_i = jnp.concatenate([run_i, cand_i], axis=1)
     width = merged_v.shape[1]
     cols = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
 
     def body(j, state):
         mv, mi, ov, oi = state
@@ -72,8 +73,11 @@ def _merge_topk(run_v, run_i, cand_v, cand_i, k_pad: int):
         first_col = jnp.min(jnp.where(is_best, cols, width), axis=1, keepdims=True)
         onehot = cols == first_col
         best_i = jnp.sum(jnp.where(onehot, mi, 0), axis=1, keepdims=True)
-        ov = jax.lax.dynamic_update_slice(ov, best_v, (0, j))
-        oi = jax.lax.dynamic_update_slice(oi, best_i, (0, j))
+        # column write via iota mask (dynamic_update_slice has no Mosaic
+        # lowering on the TC kernel type)
+        at_j = out_cols == j
+        ov = jnp.where(at_j, best_v, ov)
+        oi = jnp.where(at_j, best_i, oi)
         mv = jnp.where(onehot, _NEG_INF, mv)
         return mv, mi, ov, oi
 
@@ -214,9 +218,15 @@ def fused_topk(
     b, d = q.shape
     n = c.shape[0]
 
-    chunk = min(chunk, _round_up(n, 128))
     b_pad = _round_up(b, 8)
     d_pad = _round_up(d, 128)
+    k_pad = _round_up(max(k, 8), 128)
+    # fit the VMEM budget (~16MB/core): double-buffered corpus chunk +
+    # resident queries + score/merge temporaries
+    budget = 10 * 1024 * 1024 - b_pad * d_pad * 4 - 3 * b_pad * k_pad * 8
+    denom = 2 * d_pad * c.dtype.itemsize + 12 * b_pad
+    fit = max(256, (budget // denom) // 256 * 256)
+    chunk = int(min(chunk, fit, _round_up(n, 256)))
     n_pad = _round_up(n, chunk)
 
     if metric is DistanceMetric.COSINE:
