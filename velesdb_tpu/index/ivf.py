@@ -1,0 +1,283 @@
+"""IVF partitioned ANN index: k-means routing + partition-block scoring.
+
+The second ANN engine next to the beam-search graph (``graph_index.py``), and
+the one that actually fits TPU economics: on MXU hardware, *exact* streaming
+search wins throughput whenever the batch is large (every HBM read is shared
+by the whole batch), while graph traversal is expansion-latency-bound. What a
+TPU index must optimize is the **small-batch / large-N** regime — read less
+than the whole corpus per query. IVF does exactly that:
+
+- **build**: Lloyd k-means on device (batched assign = one matmul per chunk);
+  rows reorder into uniform padded partitions ``[C, L, D]`` so every gather
+  is a fixed-shape contiguous block (no pointer chasing, no host round trip).
+- **search**: one ``[B, C]`` matmul routes each query to its top-``nprobe``
+  partitions; a ``lax.scan`` over probes gathers ``[B, L, D]`` blocks,
+  scores them on the MXU, and merges a running top-k. HBM read per query =
+  ``nprobe * L`` rows instead of ``N``.
+
+Reference counterpart: the HNSW role of ``index/hnsw/`` (SURVEY.md §2.2) —
+this is the same contract (approximate top-k with a recall/probe knob), but
+the data structure is chosen for the MXU + HBM cost model instead of a CPU
+cache hierarchy. The recall knob ``nprobe`` maps from ef via
+``SearchQuality`` exactly like the reference's quality profiles.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from velesdb_tpu.index.params import SearchQuality
+from velesdb_tpu.ops.distance import DistanceMetric
+from velesdb_tpu.ops.topk import top_k
+
+__all__ = ["IvfIndex", "kmeans"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _kmeans_device(x, init, *, k, iters):
+    """Lloyd iterations, spherical-ish (works for cosine/L2 routing)."""
+
+    def step(cents, _):
+        # assign: argmax of dot with normalized centroids minus half |c|^2
+        # (equivalent to nearest-L2 assignment via one matmul)
+        cc = jnp.sum(cents * cents, axis=1)
+        d = x @ cents.T - 0.5 * cc[None, :]
+        assign = jnp.argmax(d, axis=1)
+        onehot = jax.nn.one_hot(assign, k, dtype=x.dtype)
+        counts = jnp.sum(onehot, axis=0)
+        sums = onehot.T @ x
+        new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), cents)
+        return new, None
+
+    cents, _ = jax.lax.scan(step, init, None, length=iters)
+    cc = jnp.sum(cents * cents, axis=1)
+    assign = jnp.argmax(x @ cents.T - 0.5 * cc[None, :], axis=1)
+    return cents, assign
+
+
+def kmeans(x: np.ndarray, k: int, iters: int = 8, seed: int = 0):
+    """Device k-means; returns ``(centroids [k, D], assign [N])``."""
+    x = np.asarray(x, np.float32)
+    rng = np.random.default_rng(seed)
+    init = x[rng.choice(x.shape[0], size=k, replace=x.shape[0] < k)]
+    cents, assign = _kmeans_device(jnp.asarray(x), jnp.asarray(init), k=k, iters=iters)
+    return cents, assign
+
+
+class IvfIndex:
+    """Inverted-file ANN over uniform padded partitions."""
+
+    def __init__(
+        self,
+        dim: int,
+        metric: DistanceMetric,
+        n_clusters: int | None = None,
+        kmeans_iters: int = 8,
+    ):
+        self.dim = dim
+        self.metric = DistanceMetric.parse(metric)
+        if self.metric not in (
+            DistanceMetric.COSINE,
+            DistanceMetric.EUCLIDEAN,
+            DistanceMetric.DOT_PRODUCT,
+        ):
+            raise ValueError(f"IVF does not support metric {self.metric}")
+        self.n_clusters = n_clusters
+        self.kmeans_iters = kmeans_iters
+        self.n = 0
+        self.c = 0
+        self.part_len = 0
+        self._centroids = None  # [C, D]
+        self._cent_sq = None  # [C]
+        self._parts = None  # [C, L, D]
+        self._part_rows = None  # [C, L] int32 original row ids, -1 pad
+        self._part_sq = None  # [C, L] squared norms
+        self._dirty = True
+
+    # -- build ----------------------------------------------------------------
+
+    def build(self, corpus: np.ndarray, valid: np.ndarray | None = None) -> None:
+        corpus = np.asarray(corpus, np.float32)
+        n = corpus.shape[0]
+        if valid is None:
+            valid = np.ones(n, bool)
+        rows = np.flatnonzero(valid)
+        self.n = n
+        if len(rows) == 0:
+            self._dirty = False
+            return
+        c = self.n_clusters or max(1, min(len(rows) // 256, 4096))
+        c = min(c, len(rows))
+        self.c = c
+        live = corpus[rows]
+        if self.metric is DistanceMetric.COSINE:
+            norm = np.linalg.norm(live, axis=1, keepdims=True)
+            km_input = live / np.maximum(norm, 1e-30)
+        else:
+            km_input = live
+        cents, assign = kmeans(km_input, c, iters=self.kmeans_iters)
+        assign = np.asarray(assign)
+
+        # group rows by cluster into uniform padded partitions
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        counts = np.bincount(sorted_assign, minlength=c)
+        L = _round_up(max(int(counts.max()), 8), 8)
+        self.part_len = L
+        parts = np.zeros((c, L, self.dim), np.float32)
+        part_rows = np.full((c, L), -1, np.int32)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        for ci in range(c):
+            seg = order[starts[ci] : starts[ci] + counts[ci]]
+            parts[ci, : len(seg)] = live[seg]
+            part_rows[ci, : len(seg)] = rows[seg]
+        self._centroids = jax.device_put(jnp.asarray(np.asarray(cents)))
+        self._cent_sq = jax.device_put(jnp.sum(jnp.asarray(np.asarray(cents)) ** 2, axis=1))
+        self._parts = jax.device_put(jnp.asarray(parts))
+        self._part_rows = jax.device_put(jnp.asarray(part_rows))
+        self._part_sq = jax.device_put(jnp.sum(jnp.asarray(parts) ** 2, axis=2))
+        self._dirty = False
+
+    def invalidate(self, _ids=None) -> None:
+        self._dirty = True
+
+    @property
+    def dirty(self) -> bool:
+        return self._dirty
+
+    def nprobe_for(self, ef: int | None, quality=None) -> int:
+        """Quality knob: ef budget -> partitions probed (like ef->beam)."""
+        if quality is not None:
+            ef = SearchQuality.parse(quality).ef
+        ef = ef or 128
+        # ef ~ candidate budget; candidates per probe = part_len
+        want = max(1, -(-ef * 8 // max(self.part_len, 1)))
+        return int(min(max(want, 2), self.c))
+
+    # -- search ----------------------------------------------------------------
+
+    def search(self, queries, k: int, ef: int | None = None, quality=None,
+               nprobe: int | None = None, mask=None):
+        """Returns ``(values [B, k], row_indices [B, k])`` best-first."""
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        b = q.shape[0]
+        nprobe = nprobe or self.nprobe_for(ef, quality)
+        b_pad = _round_up(b, 8)
+        qd = jnp.asarray(np.pad(q, ((0, b_pad - b), (0, 0))))
+        mask_dev = None
+        if mask is not None:
+            m = np.asarray(mask, bool)
+            m = np.pad(m, (0, max(0, self.n - m.shape[0])))
+            mask_dev = jnp.asarray(m)
+        vals, idx = _ivf_search(
+            qd,
+            self._centroids,
+            self._cent_sq,
+            self._parts,
+            self._part_rows,
+            self._part_sq,
+            mask_dev,
+            k=min(k, nprobe * self.part_len),
+            nprobe=nprobe,
+            metric=self.metric,
+        )
+        return vals[:b], idx[:b]
+
+    # -- persistence -------------------------------------------------------------
+
+    def save(self, path: str, version: int = 0) -> None:
+        if self._parts is None:
+            return
+        np.savez_compressed(
+            path,
+            centroids=np.asarray(self._centroids),
+            part_rows=np.asarray(self._part_rows),
+            n=self.n,
+            metric=self.metric.value,
+            version=version,
+        )
+
+    def load(self, path: str, corpus: np.ndarray, valid: np.ndarray,
+             version: int = 0) -> bool:
+        if not os.path.exists(path):
+            return False
+        data = np.load(path)
+        if (
+            int(data["n"]) != corpus.shape[0]
+            or str(data["metric"]) != self.metric.value
+            or int(data["version"]) != version
+        ):
+            return False
+        part_rows = data["part_rows"]
+        c, L = part_rows.shape
+        self.c, self.part_len = c, L
+        self.n = corpus.shape[0]
+        parts = np.zeros((c, L, self.dim), np.float32)
+        ok = part_rows >= 0
+        parts[ok] = corpus[part_rows[ok]]
+        cents = data["centroids"]
+        self._centroids = jax.device_put(jnp.asarray(cents))
+        self._cent_sq = jax.device_put(jnp.sum(jnp.asarray(cents) ** 2, axis=1))
+        self._parts = jax.device_put(jnp.asarray(parts))
+        self._part_rows = jax.device_put(jnp.asarray(part_rows))
+        self._part_sq = jax.device_put(jnp.sum(jnp.asarray(parts) ** 2, axis=2))
+        self._dirty = False
+        return True
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
+def _ivf_search(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
+                k, nprobe, metric):
+    b, d = q.shape
+    if metric is DistanceMetric.COSINE:
+        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    else:
+        qn = q
+    # route: centroid affinity (L2-equivalent for euclidean, dot for MIPS)
+    route = qn @ cents.T
+    if metric is DistanceMetric.EUCLIDEAN:
+        route = route - 0.5 * cent_sq[None, :]
+    _, probe = jax.lax.top_k(route, nprobe)  # [B, P]
+
+    hib = metric.higher_is_better
+    worst = -jnp.inf if hib else jnp.inf
+
+    def body(carry, p):
+        rv, ri = carry
+        pid = probe[:, p]  # [B]
+        blk = parts[pid]  # [B, L, D]
+        rows = part_rows[pid]  # [B, L]
+        dots = jnp.einsum("bd,bld->bl", qn, blk, preferred_element_type=jnp.float32)
+        if metric is DistanceMetric.COSINE:
+            nrm = jnp.sqrt(jnp.maximum(part_sq[pid], 1e-30))
+            s = dots / nrm
+        elif metric is DistanceMetric.EUCLIDEAN:
+            qq = jnp.sum(qn * qn, axis=1, keepdims=True)
+            s = jnp.sqrt(jnp.maximum(qq + part_sq[pid] - 2.0 * dots, 0.0))
+        else:
+            s = dots
+        ok = rows >= 0
+        if mask is not None:
+            ok = ok & mask[jnp.maximum(rows, 0)]
+        s = jnp.where(ok, s, worst)
+        rows = jnp.where(ok, rows, -1)
+        av = jnp.concatenate([rv, s], axis=1)
+        ai = jnp.concatenate([ri, rows], axis=1)
+        mv, pos = top_k(av, k, higher_is_better=hib)
+        return (mv, jnp.take_along_axis(ai, pos, axis=1)), None
+
+    init = (
+        jnp.full((b, k), worst, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    (vals, idx), _ = jax.lax.scan(body, init, jnp.arange(nprobe))
+    return vals, idx
