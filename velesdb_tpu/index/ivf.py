@@ -42,35 +42,72 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+_KM_CHUNK = 65536  # rows scored per assignment step (bounds [chunk, k] VMEM)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "iters"))
-def _kmeans_device(x, init, *, k, iters):
-    """Lloyd iterations, spherical-ish (works for cosine/L2 routing)."""
+def _kmeans_device(xc, *, init, k, iters):
+    """Lloyd iterations with chunked assignment.
+
+    ``xc [n_chunks, CHUNK, D]``. Assignment never materializes ``[N, k]`` —
+    each scan step scores one chunk (matmul) and scatter-adds into the
+    per-cluster sums/counts, so memory is O(chunk*k + k*D) at any N.
+    """
+
+    def assign_chunk(cents, cc, blk):
+        d = blk @ cents.T - 0.5 * cc[None, :]
+        return jnp.argmax(d, axis=1)
 
     def step(cents, _):
-        # assign: argmax of dot with normalized centroids minus half |c|^2
-        # (equivalent to nearest-L2 assignment via one matmul)
         cc = jnp.sum(cents * cents, axis=1)
-        d = x @ cents.T - 0.5 * cc[None, :]
-        assign = jnp.argmax(d, axis=1)
-        onehot = jax.nn.one_hot(assign, k, dtype=x.dtype)
-        counts = jnp.sum(onehot, axis=0)
-        sums = onehot.T @ x
-        new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), cents)
+
+        def chunk_body(carry, blk):
+            sums, counts = carry
+            a = assign_chunk(cents, cc, blk)
+            sums = sums.at[a].add(blk)
+            counts = counts.at[a].add(1.0)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            chunk_body,
+            (jnp.zeros((k, xc.shape[2]), xc.dtype), jnp.zeros(k, xc.dtype)),
+            xc,
+        )
+        new = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), cents
+        )
         return new, None
 
     cents, _ = jax.lax.scan(step, init, None, length=iters)
     cc = jnp.sum(cents * cents, axis=1)
-    assign = jnp.argmax(x @ cents.T - 0.5 * cc[None, :], axis=1)
-    return cents, assign
+
+    def final_chunk(_, blk):
+        return None, assign_chunk(cents, cc, blk)
+
+    _, assign = jax.lax.scan(final_chunk, None, xc)
+    return cents, assign.reshape(-1)
 
 
 def kmeans(x: np.ndarray, k: int, iters: int = 8, seed: int = 0):
-    """Device k-means; returns ``(centroids [k, D], assign [N])``."""
+    """Device k-means; returns ``(centroids [k, D], assign [N])``.
+
+    Padding rows (zeros) are appended to a chunk multiple and their
+    assignments dropped before returning.
+    """
     x = np.asarray(x, np.float32)
+    n, d = x.shape
     rng = np.random.default_rng(seed)
-    init = x[rng.choice(x.shape[0], size=k, replace=x.shape[0] < k)]
-    cents, assign = _kmeans_device(jnp.asarray(x), jnp.asarray(init), k=k, iters=iters)
-    return cents, assign
+    init = x[rng.choice(n, size=k, replace=n < k)]
+    chunk = min(_KM_CHUNK, _round_up(n, 8))
+    n_pad = _round_up(n, chunk)
+    xp = np.pad(x, ((0, n_pad - n), (0, 0)))
+    # padded zero-rows would gravitate a centroid to 0: give them the first
+    # row's values so they reinforce an existing cluster instead
+    if n_pad != n:
+        xp[n:] = x[0]
+    xc = jnp.asarray(xp.reshape(-1, chunk, d))
+    cents, assign = _kmeans_device(xc, init=jnp.asarray(init), k=k, iters=iters)
+    return cents, assign[:n]
 
 
 class IvfIndex:
