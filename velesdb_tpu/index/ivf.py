@@ -88,26 +88,56 @@ def _kmeans_device(xc, *, init, k, iters):
     return cents, assign.reshape(-1)
 
 
-def kmeans(x: np.ndarray, k: int, iters: int = 8, seed: int = 0):
+def kmeans(
+    x: np.ndarray,
+    k: int,
+    iters: int = 8,
+    seed: int = 0,
+    train_sample: int | None = 262_144,
+):
     """Device k-means; returns ``(centroids [k, D], assign [N])``.
 
-    Padding rows (zeros) are appended to a chunk multiple and their
-    assignments dropped before returning.
+    Lloyd runs on a training SAMPLE (faiss-style — centroid quality
+    saturates long before full-data training pays for itself), then ONE
+    chunked assignment pass covers the full corpus. Padding rows are
+    appended to a chunk multiple and dropped before returning.
     """
     x = np.asarray(x, np.float32)
     n, d = x.shape
     rng = np.random.default_rng(seed)
     init = x[rng.choice(n, size=k, replace=n < k)]
-    chunk = min(_KM_CHUNK, _round_up(n, 8))
-    n_pad = _round_up(n, chunk)
-    xp = np.pad(x, ((0, n_pad - n), (0, 0)))
-    # padded zero-rows would gravitate a centroid to 0: give them the first
-    # row's values so they reinforce an existing cluster instead
-    if n_pad != n:
-        xp[n:] = x[0]
-    xc = jnp.asarray(xp.reshape(-1, chunk, d))
-    cents, assign = _kmeans_device(xc, init=jnp.asarray(init), k=k, iters=iters)
+
+    def to_chunks(arr):
+        m = arr.shape[0]
+        chunk = min(_KM_CHUNK, _round_up(m, 8))
+        m_pad = _round_up(m, chunk)
+        ap = np.pad(arr, ((0, m_pad - m), (0, 0)))
+        if m_pad != m:
+            # padded zero-rows would gravitate a centroid to 0: reinforce an
+            # existing cluster instead
+            ap[m:] = arr[0]
+        return jnp.asarray(ap.reshape(-1, chunk, d))
+
+    if train_sample is not None and n > train_sample:
+        sample = x[rng.choice(n, size=train_sample, replace=False)]
+        cents, _ = _kmeans_device(
+            to_chunks(sample), init=jnp.asarray(init), k=k, iters=iters
+        )
+        assign = _assign_full(to_chunks(x), cents, k=k)[: n]
+        return cents, assign
+    cents, assign = _kmeans_device(to_chunks(x), init=jnp.asarray(init), k=k, iters=iters)
     return cents, assign[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _assign_full(xc, cents, *, k):
+    cc = jnp.sum(cents * cents, axis=1)
+
+    def chunk(_, blk):
+        return None, jnp.argmax(blk @ cents.T - 0.5 * cc[None, :], axis=1)
+
+    _, assign = jax.lax.scan(chunk, None, xc)
+    return assign.reshape(-1)
 
 
 class IvfIndex:
@@ -164,21 +194,33 @@ class IvfIndex:
         cents, assign = kmeans(km_input, c, iters=self.kmeans_iters)
         assign = np.asarray(assign)
 
-        # group rows by cluster into uniform padded partitions
+        # group rows by cluster into uniform padded partitions (one
+        # vectorized scatter — no per-cluster host loop). Skewed clusters
+        # split into several partitions that SHARE a routing centroid, which
+        # bounds padding waste to ~2x the mean occupancy while keeping
+        # routing exact (a fat cluster simply occupies several probe slots).
         order = np.argsort(assign, kind="stable")
         sorted_assign = assign[order]
         counts = np.bincount(sorted_assign, minlength=c)
-        L = _round_up(max(int(counts.max()), 8), 8)
+        L = _round_up(max(int(np.ceil(2 * len(rows) / c)), 8), 8)
         self.part_len = L
-        parts = np.zeros((c, L, self.dim), np.float32)
-        part_rows = np.full((c, L), -1, np.int32)
+        splits = np.maximum(-(-counts // L), 1)  # partitions per cluster
+        base_part = np.concatenate([[0], np.cumsum(splits)[:-1]])
+        n_parts = int(splits.sum())
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        for ci in range(c):
-            seg = order[starts[ci] : starts[ci] + counts[ci]]
-            parts[ci, : len(seg)] = live[seg]
-            part_rows[ci, : len(seg)] = rows[seg]
-        self._centroids = jax.device_put(jnp.asarray(np.asarray(cents)))
-        self._cent_sq = jax.device_put(jnp.sum(jnp.asarray(np.asarray(cents)) ** 2, axis=1))
+        pos_within = np.arange(len(order)) - starts[sorted_assign]
+        part_of_row = base_part[sorted_assign] + pos_within // L
+        slot_of_row = pos_within % L
+        parts = np.zeros((n_parts, L, self.dim), np.float32)
+        part_rows = np.full((n_parts, L), -1, np.int32)
+        parts[part_of_row, slot_of_row] = live[order]
+        part_rows[part_of_row, slot_of_row] = rows[order]
+        # routing table: one centroid row per PARTITION (duplicated on split)
+        cluster_of_part = np.repeat(np.arange(c), splits)
+        route_cents = np.asarray(cents)[cluster_of_part]
+        self.c = n_parts
+        self._centroids = jax.device_put(jnp.asarray(route_cents))
+        self._cent_sq = jax.device_put(jnp.sum(jnp.asarray(route_cents) ** 2, axis=1))
         self._parts = jax.device_put(jnp.asarray(parts))
         self._part_rows = jax.device_put(jnp.asarray(part_rows))
         self._part_sq = jax.device_put(jnp.sum(jnp.asarray(parts) ** 2, axis=2))
