@@ -23,6 +23,7 @@ __all__ = [
     "SelectItem",
     "WithOptions",
     "FusionSpec",
+    "JoinClause",
 ]
 
 
@@ -101,10 +102,23 @@ class WithOptions:
 
 
 @dataclasses.dataclass
+class JoinClause:
+    """``[INNER|LEFT|RIGHT|FULL] JOIN coll [AS a] ON l.f = r.f | USING (f)``."""
+
+    kind: str  # inner | left | right | full
+    collection: str
+    alias: str
+    left_field: str  # possibly alias-qualified
+    right_field: str
+
+
+@dataclasses.dataclass
 class SelectStatement:
     columns: list[SelectItem]
     distinct: bool
     collection: str
+    alias: Optional[str] = None
+    joins: list["JoinClause"] = dataclasses.field(default_factory=list)
     near: Optional[NearClause] = None
     similarity: list[SimilarityCond] = dataclasses.field(default_factory=list)
     text_match: Optional[TextMatch] = None

@@ -100,16 +100,22 @@ def _resolve_vector(v, params) -> np.ndarray:
     return arr
 
 
-def _resolve_filter(cond, params):
-    """Resolve $params / NOW() inside a filter tree (copy-on-write)."""
+def _resolve_filter(db, cond, params):
+    """Resolve $params / NOW() / IN-subqueries in a filter tree
+    (copy-on-write). Non-correlated subqueries materialize ONCE into an IN
+    list (the reference's ``subquery_optimizer.rs`` fast path)."""
     if cond is None:
         return None
     out = dict(cond)
     t = out.get("type")
     if t in ("and", "or"):
-        out["conditions"] = [_resolve_filter(c, params) for c in out["conditions"]]
+        out["conditions"] = [_resolve_filter(db, c, params) for c in out["conditions"]]
     elif t == "not":
-        out["condition"] = _resolve_filter(out["condition"], params)
+        out["condition"] = _resolve_filter(db, out["condition"], params)
+    elif t == "in_subquery":
+        rows = _exec_node(db, out.pop("query"), params)
+        out["type"] = "in"
+        out["values"] = _subquery_values(rows)
     else:
         if "value" in out:
             out["value"] = _resolve_value(out["value"], params)
@@ -120,6 +126,145 @@ def _resolve_filter(cond, params):
     return out
 
 
+def _subquery_values(rows: list[dict]) -> list:
+    """Single projected column of a subquery's rows (falls back to id)."""
+    if not rows:
+        return []
+    keys = [k for k in rows[0] if k not in ("payload",)]
+    key = keys[0] if len(keys) == 1 else "id"
+    return [r.get(key) for r in rows]
+
+
+# -- join support ----------------------------------------------------------------
+
+
+def _aliases_in(cond, known: set[str]) -> set[str]:
+    """Alias prefixes referenced anywhere in a condition tree."""
+    t = cond.get("type")
+    if t in ("and", "or"):
+        out = set()
+        for c in cond["conditions"]:
+            out |= _aliases_in(c, known)
+        return out
+    if t == "not":
+        return _aliases_in(cond["condition"], known)
+    field = cond.get("field", "")
+    head = field.split(".", 1)[0]
+    return {head} if head in known else set()
+
+
+def _strip_alias(cond, alias: str):
+    """Drop the ``alias.`` prefix from every field (pushdown rewrite)."""
+    out = dict(cond)
+    t = out.get("type")
+    if t in ("and", "or"):
+        out["conditions"] = [_strip_alias(c, alias) for c in out["conditions"]]
+    elif t == "not":
+        out["condition"] = _strip_alias(out["condition"], alias)
+    elif out.get("field", "").startswith(alias + "."):
+        out["field"] = out["field"][len(alias) + 1 :]
+    return out
+
+
+def _partition_filter(filt, base_alias: str, join_aliases: list[str]):
+    """Split conjuncts into per-table pushdowns + post-join residual
+    (``search/query/pushdown.rs:15`` classification analog)."""
+    known = {base_alias, *join_aliases}
+    conjuncts = filt["conditions"] if filt.get("type") == "and" else [filt]
+    base, per_join, post = [], {a: [] for a in join_aliases}, []
+    for c in conjuncts:
+        als = _aliases_in(c, known)
+        if not als or als == {base_alias}:
+            base.append(_strip_alias(c, base_alias))
+        elif len(als) == 1:
+            a = next(iter(als))
+            per_join[a].append(_strip_alias(c, a))
+        else:
+            post.append(c)
+
+    def combine(lst):
+        if not lst:
+            return None
+        return lst[0] if len(lst) == 1 else {"type": "and", "conditions": lst}
+
+    return combine(base), {a: combine(l) for a, l in per_join.items()}, post
+
+
+def _merged_payload(row: dict, base_alias: str) -> dict:
+    """Qualified-lookup view: base payload at top level + one sub-dict per
+    alias (so ``get_path('a.price')`` and bare ``price`` both resolve)."""
+    merged = dict(row.get("payload") or {})
+    merged["id"] = row.get("id")
+    merged[base_alias] = {**(row.get("payload") or {}), "id": row.get("id")}
+    for alias, side in (row.get("_joined") or {}).items():
+        merged[alias] = (
+            {**(side["payload"] or {}), "id": side["id"]} if side else None
+        )
+    return merged
+
+
+def _exec_joins(db, stmt, rows: list[dict], join_filts, post, params) -> list[dict]:
+    """Sequential hash joins (inner/left/right/full) over candidate rows."""
+    base_alias = stmt.alias or stmt.collection
+    rows = [dict(r, _joined={}, _base_alias=base_alias) for r in rows]
+    for j in stmt.joins:
+        try:
+            right_coll = db.get_collection(j.collection)
+        except KeyError as e:
+            raise QueryError(f"unknown collection {j.collection!r}") from e
+        rf = _resolve_filter(db, join_filts.get(j.alias), params)
+        if rf is not None:
+            rf = normalize_filter(rf)
+        right_rows = _scan(right_coll, rf)
+        rkey_path = (
+            j.right_field[len(j.alias) + 1 :]
+            if j.right_field.startswith(j.alias + ".")
+            else j.right_field
+        )
+        index: dict = {}
+        for rr in right_rows:
+            key = rr["id"] if rkey_path == "id" else get_path(rr["payload"], rkey_path)
+            if key is not None:
+                index.setdefault(key, []).append(rr)
+        out = []
+        matched_right = set()
+        for row in rows:
+            lval = get_path(_merged_payload(row, base_alias), j.left_field)
+            hits = index.get(lval, []) if lval is not None else []
+            if hits:
+                for rr in hits:
+                    matched_right.add(rr["id"])
+                    nr = dict(row)
+                    nr["_joined"] = {
+                        **row["_joined"],
+                        j.alias: {"id": rr["id"], "payload": rr["payload"]},
+                    }
+                    out.append(nr)
+            elif j.kind in ("left", "full"):
+                nr = dict(row)
+                nr["_joined"] = {**row["_joined"], j.alias: None}
+                out.append(nr)
+        if j.kind in ("right", "full"):
+            for rr in right_rows:
+                if rr["id"] not in matched_right:
+                    out.append(
+                        {
+                            "id": None,
+                            "score": None,
+                            "payload": None,
+                            "_joined": {
+                                j.alias: {"id": rr["id"], "payload": rr["payload"]}
+                            },
+                        }
+                    )
+        rows = out
+    # residual (cross-table) predicates evaluate on the merged view
+    for cond in post:
+        resolved = normalize_filter(_resolve_filter(db, cond, params))
+        rows = [r for r in rows if matches(_merged_payload(r, base_alias), resolved)]
+    return rows
+
+
 def _exec_select(db, stmt: SelectStatement, params) -> list[dict]:
     try:
         coll = db.get_collection(stmt.collection)
@@ -128,7 +273,17 @@ def _exec_select(db, stmt: SelectStatement, params) -> list[dict]:
     if coll is None:
         raise QueryError(f"unknown collection {stmt.collection!r}")
 
-    filt = _resolve_filter(stmt.filter, params)
+    join_filts: dict = {}
+    post_filts: list = []
+    if stmt.joins:
+        base_filt = stmt.filter
+        if base_filt is not None:
+            base_filt, join_filts, post_filts = _partition_filter(
+                base_filt, stmt.alias or stmt.collection, [j.alias for j in stmt.joins]
+            )
+        filt = _resolve_filter(db, base_filt, params)
+    else:
+        filt = _resolve_filter(db, stmt.filter, params)
     if filt is not None:
         filt = normalize_filter(filt)
 
@@ -179,6 +334,9 @@ def _exec_select(db, stmt: SelectStatement, params) -> list[dict]:
     if not sims_applied:
         for sim in stmt.similarity:
             candidates = _apply_similarity(coll, sim, params, candidates)
+
+    if stmt.joins:
+        candidates = _exec_joins(db, stmt, candidates, join_filts, post_filts, params)
 
     if aggregating:
         rows = _aggregate(stmt, candidates)
@@ -337,6 +495,18 @@ def _field_of(row: dict, path: str):
         return row.get("id")
     if path in ("score", "similarity"):
         return row.get("score")
+    if row.get("_joined"):
+        head, _, rest = path.partition(".")
+        side = row["_joined"].get(head)
+        if side is not None and rest:
+            return side["id"] if rest == "id" else get_path(side["payload"], rest)
+        if head in row["_joined"]:  # alias matched but side is NULL (outer)
+            return None
+        # base-alias qualification (a.field on the FROM table)
+        if rest and head == row.get("_base_alias"):
+            return (
+                row.get("id") if rest == "id" else get_path(row.get("payload"), rest)
+            )
     return get_path(row.get("payload"), path)
 
 
@@ -460,6 +630,8 @@ def _project(columns: list[SelectItem], row: dict) -> dict:
         out = {"id": row.get("id"), "payload": row.get("payload")}
         if row.get("score") is not None:
             out["score"] = row["score"]
+        if row.get("_joined"):
+            out["joined"] = row["_joined"]
         return out
     out = {}
     for c in columns:

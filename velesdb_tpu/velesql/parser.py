@@ -23,6 +23,7 @@ from lark import Lark, Transformer, v_args
 from velesdb_tpu.velesql.ast import (
     Aggregate,
     FusionSpec,
+    JoinClause,
     NearClause,
     OrderBy,
     Query,
@@ -48,9 +49,21 @@ GRAMMAR = r"""
          | set_expr "INTERSECT"i select_stmt    -> intersect
          | set_expr "EXCEPT"i select_stmt       -> except_
 
-select_stmt: "SELECT"i distinct? projection "FROM"i ident \
+select_stmt: "SELECT"i distinct? projection "FROM"i table_ref join_clause* \
              where_clause? group_clause? having_clause? order_clause? \
              limit_clause? offset_clause? with_clause?
+
+table_ref: ident ("AS"i ident)?
+join_clause: "JOIN"i table_ref join_cond            -> join_inner
+           | "INNER"i "JOIN"i table_ref join_cond   -> join_inner
+           | "LEFT"i "OUTER"i "JOIN"i table_ref join_cond  -> join_left
+           | "LEFT"i "JOIN"i table_ref join_cond    -> join_left
+           | "RIGHT"i "OUTER"i "JOIN"i table_ref join_cond -> join_right
+           | "RIGHT"i "JOIN"i table_ref join_cond   -> join_right
+           | "FULL"i "OUTER"i "JOIN"i table_ref join_cond  -> join_full
+           | "FULL"i "JOIN"i table_ref join_cond    -> join_full
+join_cond: "ON"i ident_path "=" ident_path -> join_on
+         | "USING"i "(" ident ")" -> join_using
 
 distinct: "DISTINCT"i
 projection: STAR -> star_proj
@@ -76,6 +89,8 @@ where_clause: "WHERE"i or_expr
           | func_call CMP_OP value -> func_cmp
           | ident_path "MATCH"i value -> text_match
           | ident_path CMP_OP value -> cmp
+          | ident_path "NOT"i "IN"i "(" select_stmt ")" -> not_in_subquery
+          | ident_path "IN"i "(" select_stmt ")" -> in_subquery
           | ident_path "NOT"i "IN"i "(" value ("," value)* ")" -> not_in
           | ident_path "IN"i "(" value ("," value)* ")" -> in_
           | ident_path "NOT"i "BETWEEN"i value "AND"i value -> not_between
@@ -329,6 +344,45 @@ class _ToAst(Transformer):
     def not_in(self, field, *values):
         return ("not", self.in_(field, *values))
 
+    def in_subquery(self, field, sub):
+        # non-correlated subquery (the reference's subquery_optimizer.rs
+        # fast path); executor materializes it once into an IN list
+        return {"type": "in_subquery", "field": field, "query": sub}
+
+    def not_in_subquery(self, field, sub):
+        return ("not", self.in_subquery(field, sub))
+
+    # -- joins -----------------------------------------------------------------
+    def table_ref(self, name, alias=None):
+        return ("table", name, alias)
+
+    def join_on(self, left, right):
+        return ("on", left, right)
+
+    def join_using(self, field):
+        return ("using", field)
+
+    def _join(self, kind, table, cond):
+        _, name, alias = table
+        alias = alias or name
+        if cond[0] == "using":
+            left_f = right_f = cond[1]
+        else:
+            left_f, right_f = cond[1], cond[2]
+        return ("join", JoinClause(kind, name, alias, left_f, right_f))
+
+    def join_inner(self, table, cond):
+        return self._join("inner", table, cond)
+
+    def join_left(self, table, cond):
+        return self._join("left", table, cond)
+
+    def join_right(self, table, cond):
+        return self._join("right", table, cond)
+
+    def join_full(self, table, cond):
+        return self._join("full", table, cond)
+
     def between(self, field, lo, hi):
         return {
             "type": "and",
@@ -420,14 +474,19 @@ class _ToAst(Transformer):
             distinct = True
             parts.pop(0)
         columns_raw = parts.pop(0)
-        collection = parts.pop(0)
+        table = parts.pop(0)  # ("table", name, alias)
         if columns_raw == ["*"]:
             columns = [SelectItem("*")]
         else:
             columns = list(columns_raw)
         stmt = SelectStatement(
-            columns=columns, distinct=distinct, collection=collection
+            columns=columns,
+            distinct=distinct,
+            collection=table[1],
+            alias=table[2] or table[1],
         )
+        while parts and isinstance(parts[0], tuple) and parts[0][0] == "join":
+            stmt.joins.append(parts.pop(0)[1])
         for tag, payload in parts:
             if tag == "where":
                 _lower_where(stmt, payload)
