@@ -62,7 +62,7 @@ join_clause: "JOIN"i table_ref join_cond            -> join_inner
            | "RIGHT"i "JOIN"i table_ref join_cond   -> join_right
            | "FULL"i "OUTER"i "JOIN"i table_ref join_cond  -> join_full
            | "FULL"i "JOIN"i table_ref join_cond    -> join_full
-join_cond: "ON"i ident_path "=" ident_path -> join_on
+join_cond: "ON"i ident_path CMP_OP ident_path -> join_on
          | "USING"i "(" ident ")" -> join_using
 
 distinct: "DISTINCT"i
@@ -356,7 +356,9 @@ class _ToAst(Transformer):
     def table_ref(self, name, alias=None):
         return ("table", name, alias)
 
-    def join_on(self, left, right):
+    def join_on(self, left, op, right):
+        if _cmp_name(str(op)) != "eq":
+            raise ParseError("JOIN ... ON supports equality only")
         return ("on", left, right)
 
     def join_using(self, field):
