@@ -151,6 +151,7 @@ def test_ann_path_activates_and_matches_exact(tmp_db_dir, rng):
     db = make_db(tmp_db_dir)
     col = db.create_collection("ann", 32, metric="l2")
     col.ann_min_rows = 4096  # force the ANN path at test scale
+    col.index_kind = "graph"  # pin the beam-search engine (auto picks exact/ivf)
     n = 6000
     vecs = rng.standard_normal((n, 32)).astype(np.float32)
     col.upsert_bulk(range(n), vecs)
@@ -167,6 +168,7 @@ def test_ann_path_activates_and_matches_exact(tmp_db_dir, rng):
     db2 = Database.open(tmp_db_dir)
     col2 = db2.get_collection("ann")
     col2.ann_min_rows = 4096
+    col2.index_kind = "graph"
     col2.search(vecs[0], k=1)
     assert not col2.ann.dirty
     db2.close()

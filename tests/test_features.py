@@ -99,6 +99,7 @@ def test_vacuum_compacts_and_preserves_search(db, rng):
 def test_auto_reindex_event_on_growth(db, rng):
     c = db.create_collection("ar", dim=8)
     c.ann_min_rows = 64
+    c.index_kind = "graph"
     vecs = rng.standard_normal((80, 8)).astype(np.float32)
     c.upsert_bulk(range(80), vecs)
     c.search(vecs[0], 1)

@@ -1,0 +1,107 @@
+"""Planner, engine selection, TTL expiry, auto-vacuum, compression tests."""
+
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+
+from velesdb_tpu.compression import compress, decompress, train_dictionary
+from velesdb_tpu.database import Database
+from velesdb_tpu.velesql.planner import CostFactors, QueryPlanner
+
+
+def test_cost_model_regimes():
+    p = QueryPlanner()
+    # tiny corpus: exact always wins
+    assert p.choose(10_000, 128, 1, have_ivf=True).engine == "exact"
+    # huge corpus, single query: IVF reads nprobe*L rows << N
+    c = p.choose(10_000_000, 768, 1, have_ivf=True, ivf_nprobe=32, ivf_part_len=512)
+    assert c.engine == "ivf"
+    # huge corpus, huge batch: per-query IVF gathers exceed one shared stream
+    c = p.choose(1_000_000, 768, 4096, have_ivf=True, ivf_nprobe=32, ivf_part_len=512)
+    assert c.engine == "exact"
+
+
+def test_planner_ema_overrides_model():
+    p = QueryPlanner()
+    static = p.choose(10_000, 128, 8, have_ivf=True)
+    assert static.engine == "exact"
+    # observe exact being pathologically slow at this batch bucket
+    for _ in range(5):
+        p.record_latency("exact", 8, 1.0)
+        p.record_latency("ivf", 8, 0.001)
+    adapted = p.choose(10_000, 128, 8, have_ivf=True)
+    assert adapted.engine == "ivf"
+
+
+def test_collection_engine_selection(tmp_db_dir, rng):
+    db = Database.open(tmp_db_dir)
+    c = db.create_collection("e", dim=16)
+    c.ann_min_rows = 256  # allow ANN engines at test scale
+    vecs = rng.standard_normal((2000, 16)).astype(np.float32)
+    c.upsert_bulk(range(2000), vecs)
+    # small batch on a "large" corpus: force IVF via index_kind and verify
+    c.index_kind = "ivf"
+    hits = c.search(vecs[7], k=5)
+    assert hits[0].id == 7
+    assert c.ivf is not None and not c.ivf.dirty
+    assert os.path.exists(os.path.join(c.path, "ivf.npz"))
+    # exact override
+    c.index_kind = "exact"
+    hits = c.search(vecs[7], k=5)
+    assert hits[0].id == 7
+    # auto consults the planner without crashing and records latencies
+    c.index_kind = "auto"
+    c.search(vecs[3], k=3)
+    assert c.planner._ema
+
+
+def test_ttl_expiry_and_auto_vacuum(tmp_db_dir, rng):
+    db = Database.open(tmp_db_dir)
+    c = db.create_collection("ttl", dim=8)
+    v = rng.standard_normal((4, 8)).astype(np.float32)
+    c.upsert(0, v[0], {"keep": True})
+    c.upsert(1, v[1], {"keep": False}, ttl=0.01)
+    c.upsert(2, v[2], {"keep": False}, ttl=0.01)
+    c.upsert(3, v[3], {"keep": True}, ttl=3600)
+    time.sleep(0.05)
+    assert c.expire_rows() == 2
+    assert c.count() == 2 and c.get(1) is None and c.get(3) is not None
+
+    # auto-vacuum compacts when fragmentation passes the threshold
+    c.configure_auto_vacuum(interval_s=0.0, fragmentation_threshold=0.3)
+    hits = c.search(v[0], k=4)  # triggers refresh -> auto vacuum
+    assert {h.id for h in hits} == {0, 3}
+    assert c.vectors.fragmentation_ratio == 0.0
+    assert c.vectors.used_slots == 2
+
+
+def test_dictionary_compression_roundtrip():
+    payloads = [
+        json.dumps({"title": f"product {i}", "category": "shoes", "price": i}).encode()
+        for i in range(100)
+    ]
+    zdict = train_dictionary(payloads)
+    assert 0 < len(zdict) <= 16 * 1024
+    blob = b"".join(payloads)
+    comp_dict = compress(blob, zdict)
+    comp_plain = compress(blob)
+    assert decompress(comp_dict, zdict) == blob
+    # a small single record compresses better with the dictionary
+    one = payloads[50]
+    assert len(compress(one, zdict)) < len(compress(one))
+
+
+def test_snapshot_v2_roundtrip_and_v1_compat(tmp_path):
+    from velesdb_tpu.storage.payload_log import PayloadLog
+
+    d = str(tmp_path / "p")
+    log = PayloadLog(d)
+    for i in range(50):
+        log.store(i, {"name": f"item {i}", "tags": ["a", "b"], "n": i})
+    log.close()
+    log2 = PayloadLog(d)
+    assert len(log2) == 50 and log2.retrieve(17)["n"] == 17
+    log2.close()

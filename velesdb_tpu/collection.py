@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import time
 from typing import Any, Iterable
 
 import numpy as np
@@ -100,6 +101,9 @@ class Collection:
         self.ann_min_rows = ANN_MIN_ROWS
         if self.metric in _ANN_METRICS and self.storage_mode in _ANN_MODES:
             self.ann = GraphIndex(self.dim, self.metric)
+        self.ivf = None  # IvfIndex, built on demand (planner-selected engine)
+        self.index_kind = "auto"  # auto | exact | graph | ivf
+        self._planner = None  # QueryPlanner (lazy)
         self.columns = ColumnStore()
         self._columns_built = False
         # text indexes build lazily from the payload log at first text query
@@ -110,6 +114,10 @@ class Collection:
         self.graph = None  # CollectionGraph
         self.reindex_events: list[dict] = []  # auto-reindex audit trail
         self._result_cache = None  # SearchResultCache when enabled
+        # TTL rows + auto-vacuum (ColumnStore TTL / AutoVacuumConfig analog)
+        self._ttl: dict[int, float] = {}  # vid -> unix expiry
+        self._auto_vacuum: dict | None = None
+        self._last_auto_vacuum = 0.0
 
     # -- config ------------------------------------------------------------
 
@@ -142,10 +150,13 @@ class Collection:
 
     # -- CRUD (parity with collection/core/crud.rs) ------------------------
 
-    def upsert(self, vid: int, vector, payload: dict | None = None) -> None:
+    def upsert(
+        self, vid: int, vector, payload: dict | None = None, ttl: float | None = None
+    ) -> None:
         """Validate dim -> store vector -> store payload -> mark device dirty
         (reference pipeline ``crud.rs:19-128``; quantization and text indexing
-        happen lazily at device refresh instead of per-row)."""
+        happen lazily at device refresh instead of per-row). ``ttl`` (seconds)
+        marks the row for expiry (ColumnStore TTL analog, ``types.rs:258``)."""
         vec = np.asarray(vector, dtype=np.float32)
         if vec.shape != (self.dim,):
             raise ValueError(
@@ -161,6 +172,10 @@ class Collection:
                 self._index_text(slot, payload)
             if self.graph is not None:
                 self.graph.index_node(int(vid), payload)
+            if ttl is not None:
+                self._ttl[int(vid)] = time.time() + ttl
+            else:
+                self._ttl.pop(int(vid), None)
             self._on_mutation([int(vid)])
 
     def upsert_bulk(
@@ -236,6 +251,8 @@ class Collection:
             self.text_index.invalidate(ids)
         if self.ann is not None:
             self.ann.invalidate(ids)
+        if self.ivf is not None:
+            self.ivf.invalidate(ids)
         if self._result_cache is not None:
             self._result_cache.invalidate()
 
@@ -243,6 +260,7 @@ class Collection:
 
     def refresh_device(self) -> None:
         """Upload the current host slot array as padded device state."""
+        self._maybe_auto_vacuum()
         with self._lock:
             if not self._device_dirty:
                 return
@@ -342,19 +360,77 @@ class Collection:
             )
         quality = SearchQuality.parse(quality) if quality is not None else None
         mask = self._filter_mask(filter)
-        exact = quality is SearchQuality.PERFECT
-        if not exact and self._ensure_ann():
-            if ef is None:
-                ef = (quality or SearchQuality.BALANCED).ef
-            # filtered ANN: over-fetch, filter at final selection
-            k_fetch = min(4 * k, ef) if mask is not None else k
+        exact = quality is SearchQuality.PERFECT or self.index_kind == "exact"
+        engine = "exact"
+        if (
+            not exact
+            and self.ann is not None
+            and self.count() >= self.ann_min_rows
+        ):
+            engine = self._choose_engine(q.shape[0])
+        if ef is None:
+            ef = (quality or SearchQuality.BALANCED).ef
+        k_fetch = max(min(4 * k, ef), k) if mask is not None else k
+        t0 = time.perf_counter()
+        if engine == "ivf" and self._ensure_ivf():
+            ivf_mask = np.asarray(mask)[: self.vectors.used_slots] if mask is not None else None
+            vals, idx = self.ivf.search(q, k_fetch, ef=ef, mask=ivf_mask)
+        elif engine == "graph" and self._ensure_ann():
             ann_mask = None
             if mask is not None:
                 ann_mask = _pad_mask(np.asarray(mask), self.ann.n_pad)
-            vals, idx = self.ann.search(q, max(k_fetch, k), ef=ef, mask=ann_mask)
+            vals, idx = self.ann.search(q, k_fetch, ef=ef, mask=ann_mask)
         else:
+            engine = "exact"
             vals, idx = self._brute.search(q, k, mask=mask)
-        return self._hydrate(np.asarray(vals), np.asarray(idx), k)
+        out = self._hydrate(np.asarray(vals), np.asarray(idx), k)
+        self.planner.record_latency(engine, q.shape[0], time.perf_counter() - t0)
+        return out
+
+    @property
+    def planner(self):
+        if self._planner is None:
+            from velesdb_tpu.velesql.planner import QueryPlanner
+
+            self._planner = QueryPlanner()
+        return self._planner
+
+    def _choose_engine(self, batch: int) -> str:
+        """Cost-based engine pick (``query_cost/cost_model.rs`` analog):
+        explicit ``index_kind`` wins; otherwise the planner compares exact
+        streaming vs IVF probing vs graph beam search at this batch size."""
+        if self.index_kind in ("graph", "ivf"):
+            return self.index_kind
+        used = max(self.vectors.used_slots, 1)
+        part_len = self.ivf.part_len if self.ivf is not None and self.ivf.part_len else 512
+        choice = self.planner.choose(
+            used,
+            self.dim,
+            batch,
+            have_ivf=True,
+            ivf_part_len=part_len,
+            have_graph=False,  # graph traversal is latency-bound on TPU
+        )
+        return choice.engine
+
+    def _ensure_ivf(self) -> bool:
+        """Build (or restore) the IVF index for planner-selected searches."""
+        if self.metric not in _ANN_METRICS:
+            return False
+        from velesdb_tpu.index.ivf import IvfIndex
+
+        if self.ivf is None:
+            self.ivf = IvfIndex(self.dim, self.metric)
+        if self.ivf.dirty:
+            used = self.vectors.used_slots
+            slots = np.array(self.vectors.slot_view()[:used])
+            _, valid = self.vectors.occupancy()
+            path = os.path.join(self.path, "ivf.npz")
+            version = self.vectors.version
+            if not self.ivf.load(path, slots, valid, version=version):
+                self.ivf.build(slots, valid)
+                self.ivf.save(path, version=version)
+        return True
 
     def search_with_rerank(
         self,
@@ -448,6 +524,41 @@ class Collection:
         return self._result_cache.stats() if self._result_cache else None
 
     # -- maintenance -----------------------------------------------------------
+
+    def expire_rows(self, now: float | None = None) -> int:
+        """Delete TTL-expired rows; returns count (ColumnStore TTL analog)."""
+        now = time.time() if now is None else now
+        dead = [vid for vid, exp in self._ttl.items() if exp <= now]
+        for vid in dead:
+            self._ttl.pop(vid, None)
+            self.delete(vid)
+        return len(dead)
+
+    def configure_auto_vacuum(
+        self,
+        interval_s: float = 60.0,
+        fragmentation_threshold: float = 0.3,
+        enabled: bool = True,
+    ) -> None:
+        """Auto-vacuum policy (``AutoVacuumConfig``, ``types.rs:258``):
+        on device refresh, expire TTL rows every ``interval_s`` and compact
+        when fragmentation exceeds the threshold."""
+        self._auto_vacuum = (
+            {"interval_s": interval_s, "threshold": fragmentation_threshold}
+            if enabled
+            else None
+        )
+
+    def _maybe_auto_vacuum(self) -> None:
+        if self._auto_vacuum is None:
+            return
+        now = time.time()
+        if now - self._last_auto_vacuum < self._auto_vacuum["interval_s"]:
+            return
+        self._last_auto_vacuum = now
+        self.expire_rows(now)
+        if self.vectors.fragmentation_ratio > self._auto_vacuum["threshold"]:
+            self.vacuum()
 
     def vacuum(self) -> dict:
         """Compact tombstoned slots and rebuild slot-keyed indexes

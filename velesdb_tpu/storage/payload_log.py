@@ -18,7 +18,7 @@ import zlib
 __all__ = ["PayloadLog"]
 
 _SNAP_MAGIC = b"VSNP"
-_SNAP_VERSION = 1
+_SNAP_VERSION = 2  # v2 = dictionary-compressed body; v1 (plain) still readable
 _REC = struct.Struct("<BQII")  # op u8, id u64, len u32, crc u32
 _OP_UPSERT = 1
 _OP_DELETE = 2
@@ -56,11 +56,17 @@ class PayloadLog:
         if raw[:4] != _SNAP_MAGIC:
             raise ValueError("bad snapshot magic")
         version, log_pos, n_entries, crc = struct.unpack_from("<IQII", raw, 4)
-        if version != _SNAP_VERSION:
+        if version not in (1, _SNAP_VERSION):
             raise ValueError(f"unsupported snapshot version {version}")
         body = raw[4 + 20 :]
         if zlib.crc32(body) != crc:
             raise ValueError("snapshot CRC mismatch")
+        if version >= 2:
+            from velesdb_tpu.compression import decompress
+
+            (dict_len,) = struct.unpack_from("<I", body, 0)
+            zdict = body[4 : 4 + dict_len]
+            body = decompress(body[4 + dict_len :], zdict)
         entries = json.loads(body.decode("utf-8"))
         if len(entries) != n_entries:
             raise ValueError("snapshot entry count mismatch")
@@ -117,9 +123,17 @@ class PayloadLog:
     # -- durability --------------------------------------------------------
 
     def snapshot(self) -> None:
-        """Write a CRC32-validated full snapshot (``log_payload.rs:17-50``)."""
+        """Write a CRC32-validated, dictionary-compressed full snapshot
+        (``log_payload.rs:17-50`` + ``compression/`` dictionary coding)."""
+        from velesdb_tpu.compression import compress, train_dictionary
+
         log_pos = self._log.tell() if not self._log.closed else 0
-        body = json.dumps({str(k): v for k, v in self.payloads.items()}).encode()
+        plain = json.dumps({str(k): v for k, v in self.payloads.items()}).encode()
+        samples = [
+            json.dumps(v).encode() for _, v in list(self.payloads.items())[:256]
+        ]
+        zdict = train_dictionary(samples)
+        body = struct.pack("<I", len(zdict)) + zdict + compress(plain, zdict)
         tmp = self._snap_path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(_SNAP_MAGIC)

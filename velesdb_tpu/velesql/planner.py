@@ -1,0 +1,131 @@
+"""Cost-based + adaptive query planner.
+
+Counterpart of the reference's two planners:
+
+- ``query_cost/cost_model.rs`` (``OperationCostFactors``, PostgreSQL-style
+  per-operation cost constants + plan generation) — here the constants model
+  the TPU cost surface instead of a disk: HBM bytes streamed (shared by the
+  whole batch), random-access gather rows, kernel-launch/dispatch overhead,
+  and host-side hydration per row.
+- ``velesql/planner.rs`` (adaptive strategy with runtime stats) — measured
+  per-engine latency EMAs override the static model once real samples exist.
+
+The planner answers one question the engine actually has: **which search
+engine serves this (corpus, batch) best** — fused exact streaming, IVF
+partition probing, or graph beam search.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+
+__all__ = ["CostFactors", "QueryPlanner", "EngineChoice"]
+
+
+@dataclasses.dataclass(frozen=True)
+class CostFactors:
+    """TPU cost constants (``OperationCostFactors`` analog, in ~ns units)."""
+
+    hbm_byte: float = 0.0012  # sequential HBM stream, ns/byte (~800 GB/s)
+    gather_row_overhead: float = 300.0  # random-access row gather, ns/row
+    dispatch: float = 3.0e6  # kernel-launch + host round trip, ns
+    host_row: float = 2_000.0  # per-result host hydration, ns
+    beam_step: float = 60_000.0  # per beam-search expansion step, ns
+
+
+@dataclasses.dataclass
+class EngineChoice:
+    engine: str  # "exact" | "ivf" | "graph"
+    est_ns: float
+    details: dict
+
+
+class QueryPlanner:
+    """Static cost model + per-engine latency EMA (adaptive override)."""
+
+    def __init__(self, factors: CostFactors | None = None, ema_alpha: float = 0.25):
+        self.f = factors or CostFactors()
+        self.ema_alpha = ema_alpha
+        self._ema: dict[tuple, float] = {}  # (engine, bucket) -> ns/batch
+        self._lock = threading.Lock()
+
+    # -- static model -----------------------------------------------------------
+
+    def cost_exact(self, n: int, d: int, batch: int, itemsize: int = 4) -> float:
+        """Stream the whole corpus once; cost shared by the batch."""
+        return (
+            self.f.dispatch
+            + n * d * itemsize * self.f.hbm_byte
+            + batch * self.f.host_row
+        )
+
+    def cost_ivf(
+        self, n: int, d: int, batch: int, nprobe: int, part_len: int
+    ) -> float:
+        """Per-query partition gathers: batch x nprobe x L rows."""
+        rows = batch * nprobe * part_len
+        return (
+            self.f.dispatch
+            + rows * (d * 4 * self.f.hbm_byte + self.f.gather_row_overhead / part_len)
+            + batch * self.f.host_row
+        )
+
+    def cost_graph(
+        self, d: int, batch: int, expansions: int, degree: int
+    ) -> float:
+        """Sequential expansion steps; each is a batched gather+matmul."""
+        rows = batch * expansions * degree
+        return (
+            self.f.dispatch
+            + expansions * self.f.beam_step
+            + rows * (d * 4 * self.f.hbm_byte + self.f.gather_row_overhead / degree)
+            + batch * self.f.host_row
+        )
+
+    # -- adaptive stats (planner.rs selectivity/latency EMAs) ---------------------
+
+    @staticmethod
+    def _bucket(batch: int) -> int:
+        return max(1, 1 << (batch - 1).bit_length())
+
+    def record_latency(self, engine: str, batch: int, seconds: float) -> None:
+        key = (engine, self._bucket(batch))
+        ns = seconds * 1e9
+        with self._lock:
+            old = self._ema.get(key)
+            self._ema[key] = ns if old is None else (
+                self.ema_alpha * ns + (1 - self.ema_alpha) * old
+            )
+
+    def observed(self, engine: str, batch: int) -> float | None:
+        with self._lock:
+            return self._ema.get((engine, self._bucket(batch)))
+
+    # -- decision ------------------------------------------------------------------
+
+    def choose(
+        self,
+        n: int,
+        d: int,
+        batch: int,
+        *,
+        have_ivf: bool = False,
+        ivf_nprobe: int = 32,
+        ivf_part_len: int = 512,
+        have_graph: bool = False,
+        graph_expansions: int = 64,
+        graph_degree: int = 48,
+    ) -> EngineChoice:
+        """Pick the cheapest available engine; measured EMAs beat the model."""
+        cands: dict[str, float] = {"exact": self.cost_exact(n, d, batch)}
+        if have_ivf:
+            cands["ivf"] = self.cost_ivf(n, d, batch, ivf_nprobe, ivf_part_len)
+        if have_graph:
+            cands["graph"] = self.cost_graph(d, batch, graph_expansions, graph_degree)
+        for engine in list(cands):
+            obs = self.observed(engine, batch)
+            if obs is not None:
+                cands[engine] = obs
+        best = min(cands, key=cands.get)
+        return EngineChoice(best, cands[best], cands)
