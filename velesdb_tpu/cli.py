@@ -165,6 +165,54 @@ def cmd_traverse(db: Database, args) -> int:
     return 0
 
 
+def cmd_migrate(db: Database, args) -> int:
+    """Migrate from an external source (``velesdb-migrate`` CLI analog);
+    ``--wizard`` walks through source/options interactively."""
+    from velesdb_tpu.migrate import CONNECTORS, MigrationPipeline
+
+    if args.wizard:
+        print("velesdb-tpu migration wizard")
+        print(f"sources: {', '.join(sorted(CONNECTORS))}")
+        args.source = input("source type> ").strip()
+        args.location = input("location (path or URL)> ").strip()
+        args.source_collection = (
+            input("source collection/table (blank if n/a)> ").strip() or None
+        )
+        args.collection = input("target collection> ").strip()
+        dim_s = input("target dim (blank if target exists)> ").strip()
+        args.dim = int(dim_s) if dim_s else None
+    if args.source not in CONNECTORS:
+        print(f"unknown source {args.source!r}; have {sorted(CONNECTORS)}",
+              file=sys.stderr)
+        return 1
+    cls = CONNECTORS[args.source]
+    if args.source in ("qdrant", "chroma"):
+        if not args.source_collection:
+            print("--source-collection required for service sources", file=sys.stderr)
+            return 1
+        connector = cls(args.location, args.source_collection)
+    elif args.source == "pgvector":
+        connector = cls(args.location, args.source_collection or "items")
+    else:
+        connector = cls(args.location)
+    try:
+        coll = db.get_collection(args.collection)
+    except KeyError:
+        if args.dim is None:
+            print("target collection missing: pass --dim to create", file=sys.stderr)
+            return 1
+        coll = db.create_collection(args.collection, args.dim)
+    report = MigrationPipeline(
+        connector,
+        coll,
+        batch_size=args.batch,
+        dry_run=args.dry_run,
+        on_progress=lambda n: print(f"  {n} migrated...", file=sys.stderr),
+    ).run()
+    print(json.dumps(dict(report)))
+    return 0 if report.failed == 0 else 1
+
+
 def cmd_serve(db: Database, args) -> int:
     from velesdb_tpu.server.app import serve
 
@@ -279,6 +327,16 @@ def main(argv=None) -> int:
     sp.add_argument("--direction", default="out")
     sp.add_argument("--label")
 
+    sp = sub.add_parser("migrate", help="import from an external vector DB / file")
+    sp.add_argument("--source", help="jsonl|json|csv|numpy|qdrant|chroma|pgvector")
+    sp.add_argument("--location", help="file path, base URL, or DSN")
+    sp.add_argument("--source-collection", help="source collection/table name")
+    sp.add_argument("--collection", help="target collection")
+    sp.add_argument("--dim", type=int, help="dim when creating the target")
+    sp.add_argument("--batch", type=int, default=512)
+    sp.add_argument("--dry-run", action="store_true")
+    sp.add_argument("--wizard", action="store_true", help="interactive prompts")
+
     sp = sub.add_parser("serve", help="start the REST server")
     sp.add_argument("--host", default=None)
     sp.add_argument("--port", type=int, default=None)
@@ -299,6 +357,7 @@ def main(argv=None) -> int:
             "export": cmd_export,
             "edge": cmd_edge,
             "traverse": cmd_traverse,
+            "migrate": cmd_migrate,
             "serve": cmd_serve,
             "repl": cmd_repl,
         }[args.cmd]

@@ -82,6 +82,7 @@ class VelesServer:
         )
         r("POST", r"/collections/(?P<name>[^/]+)/explain", self.explain)
         r("GET", r"/metrics", self.prometheus)
+        r("GET", r"/openapi.json", self.openapi)
 
     def _route(self, method: str, pattern: str, handler) -> None:
         self._routes.append((method, re.compile("^" + pattern + "$"), handler))
@@ -310,6 +311,49 @@ class VelesServer:
         if not self.config.server.enable_metrics:
             raise HttpError(404, "metrics disabled")
         return self.metrics.prometheus_text()
+
+    def openapi(self, **_):
+        """OpenAPI 3 document generated from the route table (the
+        reference ships Swagger via utoipa, ``velesdb-server``)."""
+        paths: dict = {}
+        for method, pattern, handler in self._routes:
+            # regex -> /path/{param} template
+            tpl = pattern.pattern.strip("^$")
+            import re as _re
+
+            tpl = _re.sub(r"\(\?P<(\w+)>[^)]*\)", r"{\1}", tpl)
+            params = _re.findall(r"\{(\w+)\}", tpl)
+            op = {
+                "summary": (handler.__doc__ or handler.__name__).strip().splitlines()[0],
+                "parameters": [
+                    {
+                        "name": p,
+                        "in": "path",
+                        "required": True,
+                        "schema": {"type": "string"},
+                    }
+                    for p in params
+                ],
+                "responses": {
+                    "200": {"description": "OK"},
+                    "400": {"description": "bad request"},
+                    "404": {"description": "not found"},
+                },
+            }
+            if method in ("POST", "PUT"):
+                op["requestBody"] = {
+                    "content": {"application/json": {"schema": {"type": "object"}}}
+                }
+            paths.setdefault(tpl, {})[method.lower()] = op
+        return {
+            "openapi": "3.0.3",
+            "info": {
+                "title": "velesdb-tpu REST API",
+                "version": _version(),
+                "description": "TPU-native vector + graph + columnar database",
+            },
+            "paths": paths,
+        }
 
 
 def _require(body, *keys):
