@@ -39,9 +39,16 @@ class VelesServer:
     """Routing + handlers bound to one Database (AppState analog)."""
 
     def __init__(self, db: Database, config: VelesConfig | None = None):
+        from velesdb_tpu.utils.guardrails import CircuitBreaker, RateLimiter
+
         self.db = db
         self.config = config or VelesConfig()
         self.metrics = OperationalMetrics()
+        lim = self.config.limits
+        self.rate_limiter = (
+            RateLimiter(lim.rate_per_s) if lim.rate_per_s else None
+        )
+        self.breaker = CircuitBreaker()
         self._routes: list[tuple[str, re.Pattern, object]] = []
         r = self._route
         r("GET", r"/health", self.health)
@@ -89,7 +96,15 @@ class VelesServer:
 
     # -- dispatch -------------------------------------------------------------
 
-    def dispatch(self, method: str, path: str, query: dict, body):
+    def dispatch(self, method: str, path: str, query: dict, body, client: str = "-"):
+        from velesdb_tpu.utils.guardrails import GuardrailExceeded
+
+        if self.rate_limiter is not None and path != "/health":
+            try:
+                self.rate_limiter.acquire(client)
+            except GuardrailExceeded as e:
+                self.metrics.inc("http_rate_limited_total")
+                raise HttpError(429, str(e))
         matched_path = False
         for m, pattern, handler in self._routes:
             match = pattern.match(path)
@@ -97,8 +112,21 @@ class VelesServer:
                 matched_path = True
                 if m == method:
                     self.metrics.inc("http_requests_total", route=pattern.pattern)
-                    with self.metrics.latency("http_request").timer():
-                        return handler(body=body, query=query, **match.groupdict())
+                    if not self.breaker.allow():
+                        self.metrics.inc("http_shed_total")
+                        raise HttpError(503, "circuit open: shedding load")
+                    try:
+                        with self.metrics.latency("http_request").timer():
+                            result = handler(
+                                body=body, query=query, **match.groupdict()
+                            )
+                    except HttpError:
+                        raise  # client errors don't trip the breaker
+                    except Exception:
+                        self.breaker.record(False)
+                        raise
+                    self.breaker.record(True)
+                    return result
         if matched_path:
             raise HttpError(405, f"method {method} not allowed on {path}")
         raise HttpError(404, f"no route for {path}")
@@ -419,7 +447,13 @@ def make_server(
                     self._respond(400, {"error": "invalid JSON body"})
                     return
             try:
-                result = app.dispatch(method, parsed.path, parse_qs(parsed.query), body)
+                result = app.dispatch(
+                    method,
+                    parsed.path,
+                    parse_qs(parsed.query),
+                    body,
+                    client=self.client_address[0],
+                )
             except HttpError as e:
                 self._respond(e.status, {"error": e.message})
                 return

@@ -69,9 +69,14 @@ class LimitsConfig:
     max_batch: int = 8192
     max_match_depth: int = 16
     max_match_bindings: int = 100_000
+    rate_per_s: float = 0.0  # 0 = rate limiting disabled
 
     def validate(self) -> None:
         for f in dataclasses.fields(self):
+            if f.name == "rate_per_s":
+                if self.rate_per_s < 0:
+                    raise ConfigError("limits.rate_per_s must be >= 0")
+                continue
             if getattr(self, f.name) < 1:
                 raise ConfigError(f"limits.{f.name} must be >= 1")
 
