@@ -52,11 +52,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _merge_topk(run_v, run_i, cand_v, cand_i, k_pad: int):
+def _merge_topk(run_v, run_i, cand_v, cand_i, k_pad: int, k_sel: int):
     """Merge candidate scores into the running top-k (maximization).
 
-    ``run_v/run_i [B, K]``, ``cand_v/cand_i [B, C]``. K static passes of
-    max + one-hot extract — no sort primitive needed on the VPU.
+    ``run_v/run_i [B, K]``, ``cand_v/cand_i [B, C]``. Exactly ``k_sel``
+    (the caller's true k) passes of max + one-hot extract — no sort
+    primitive needed on the VPU; ``k_pad`` is only the lane-aligned layout
+    width, never the loop bound.
     """
     b = run_v.shape[0]
     merged_v = jnp.concatenate([run_v, cand_v], axis=1)
@@ -84,7 +86,7 @@ def _merge_topk(run_v, run_i, cand_v, cand_i, k_pad: int):
     out_v = jnp.full((b, k_pad), _NEG_INF, jnp.float32)
     out_i = jnp.full((b, k_pad), -1, jnp.int32)
     _, _, out_v, out_i = jax.lax.fori_loop(
-        0, k_pad, body, (merged_v, merged_i, out_v, out_i)
+        0, k_sel, body, (merged_v, merged_i, out_v, out_i)
     )
     return out_v, out_i
 
@@ -102,6 +104,7 @@ def _fused_kernel(
     metric: DistanceMetric,
     chunk: int,
     k_pad: int,
+    k_sel: int,
 ):
     c = pl.program_id(0)
     nsteps = pl.num_programs(0)
@@ -143,7 +146,7 @@ def _fused_kernel(
     gidx = base + jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
     gidx = jnp.where(ok, gidx, -1)
 
-    nv, ni = _merge_topk(run_v[:], run_i[:], scores, gidx, k_pad)
+    nv, ni = _merge_topk(run_v[:], run_i[:], scores, gidx, k_pad, k_sel)
     run_v[:] = nv
     run_i[:] = ni
 
@@ -156,13 +159,42 @@ def _fused_kernel(
 @functools.partial(
     jax.jit, static_argnames=("k", "metric", "chunk", "interpret")
 )
+def _fused_topk_entry(queries, corpus, valid, *, k, metric, chunk, interpret):
+    """One jitted program: normalize/pad/aux prep + the Pallas kernel.
+
+    Keeping the prep inside the jit collapses ~6 eager dispatches per search
+    into one host->device round trip — dispatch latency dominates on
+    remote-attached TPUs.
+    """
+    b, d = queries.shape
+    n = corpus.shape[0]
+    b_pad = _round_up(b, 8)
+    d_pad = _round_up(d, 128)
+    n_pad = _round_up(n, chunk)
+
+    q = queries
+    if metric is DistanceMetric.COSINE:
+        sq = jnp.sum(q * q, axis=1, keepdims=True)
+        q = q * jnp.where(sq > 1e-30, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0)
+    qq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+    qaux = jnp.pad(jnp.broadcast_to(qq, (b, 128)), ((0, b_pad - b), (0, 0)))
+    q = jnp.pad(q, ((0, b_pad - b), (0, d_pad - d)))
+    corpus = jnp.pad(corpus, ((0, n_pad - n), (0, d_pad - d)))
+    v = jnp.pad(valid.astype(jnp.float32), (0, n_pad - n))
+    v8 = jnp.broadcast_to(v[None, :], (8, n_pad))
+    vals, idx = _fused_topk_padded(
+        q, qaux, corpus, v8, k=k, metric=metric, chunk=chunk, interpret=interpret
+    )
+    return vals[:b], idx[:b]
+
+
 def _fused_topk_padded(queries, qaux, corpus, valid_f32, *, k, metric, chunk, interpret):
     b, d = queries.shape
     n = corpus.shape[0]
     k_pad = _round_up(max(k, 8), 128)
     grid = (n // chunk,)
     kernel = functools.partial(
-        _fused_kernel, metric=metric, chunk=chunk, k_pad=k_pad
+        _fused_kernel, metric=metric, chunk=chunk, k_pad=k_pad, k_sel=k
     )
     vals, idx = pl.pallas_call(
         kernel,
@@ -227,28 +259,17 @@ def fused_topk(
     denom = 2 * d_pad * c.dtype.itemsize + 12 * b_pad
     fit = max(256, (budget // denom) // 256 * 256)
     chunk = int(min(chunk, fit, _round_up(n, 256)))
-    n_pad = _round_up(n, chunk)
 
-    if metric is DistanceMetric.COSINE:
-        sq = jnp.sum(q * q, axis=1, keepdims=True)
-        q = q * jnp.where(sq > 1e-30, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0)
-    qq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
-    qaux = jnp.broadcast_to(qq, (b, 128))
-
-    q = jnp.pad(q, ((0, b_pad - b), (0, d_pad - d)))
-    qaux = jnp.pad(qaux, ((0, b_pad - b), (0, 0)))
-    c = jnp.pad(c, ((0, n_pad - n), (0, d_pad - d)))
-    if valid is None:
-        v = jnp.ones(n, jnp.float32)
-    else:
-        v = jnp.asarray(valid).astype(jnp.float32)
-    v = jnp.pad(v, (0, n_pad - n))
-    v8 = jnp.broadcast_to(v[None, :], (8, n_pad))
-
-    vals, idx = _fused_topk_padded(
-        q, qaux, c, v8, k=k, metric=metric, chunk=chunk, interpret=interpret
+    v = (
+        jnp.ones(n, jnp.float32)
+        if valid is None
+        else jnp.asarray(valid).astype(jnp.float32)
     )
-    vals, idx = vals[:b], idx[:b]
+    # euclidean fixup stays outside jit (cheap [B, k] elementwise) so the
+    # jitted entry is shared across metrics with identical output contract
+    vals, idx = _fused_topk_entry(
+        q, c, v, k=k, metric=metric, chunk=chunk, interpret=interpret
+    )
     if metric is DistanceMetric.EUCLIDEAN:
         # kernel maximizes -d^2; surface sqrt(d^2) with +inf for empties
         empty = idx < 0
