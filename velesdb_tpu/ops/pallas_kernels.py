@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from velesdb_tpu.ops.distance import DistanceMetric
 
-__all__ = ["fused_topk", "use_pallas", "DEFAULT_CHUNK"]
+__all__ = ["fused_topk", "use_pallas", "DEFAULT_CHUNK", "fit_chunk"]
 
 DEFAULT_CHUNK = 2048  # corpus rows per grid step (VMEM: 2048*768*4 = 6MB @768D)
 _NEG_INF = float("-inf")  # Python scalar: jnp constants would be captured
@@ -50,6 +50,20 @@ def use_pallas() -> bool:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def fit_chunk(b: int, d: int, k: int, itemsize: int = 4, n: int | None = None) -> int:
+    """Largest corpus-chunk rows fitting the VMEM budget for this (B, D, K):
+    double-buffered corpus chunk + resident queries + score/merge temps."""
+    b_pad = _round_up(b, 8)
+    d_pad = _round_up(d, 128)
+    k_pad = _round_up(max(k, 8), 128)
+    budget = 10 * 1024 * 1024 - b_pad * d_pad * 4 - 3 * b_pad * k_pad * 8
+    denom = 2 * d_pad * itemsize + 12 * b_pad
+    fit = max(256, (budget // denom) // 256 * 256)
+    if n is not None:
+        fit = min(fit, _round_up(n, 256))
+    return int(min(fit, DEFAULT_CHUNK))
 
 
 def _merge_topk(run_v, run_i, cand_v, cand_i, k_pad: int, k_sel: int):
@@ -250,15 +264,7 @@ def fused_topk(
     b, d = q.shape
     n = c.shape[0]
 
-    b_pad = _round_up(b, 8)
-    d_pad = _round_up(d, 128)
-    k_pad = _round_up(max(k, 8), 128)
-    # fit the VMEM budget (~16MB/core): double-buffered corpus chunk +
-    # resident queries + score/merge temporaries
-    budget = 10 * 1024 * 1024 - b_pad * d_pad * 4 - 3 * b_pad * k_pad * 8
-    denom = 2 * d_pad * c.dtype.itemsize + 12 * b_pad
-    fit = max(256, (budget // denom) // 256 * 256)
-    chunk = int(min(chunk, fit, _round_up(n, 256)))
+    chunk = min(chunk, fit_chunk(b, d, k, c.dtype.itemsize, n))
 
     v = (
         jnp.ones(n, jnp.float32)
