@@ -1,0 +1,121 @@
+"""Recall validation: quality profiles vs brute-force ground truth.
+
+Counterpart of the reference's accuracy CI (``tests/recall_validation.rs:1-40``
+— synthetic clustered data, brute-force ground truth, recall@k thresholds per
+quality profile). Covers every engine: graph ANN per profile, IVF per nprobe,
+quantized modes with and without rerank.
+"""
+
+import numpy as np
+import pytest
+
+from velesdb_tpu.database import Database
+from velesdb_tpu.index.graph_index import GraphIndex
+from velesdb_tpu.index.ivf import IvfIndex
+from velesdb_tpu.index.params import GraphParams, SearchQuality
+from velesdb_tpu.ops import DistanceMetric, StorageMode
+from velesdb_tpu.ops.chunked import brute_force_topk
+
+
+def clustered(rng, n, d, c=48, spread=0.7):
+    centers = rng.standard_normal((c, d)).astype(np.float32) * 2.0
+    a = rng.integers(0, c, n)
+    return centers[a] + spread * rng.standard_normal((n, d)).astype(np.float32)
+
+
+def recall_at_10(idx_rows, gt_rows):
+    hits = sum(
+        len(set(idx_rows[i].tolist()) & set(gt_rows[i].tolist()))
+        for i in range(len(gt_rows))
+    )
+    return hits / (len(gt_rows) * gt_rows.shape[1])
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    rng = np.random.default_rng(7)
+    n, d = 8000, 64
+    corpus = clustered(rng, n, d)
+    queries = clustered(rng, 128, d)
+    _, gt = brute_force_topk(queries, corpus, 10, DistanceMetric.COSINE)
+    return corpus, queries, gt
+
+
+# thresholds mirror the reference's profile guarantees (BENCHMARKS.md:97-100:
+# fast 92.2% / balanced 98.8% / accurate 100%), with margin for data variance
+GRAPH_PROFILES = [
+    (SearchQuality.FAST, 0.85),
+    (SearchQuality.BALANCED, 0.93),
+    (SearchQuality.ACCURATE, 0.97),
+]
+
+
+@pytest.mark.parametrize("quality,threshold", GRAPH_PROFILES)
+def test_graph_profile_recall(dataset, quality, threshold):
+    corpus, queries, gt = dataset
+    idx = GraphIndex(64, DistanceMetric.COSINE, params=GraphParams.auto(64, len(corpus)))
+    idx.build(corpus, np.ones(len(corpus), bool))
+    _, rows = idx.search(queries, 10, quality=quality)
+    r = recall_at_10(np.asarray(rows), gt)
+    assert r >= threshold, f"{quality}: recall {r:.3f} < {threshold}"
+
+
+@pytest.mark.parametrize("nprobe,threshold", [(4, 0.75), (16, 0.92), (48, 0.98)])
+def test_ivf_nprobe_recall(dataset, nprobe, threshold):
+    corpus, queries, gt = dataset
+    idx = IvfIndex(64, DistanceMetric.COSINE, n_clusters=64)
+    idx.build(corpus)
+    _, rows = idx.search(queries, 10, nprobe=nprobe)
+    r = recall_at_10(np.asarray(rows), gt)
+    assert r >= threshold, f"nprobe={nprobe}: recall {r:.3f} < {threshold}"
+
+
+def test_exact_recall_is_one(dataset):
+    from velesdb_tpu.index.brute import BruteForceIndex
+
+    corpus, queries, gt = dataset
+    idx = BruteForceIndex(64, DistanceMetric.COSINE, StorageMode.FULL)
+    idx.rebuild(corpus, np.ones(len(corpus), bool))
+    _, rows = idx.search(queries, 10)
+    assert recall_at_10(np.asarray(rows), gt) >= 0.999
+
+
+def test_quantized_recall_with_rerank(tmp_db_dir):
+    """SQ8 ~0.5-1% recall loss (quantization.rs:1-12); rerank recovers it.
+    Binary (1 bit/dim) needs realistic dimensionality — the reference quotes
+    it at 768D — so this check runs at 256D with near-corpus queries."""
+    rng = np.random.default_rng(11)
+    n, d = 4000, 256
+    corpus = clustered(rng, n, d, c=32)
+    pick = rng.integers(0, n, 64)
+    queries = corpus[pick] + 0.05 * rng.standard_normal((64, d)).astype(np.float32)
+    _, gt = brute_force_topk(queries, corpus, 10, DistanceMetric.COSINE)
+    db = Database.open(tmp_db_dir)
+
+    sq8 = db.create_collection("sq8", dim=d, storage_mode=StorageMode.SQ8)
+    sq8.upsert_bulk(range(n), corpus)
+    rows = np.asarray([[h.id for h in r] for r in sq8.search_batch(queries, 10)])
+    assert recall_at_10(rows, gt) >= 0.95  # coarse SQ8
+
+    rer = np.asarray(
+        [
+            [h.id for h in r]
+            for r in sq8.search_batch_with_rerank(queries, 10, oversample=4)
+        ]
+    )
+    assert recall_at_10(rer, gt) >= 0.99  # rerank recovers
+
+    binary = db.create_collection("bin", dim=d, storage_mode=StorageMode.BINARY)
+    binary.upsert_bulk(range(n), corpus)
+    coarse = np.asarray(
+        [[h.id for h in r] for r in binary.search_batch(queries, 10)]
+    )
+    coarse_r = recall_at_10(coarse, gt)
+    rer2 = np.asarray(
+        [
+            [h.id for h in r]
+            for r in binary.search_batch_with_rerank(queries, 10, oversample=16)
+        ]
+    )
+    rerank_r = recall_at_10(rer2, gt)
+    assert rerank_r > coarse_r and rerank_r >= 0.9, (coarse_r, rerank_r)
