@@ -80,3 +80,45 @@ def test_fused_topk_unaligned_shapes(rng):
     ref_v, ref_i = _reference(q, c, 7, DistanceMetric.EUCLIDEAN)
     assert np.array_equal(np.asarray(idx), ref_i)
     np.testing.assert_allclose(np.asarray(vals), ref_v, rtol=1e-4, atol=1e-4)
+
+
+# -- binary Hamming kernel -------------------------------------------------------
+
+
+def test_hamming_topk_matches_reference(rng):
+    from velesdb_tpu.ops import binary_quantize, pairwise_hamming_packed
+    from velesdb_tpu.ops.pallas_kernels import hamming_topk
+
+    b, n, d, k = 8, 700, 256, 10
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    pq, pc = binary_quantize(q), binary_quantize(c)
+    dist, idx = hamming_topk(pq, pc, k=k, chunk=256)
+    ref_d = np.asarray(pairwise_hamming_packed(pq, pc))
+    order = np.argsort(ref_d, kind="stable", axis=1)[:, :k]
+    # distances must match exactly (integer domain); indices up to ties
+    np.testing.assert_array_equal(
+        np.asarray(dist).astype(int),
+        np.take_along_axis(ref_d, order, axis=1),
+    )
+    got_sets = [set(np.asarray(idx)[i].tolist()) for i in range(b)]
+    for i in range(b):
+        kth = ref_d[i][order[i][-1]]
+        must = set(np.flatnonzero(ref_d[i] < kth).tolist())
+        assert must <= got_sets[i]  # strictly-better rows always included
+
+
+def test_hamming_topk_masked(rng):
+    from velesdb_tpu.ops import binary_quantize
+    from velesdb_tpu.ops.pallas_kernels import hamming_topk
+
+    q = rng.standard_normal((2, 64)).astype(np.float32)
+    c = rng.standard_normal((100, 64)).astype(np.float32)
+    valid = np.zeros(100, bool)
+    valid[[4, 9]] = True
+    dist, idx = hamming_topk(
+        binary_quantize(q), binary_quantize(c), valid=valid, k=5, chunk=256
+    )
+    idx = np.asarray(idx)
+    assert set(idx[0][idx[0] >= 0].tolist()) == {4, 9}
+    assert np.isinf(np.asarray(dist)[idx < 0]).all()

@@ -33,7 +33,7 @@ from velesdb_tpu.ops import (
     normalize,
     top_k,
 )
-from velesdb_tpu.ops.pallas_kernels import fused_topk, use_pallas
+from velesdb_tpu.ops.pallas_kernels import fused_topk, hamming_topk, use_pallas
 from velesdb_tpu.ops.quantization import SQ8Vectors
 
 __all__ = ["BruteForceIndex", "pad_rows"]
@@ -154,6 +154,23 @@ class BruteForceIndex:
                     queries, self._full, valid=valid, k=k_eff, metric=self.metric
                 )
             except Exception:  # Mosaic lowering/runtime issue: fall back once
+                _PALLAS_OK[0] = False
+        if _PALLAS_OK[0] and use_pallas() and mode is StorageMode.BINARY:
+            try:
+                valid = self._valid
+                if mask is not None:
+                    valid = jnp.logical_and(valid, jnp.asarray(mask))
+                packed_q = binary_quantize(queries)
+                dist, idx = hamming_topk(
+                    packed_q, self._packed, valid=valid, k=k_eff
+                )
+                if self.metric.higher_is_better:
+                    vals = jnp.where(
+                        idx < 0, -jnp.inf, 1.0 - dist / float(self.dim)
+                    )
+                    return vals, idx
+                return dist, idx
+            except Exception:
                 _PALLAS_OK[0] = False
         if mode in (StorageMode.FULL, StorageMode.F16, StorageMode.BF16):
             corpus_args = (self._full,)
