@@ -199,3 +199,96 @@ def test_chroma_connector(mock_service, coll):
 def test_qdrant_connection_refused(coll):
     with pytest.raises(ConnectorError, match="failed"):
         list(QdrantConnector("http://127.0.0.1:9", "x").records())
+
+
+@pytest.fixture
+def mock_es_weaviate_milvus(rng):
+    """One server speaking ES scroll, Weaviate objects, and Milvus v2 query."""
+    vectors = _vecs(rng, 9)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, out):
+            data = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            if self.path.endswith("/_search"):
+                after = (body.get("search_after") or [-1])[0]
+                size = body["size"]
+                start = after + 1
+                hits = [
+                    {
+                        "_id": str(i),
+                        "_source": {"embedding": vectors[i].tolist(), "i": i},
+                        "sort": [i],
+                    }
+                    for i in range(start, min(start + size, len(vectors)))
+                ]
+                self._json({"hits": {"hits": hits}})
+            elif self.path.endswith("/entities/query"):
+                off, lim = body["offset"], body["limit"]
+                rows = [
+                    {"id": i, "vector": vectors[i].tolist(), "i": i}
+                    for i in range(off, min(off + lim, len(vectors)))
+                ]
+                self._json({"data": rows})
+            else:
+                self.send_response(404); self.end_headers()
+
+        def do_GET(self):
+            if self.path.startswith("/v1/objects"):
+                from urllib.parse import parse_qs, urlparse
+                qs = parse_qs(urlparse(self.path).query)
+                lim = int(qs["limit"][0])
+                after = qs.get("after", [None])[0]
+                start = int(after) + 1 if after else 0
+                objs = [
+                    {
+                        "id": str(i),
+                        "vector": vectors[i].tolist(),
+                        "properties": {"_veles_id": i, "name": f"w{i}"},
+                    }
+                    for i in range(start, min(start + lim, len(vectors)))
+                ]
+                self._json({"objects": objs})
+            else:
+                self.send_response(404); self.end_headers()
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", vectors
+    httpd.shutdown()
+
+
+def test_elasticsearch_connector(mock_es_weaviate_milvus, coll):
+    from velesdb_tpu.migrate import ElasticsearchConnector
+
+    base, vectors = mock_es_weaviate_milvus
+    report = MigrationPipeline(
+        ElasticsearchConnector(base, "idx", batch=4), coll
+    ).run()
+    assert report.migrated == 9 and coll.get(5)[1] == {"i": 5}
+
+
+def test_weaviate_connector(mock_es_weaviate_milvus, coll):
+    from velesdb_tpu.migrate import WeaviateConnector
+
+    base, vectors = mock_es_weaviate_milvus
+    report = MigrationPipeline(WeaviateConnector(base, "Doc", batch=4), coll).run()
+    assert report.migrated == 9 and coll.get(3)[1] == {"name": "w3"}
+
+
+def test_milvus_connector(mock_es_weaviate_milvus, coll):
+    from velesdb_tpu.migrate import MilvusConnector
+
+    base, vectors = mock_es_weaviate_milvus
+    report = MigrationPipeline(MilvusConnector(base, "c", batch=4), coll).run()
+    assert report.migrated == 9
+    np.testing.assert_allclose(coll.get(7)[0], vectors[7], rtol=1e-6)

@@ -5,11 +5,14 @@ from velesdb_tpu.migrate.connectors import (
     ChromaConnector,
     ConnectorError,
     CsvConnector,
+    ElasticsearchConnector,
     JsonConnector,
     JsonlConnector,
+    MilvusConnector,
     NumpyConnector,
     PgvectorConnector,
     QdrantConnector,
+    WeaviateConnector,
 )
 from velesdb_tpu.migrate.pipeline import MigrationPipeline, MigrationReport
 
@@ -23,6 +26,9 @@ __all__ = [
     "QdrantConnector",
     "ChromaConnector",
     "PgvectorConnector",
+    "ElasticsearchConnector",
+    "WeaviateConnector",
+    "MilvusConnector",
     "MigrationPipeline",
     "MigrationReport",
 ]

@@ -290,6 +290,119 @@ class PgvectorConnector:
                     yield {"id": int(vid), "vector": vec, "payload": payload or None}
 
 
+class ElasticsearchConnector(_RestConnector):
+    """Elasticsearch/OpenSearch: ``_search`` with ``search_after`` paging
+    over a ``dense_vector`` field."""
+
+    def __init__(self, base_url: str, index: str, vector_field="embedding",
+                 id_field=None, **kw):
+        super().__init__(base_url, **kw)
+        self.index = index
+        self.vector_field = vector_field
+        self.id_field = id_field  # None = numeric _id
+
+    def records(self) -> Iterator[dict]:
+        search_after = None
+        while True:
+            body = {
+                "size": self.batch,
+                "sort": [{"_doc": "asc"}],
+                "_source": True,
+            }
+            if search_after is not None:
+                body["search_after"] = search_after
+            out = self._post(f"/{self.index}/_search", body)
+            hits = (out.get("hits") or {}).get("hits") or []
+            if not hits:
+                return
+            for h in hits:
+                src = h.get("_source") or {}
+                vec = src.pop(self.vector_field, None)
+                if vec is None:
+                    continue
+                rid = src.get(self.id_field) if self.id_field else h.get("_id")
+                yield {"id": int(rid), "vector": vec, "payload": src or None}
+            search_after = hits[-1].get("sort")
+            if search_after is None:
+                return
+
+
+class WeaviateConnector(_RestConnector):
+    """Weaviate: ``GET /v1/objects`` cursor pagination with vectors."""
+
+    def __init__(self, base_url: str, class_name: str, id_field="_veles_id", **kw):
+        super().__init__(base_url, **kw)
+        self.class_name = class_name
+        self.id_field = id_field
+
+    def _get(self, path: str) -> dict:
+        req = urllib.request.Request(self.base_url + path, method="GET")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return json.loads(resp.read().decode())
+        except Exception as e:
+            raise ConnectorError(f"REST call {path} failed: {e}") from e
+
+    def records(self) -> Iterator[dict]:
+        after = None
+        i = 0
+        while True:
+            path = (
+                f"/v1/objects?class={self.class_name}&include=vector"
+                f"&limit={self.batch}"
+            )
+            if after:
+                path += f"&after={after}"
+            out = self._get(path)
+            objs = out.get("objects") or []
+            if not objs:
+                return
+            for o in objs:
+                props = dict(o.get("properties") or {})
+                rid = props.pop(self.id_field, None)
+                yield {
+                    "id": int(rid) if rid is not None else i,
+                    "vector": o.get("vector"),
+                    "payload": props or None,
+                }
+                i += 1
+            after = objs[-1].get("id")
+
+
+class MilvusConnector(_RestConnector):
+    """Milvus RESTful v2: ``/v2/vectordb/entities/query`` with offset paging."""
+
+    def __init__(self, base_url: str, collection: str, vector_field="vector",
+                 id_field="id", **kw):
+        super().__init__(base_url, **kw)
+        self.collection = collection
+        self.vector_field = vector_field
+        self.id_field = id_field
+
+    def records(self) -> Iterator[dict]:
+        offset = 0
+        while True:
+            out = self._post(
+                "/v2/vectordb/entities/query",
+                {
+                    "collectionName": self.collection,
+                    "filter": "",
+                    "outputFields": ["*"],
+                    "limit": self.batch,
+                    "offset": offset,
+                },
+            )
+            rows = out.get("data") or []
+            if not rows:
+                return
+            for r in rows:
+                r = dict(r)
+                vec = r.pop(self.vector_field, None)
+                rid = r.pop(self.id_field)
+                yield {"id": int(rid), "vector": vec, "payload": r or None}
+            offset += len(rows)
+
+
 CONNECTORS = {
     "jsonl": JsonlConnector,
     "json": JsonConnector,
@@ -298,4 +411,7 @@ CONNECTORS = {
     "qdrant": QdrantConnector,
     "chroma": ChromaConnector,
     "pgvector": PgvectorConnector,
+    "elasticsearch": ElasticsearchConnector,
+    "weaviate": WeaviateConnector,
+    "milvus": MilvusConnector,
 }
