@@ -307,3 +307,17 @@ def test_explain_plan(db):
     assert "VectorSearch" in txt and "mask pushdown" in txt and "Limit" in txt
     plan2 = d.explain_query("SELECT category, COUNT(*) FROM products GROUP BY category")
     assert "Aggregate" in plan2.render() and "Scan" in plan2.render()
+
+
+def test_limits_validation(db):
+    d, _ = db
+    from velesdb_tpu.velesql.validation import ValidationError, validate_vector
+    from velesdb_tpu.utils.config import LimitsConfig
+
+    with pytest.raises(QueryError, match="max_k"):
+        d.query("SELECT * FROM products LIMIT 999999")
+    lim = LimitsConfig(max_dim=4)
+    with pytest.raises(ValidationError, match="max_dim"):
+        validate_vector(np.ones(8), lim)
+    with pytest.raises(ValidationError, match="NaN"):
+        validate_vector([1.0, float("nan")], lim)

@@ -36,9 +36,20 @@ _INITIAL_SLOTS_BYTES = 16 * 1024 * 1024  # 16MB initial file, like mmap.rs
 
 
 class VectorStore:
-    """Append-mostly slot store of f32 vectors keyed by u64 ids."""
+    """Append-mostly slot store of f32 vectors keyed by u64 ids.
+
+    Per-operation latency stats live in :data:`metrics` (``storage/metrics.rs``
+    analog) — store/retrieve/flush record into named LatencyStats.
+    """
 
     def __init__(self, directory: str, dim: int, create: bool = False):
+        from velesdb_tpu.utils.metrics import LatencyStats
+
+        self.metrics = {
+            "store": LatencyStats(),
+            "retrieve": LatencyStats(),
+            "flush": LatencyStats(),
+        }
         self.dir = directory
         self.dim = int(dim)
         self._bin_path = os.path.join(directory, "vectors.bin")
@@ -184,8 +195,9 @@ class VectorStore:
         vec = np.asarray(vec, dtype=np.float32)
         if vec.shape != (self.dim,):
             raise ValueError(f"expected dim {self.dim}, got {vec.shape}")
-        self._wal_append(_OP_UPSERT, vid, vec)
-        return self._apply_upsert(vid, vec)
+        with self.metrics["store"].timer():
+            self._wal_append(_OP_UPSERT, vid, vec)
+            return self._apply_upsert(vid, vec)
 
     def store_batch(self, ids, vecs: np.ndarray) -> list[int]:
         vecs = np.asarray(vecs, dtype=np.float32)
@@ -204,10 +216,11 @@ class VectorStore:
     # -- reads -------------------------------------------------------------
 
     def retrieve(self, vid: int) -> np.ndarray | None:
-        slot = self.id_to_slot.get(int(vid))
-        if slot is None:
-            return None
-        return np.array(self._mmap[slot])
+        with self.metrics["retrieve"].timer():
+            slot = self.id_to_slot.get(int(vid))
+            if slot is None:
+                return None
+            return np.array(self._mmap[slot])
 
     def __contains__(self, vid) -> bool:
         return int(vid) in self.id_to_slot
@@ -268,11 +281,12 @@ class VectorStore:
 
     def flush(self) -> None:
         """Flush memmap + index, then truncate the WAL (checkpoint)."""
-        self._mmap.flush()
-        self._save_index()
-        self._wal_file.truncate(0)
-        self._wal_file.seek(0)
-        self._wal_file.flush()
+        with self.metrics["flush"].timer():
+            self._mmap.flush()
+            self._save_index()
+            self._wal_file.truncate(0)
+            self._wal_file.seek(0)
+            self._wal_file.flush()
 
     def close(self) -> None:
         self.flush()

@@ -40,8 +40,18 @@ class QueryError(ValueError):
     pass
 
 
-def execute(db, query: Query, params: dict | None = None) -> list[dict]:
-    """Execute a parsed query against a Database. Returns rows as dicts."""
+def execute(db, query: Query, params: dict | None = None, limits=None) -> list[dict]:
+    """Execute a parsed query against a Database. Returns rows as dicts.
+
+    ``limits`` (a :class:`~velesdb_tpu.utils.config.LimitsConfig`) gates
+    resource consumption before any device work (``validation.rs`` analog).
+    """
+    from velesdb_tpu.velesql.validation import ValidationError, validate_query
+
+    try:
+        validate_query(query.root, limits)
+    except ValidationError as e:
+        raise QueryError(str(e)) from e
     return _exec_node(db, query.root, params or {})
 
 
