@@ -42,6 +42,7 @@ from velesdb_tpu.ops.distance import DistanceMetric
 __all__ = ["GraphIndex", "beam_search_impl"]
 
 _INF = jnp.float32(jnp.inf)
+EXPAND_WIDTH = 4  # candidates expanded per beam iteration (CAGRA-style)
 
 
 def _pad_pow2(n: int, minimum: int = 8) -> int:
@@ -423,36 +424,50 @@ def beam_search_impl(
     d0 = jnp.concatenate([init_d, jnp.full((b, max(pad, 0)), _INF)], axis=1)[:, :beam]
     vis0 = jnp.zeros((b, beam), bool)
 
+    # multi-expansion (CAGRA-style): each iteration expands the E best
+    # unvisited candidates at once — E x fewer sequential steps, the
+    # dominant cost on TPU where each step is a latency-bound gather
+    ew = max(1, min(EXPAND_WIDTH, beam))
+    rows = jnp.arange(b)[:, None]
+
     def body(_, state):
         ids, dist, vis = state
-        # pick best unvisited candidate per query
         sel = jnp.where(vis | (ids < 0), _INF, dist)
-        best = jnp.argmin(sel, axis=1)  # [B]
-        has = jnp.take_along_axis(sel, best[:, None], axis=1)[:, 0] < _INF
-        bid = jnp.take_along_axis(ids, best[:, None], axis=1)[:, 0]  # [B]
-        vis = vis.at[jnp.arange(b), best].set(True)
-        # expand: gather neighbor rows and score them
-        nbrs = adj[jnp.maximum(bid, 0)]  # [B, degree]
+        neg_sel, best_pos = jax.lax.top_k(-sel, ew)  # [B, E]
+        has = (-neg_sel) < _INF
+        bids = jnp.take_along_axis(ids, best_pos, axis=1)  # [B, E]
+        vis = vis.at[rows, best_pos].set(True)
+        # expand: gather E neighbor rows per query and score them together
+        nbrs = adj[jnp.maximum(bids, 0)].reshape(b, ew * degree)
         nd = q_dist(nbrs)
+        has_flat = jnp.repeat(has, degree, axis=1)  # [B, E*degree]
         bad = (
             (nbrs < 0)
             | ~valid[jnp.maximum(nbrs, 0)]
-            | ~has[:, None]
-            | jnp.any(nbrs[:, :, None] == ids[:, None, :], axis=2)  # dedup
+            | ~has_flat
+            | jnp.any(nbrs[:, :, None] == ids[:, None, :], axis=2)  # vs pool
         )
+        # dedup within the expansion batch (two expanded nodes sharing a
+        # neighbor): keep the first occurrence only
+        eq = nbrs[:, :, None] == nbrs[:, None, :]
+        first = jnp.sum(
+            jnp.tril(eq, k=-1) & ~bad[:, None, :] & ~bad[:, :, None], axis=2
+        ) == 0
+        bad = bad | ~first
         nd = jnp.where(bad, _INF, nd)
         nids = jnp.where(bad, -1, nbrs)
         # merge + keep best `beam`
         all_ids = jnp.concatenate([ids, nids], axis=1)
         all_d = jnp.concatenate([dist, nd], axis=1)
-        all_v = jnp.concatenate([vis, jnp.zeros((b, degree), bool)], axis=1)
+        all_v = jnp.concatenate([vis, jnp.zeros((b, ew * degree), bool)], axis=1)
         _, order = jax.lax.top_k(-all_d, beam)
         ids = jnp.take_along_axis(all_ids, order, axis=1)
         dist = jnp.take_along_axis(all_d, order, axis=1)
         vis = jnp.take_along_axis(all_v, order, axis=1)
         return ids, dist, vis
 
-    ids, dist, _ = jax.lax.fori_loop(0, expansions, body, (ids0, d0, vis0))
+    steps = max(2, -(-expansions // ew))
+    ids, dist, _ = jax.lax.fori_loop(0, steps, body, (ids0, d0, vis0))
 
     # ---- final selection (apply result filter here) ----
     if mask is not None:
