@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from velesdb_tpu.index.params import GraphParams, SearchQuality
-from velesdb_tpu.ops.chunked import brute_force_topk
+from velesdb_tpu.ops.chunked import self_knn
 from velesdb_tpu.ops.distance import DistanceMetric
 
 __all__ = ["GraphIndex", "beam_search_impl"]
@@ -87,10 +87,8 @@ class GraphIndex:
             self._dirty = False
             return
         knn_k = min(p.knn_k, max(1, int(valid.sum()) - 1))
-        # 1. exact kNN graph (self-edges excluded)
-        _, knn_idx = brute_force_topk(
-            corpus, corpus, knn_k, self.metric, valid=valid, exclude_self=True
-        )
+        # 1. exact kNN graph (self-edges excluded) — ONE device program
+        knn_idx = self_knn(corpus, knn_k, self.metric, valid=valid)
         # distance-ordered forward candidates
         fwd = knn_idx.astype(np.int32)  # [n, knn_k], -1 where few valid
         # 2. alpha-diversification prune (device, blockwise)
@@ -101,32 +99,24 @@ class GraphIndex:
         self._dirty = False
 
     def _alpha_prune_host(self, corpus: np.ndarray, fwd: np.ndarray) -> np.ndarray:
-        """VAMANA prune in blocks of nodes (keeps diverse neighbors).
-
-        Per-block keep-masks accumulate on device; ONE host transfer at the
-        end (round-trip latency dominates on remote-attached TPUs).
-        """
+        """VAMANA prune (keeps diverse neighbors): ONE device program
+        scanning node blocks, one readback."""
         if self.params.alpha <= 1.0:
             return fwd
         n, k = fwd.shape
         block = 2048
-        corpus_dev = jax.device_put(jnp.asarray(corpus))
-        keeps = []
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            pad = block - (e - s)
-            blk = np.pad(fwd[s:e], ((0, pad), (0, 0)), constant_values=-1)
-            base = np.pad(corpus[s:e], ((0, pad), (0, 0)))
-            keeps.append(
-                _alpha_prune_block(
-                    jnp.asarray(base),
-                    jnp.asarray(blk),
-                    corpus_dev,
-                    self.metric,
-                    self.params.alpha,
-                )[: e - s]
+        n_pad = ((n + block - 1) // block) * block
+        corpus_dev = jax.device_put(
+            jnp.asarray(np.pad(corpus, ((0, n_pad - n), (0, 0))))
+        )
+        fwd_dev = jax.device_put(
+            jnp.asarray(np.pad(fwd, ((0, n_pad - n), (0, 0)), constant_values=-1))
+        )
+        keep = np.asarray(
+            _alpha_prune_scan(
+                corpus_dev, fwd_dev, self.metric, self.params.alpha, block
             )
-        keep = np.asarray(keeps[0] if len(keeps) == 1 else jnp.concatenate(keeps))
+        )[:n]
         return np.where(keep, fwd, -1)
 
     def _upload(self, corpus, valid, adj) -> None:
@@ -248,6 +238,20 @@ class GraphIndex:
 # ----------------------------------------------------------------------
 # kernels
 # ----------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "alpha", "block"))
+def _alpha_prune_scan(corpus_pad, fwd_pad, metric, alpha, block):
+    """Scan the prune over node blocks in one program (one dispatch)."""
+    nb = fwd_pad.shape[0] // block
+
+    def body(_, i):
+        base = jax.lax.dynamic_slice_in_dim(corpus_pad, i * block, block)
+        blk = jax.lax.dynamic_slice_in_dim(fwd_pad, i * block, block)
+        return None, _alpha_prune_block(base, blk, corpus_pad, metric, alpha)
+
+    _, keeps = jax.lax.scan(body, None, jnp.arange(nb, dtype=jnp.int32))
+    return keeps.reshape(fwd_pad.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "alpha"))

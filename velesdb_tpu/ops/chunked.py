@@ -21,7 +21,89 @@ import numpy as np
 from velesdb_tpu.ops.distance import DistanceMetric, pairwise_scores
 from velesdb_tpu.ops.topk import top_k
 
-__all__ = ["chunked_topk", "brute_force_topk"]
+__all__ = ["chunked_topk", "brute_force_topk", "self_knn"]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "q_block", "chunk")
+)
+def _self_knn_device(corpus, valid, *, k, metric, q_block, chunk):
+    """Exact self-kNN graph (self-edges excluded) as ONE device program.
+
+    Outer ``lax.scan`` over query blocks, inner ``lax.scan`` over corpus
+    chunks with a running top-k — the kNN-graph build issues a single
+    dispatch regardless of N (per-block host loops pay one tunnel round
+    trip each, which dominated build time on remote-attached TPUs).
+    """
+    n_pad = corpus.shape[0]
+    hib = metric.higher_is_better
+    worst = jnp.float32(-jnp.inf if hib else jnp.inf)
+    corpus_c = corpus.reshape(n_pad // chunk, chunk, corpus.shape[1])
+    valid_c = valid.reshape(n_pad // chunk, chunk)
+
+    def q_block_body(_, qi):
+        q = jax.lax.dynamic_slice_in_dim(corpus, qi * q_block, q_block)
+        row = jax.lax.broadcasted_iota(jnp.int32, (q_block, chunk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (q_block, chunk), 1)
+
+        def chunk_body(carry, inp):
+            run_v, run_i = carry
+            c_idx, c_vecs, c_valid = inp
+            scores = pairwise_scores(q, c_vecs, metric)
+            gcol = col + c_idx * chunk
+            m = c_valid[None, :] & (gcol != (row + qi * q_block))
+            scores = jnp.where(m, scores, worst)
+            vals, idx = top_k(scores, min(k, chunk), higher_is_better=hib)
+            gidx = idx + c_idx * chunk
+            mv, pos = top_k(
+                jnp.concatenate([run_v, vals], axis=1), k, higher_is_better=hib
+            )
+            mi = jnp.take_along_axis(
+                jnp.concatenate([run_i, gidx], axis=1), pos, axis=1
+            )
+            return (mv, mi), None
+
+        init = (
+            jnp.full((q_block, k), worst, jnp.float32),
+            jnp.full((q_block, k), -1, jnp.int32),
+        )
+        (vals, idx), _ = jax.lax.scan(
+            chunk_body,
+            init,
+            (jnp.arange(n_pad // chunk, dtype=jnp.int32), corpus_c, valid_c),
+        )
+        idx = jnp.where(vals == worst, -1, idx)
+        return None, idx
+
+    _, all_idx = jax.lax.scan(
+        q_block_body, None, jnp.arange(n_pad // q_block, dtype=jnp.int32)
+    )
+    return all_idx.reshape(n_pad, k)
+
+
+def self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
+             q_block: int = 1024, c_chunk: int = 16384) -> np.ndarray:
+    """kNN graph of a corpus against itself: ``[N, k] int32`` (-1 = none).
+
+    One dispatch, one readback (the graph-index build workhorse).
+    """
+    corpus_np = np.asarray(corpus, np.float32)
+    n, d = corpus_np.shape
+    metric = DistanceMetric(metric)
+    if valid is None:
+        valid_np = np.ones(n, bool)
+    else:
+        valid_np = np.asarray(valid, bool)
+    c_chunk = min(c_chunk, 1 << max(10, (n - 1).bit_length()))
+    block = min(q_block, c_chunk)
+    unit = np.lcm(block, c_chunk)
+    n_pad = ((n + unit - 1) // unit) * unit
+    corpus_dev = jax.device_put(np.pad(corpus_np, ((0, n_pad - n), (0, 0))))
+    valid_dev = jax.device_put(np.pad(valid_np, (0, n_pad - n)))
+    idx = _self_knn_device(
+        corpus_dev, valid_dev, k=k, metric=metric, q_block=block, chunk=c_chunk
+    )
+    return np.asarray(idx[:n])
 
 
 @functools.partial(
