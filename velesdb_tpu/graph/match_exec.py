@@ -88,7 +88,17 @@ def execute_match(coll, stmt_or_text, params: dict | None = None,
         bindings = _apply_where(coll, stmt, bindings, params)
 
     # -- RETURN / ORDER BY / LIMIT ---------------------------------------------
-    rows = [_project(coll, stmt, b, params) for b in bindings]
+    # batch-score similarity() RETURN items once over all bindings
+    proj_cache: dict[tuple, dict[int, float]] = {}
+    for item in stmt.returns or []:
+        if item.expr[0] == "similarity":
+            cond = {"var": item.expr[1], "vector": item.expr[2], "kind": "sim"}
+            _prime_sim_cache(coll, cond, bindings, params, proj_cache)
+            # re-key by (var, vector id) so _project can find it
+            proj_cache[(item.expr[1], id(item.expr[2]))] = proj_cache.pop(
+                (item.expr[1], id(cond)), {}
+            )
+    rows = [_project(coll, stmt, b, params, proj_cache) for b in bindings]
     rows = _order(rows, stmt)
     if stmt.limit is not None:
         rows = rows[: stmt.limit]
@@ -202,7 +212,12 @@ def _expand(coll, stmt, bindings, *, edge_idx, from_idx, to_idx, reverse,
 
 
 def _apply_where(coll, stmt, bindings, params) -> list[dict]:
+    # batch-score every similarity condition over its unique bound nodes in
+    # ONE device call each (per-node scoring costs a dispatch round trip)
     sim_cache: dict[tuple, dict[int, float]] = {}
+    for cond in stmt.where:
+        if cond.get("kind") == "sim":
+            _prime_sim_cache(coll, cond, bindings, params, sim_cache)
     out = []
     for b in bindings:
         ok = True
@@ -213,6 +228,30 @@ def _apply_where(coll, stmt, bindings, params) -> list[dict]:
         if ok:
             out.append(b)
     return out
+
+
+def _prime_sim_cache(coll, cond, bindings, params, sim_cache) -> None:
+    var = cond["var"]
+    nodes = sorted({b[var] for b in bindings if var in b and not isinstance(b[var], list)})
+    if not nodes:
+        return
+    vec = np.asarray(_resolve(cond["vector"], params), np.float32)
+    scores = _batch_sim_scores(coll, vec, nodes)
+    sim_cache[(var, id(cond))] = dict(zip(nodes, scores))
+
+
+def _batch_sim_scores(coll, vec: np.ndarray, nodes: list[int]) -> list[float]:
+    from velesdb_tpu.ops import pairwise_scores
+
+    rows = np.stack(
+        [
+            nv if (nv := coll.vectors.retrieve(n)) is not None
+            else np.zeros(coll.dim, np.float32)
+            for n in nodes
+        ]
+    )
+    s = np.asarray(pairwise_scores(vec[None, :], rows, coll.metric))[0]
+    return [float(x) for x in s]
 
 
 def _props_of(coll, node: int) -> dict:
@@ -283,7 +322,7 @@ def _sim_score(coll, cond, node, params, sim_cache) -> float:
     return score
 
 
-def _project(coll, stmt, binding, params) -> dict:
+def _project(coll, stmt, binding, params, proj_cache=None) -> dict:
     graph = coll.ensure_graph()
     row = {}
     items = stmt.returns or []
@@ -309,10 +348,15 @@ def _project(coll, stmt, binding, params) -> dict:
                 _props_of(coll, binding[var]), path
             )
         elif expr[0] == "similarity":
-            cond = {"var": expr[1], "vector": expr[2]}
-            row[item.alias or "similarity"] = _sim_score(
-                coll, cond, binding[expr[1]], params, {}
-            )
+            node = binding[expr[1]]
+            cached = (proj_cache or {}).get((expr[1], id(expr[2])), {})
+            if node in cached:
+                row[item.alias or "similarity"] = cached[node]
+            else:
+                cond = {"var": expr[1], "vector": expr[2]}
+                row[item.alias or "similarity"] = _sim_score(
+                    coll, cond, node, params, {}
+                )
     return row
 
 
