@@ -73,16 +73,17 @@ def main():
     chunk = fit_chunk(batch, d, k, n=n)
     corpus_dev = index._full
     valid_f32 = index._valid.astype(jnp.float32)
+    cnorm_dev = index._full_sqnorm
     nb = n_queries // batch
     qsr = jnp.asarray(queries[: nb * batch].reshape(nb, batch, d))
     gtb = gt[: nb * batch].reshape(nb, batch, k)
 
     @jax.jit
-    def recall_scan(qs, gts, corpus_a, valid_a):
+    def recall_scan(qs, gts, corpus_a, valid_a, cn_a):
         def body(acc, qg):
             q, g = qg
             _, i = _fused_topk_entry(
-                q, corpus_a, valid_a, k=k, metric=metric, chunk=chunk,
+                q, corpus_a, valid_a, cn_a, k=k, metric=metric, chunk=chunk,
                 interpret=interp,
             )
             eq = (i[:, :, None] == g[:, None, :]) & (g[:, None, :] >= 0)
@@ -93,7 +94,7 @@ def main():
 
     # corpus passes as an argument: closure capture would embed it in the
     # compile payload (rejected by the remote-compile size limit)
-    recall = float(recall_scan(qsr, gtb, corpus_dev, valid_f32)) / (nb * batch * k)
+    recall = float(recall_scan(qsr, gtb, corpus_dev, valid_f32, cnorm_dev)) / (nb * batch * k)
 
     # steady-state batched QPS on one chip, measured DEVICE-SIDE: `iters`
     # successive searches run inside one jitted lax.scan, so the (highly
@@ -104,21 +105,21 @@ def main():
     valid_dev = valid_f32
 
     @jax.jit
-    def run_many(qs, corpus_a, valid_a):
+    def run_many(qs, corpus_a, valid_a, cn_a):
         def body(_, q):
             v, i = _fused_topk_entry(
-                q, corpus_a, valid_a, k=k, metric=metric, chunk=chunk,
+                q, corpus_a, valid_a, cn_a, k=k, metric=metric, chunk=chunk,
                 interpret=interp,
             )
             return None, (v[0, 0], i[0, 0])  # tiny carry-out defeats DCE
         _, outs = jax.lax.scan(body, None, qs)
         return outs
 
-    jax.block_until_ready(run_many(qs, corpus_dev, valid_dev))  # compile + warm
+    jax.block_until_ready(run_many(qs, corpus_dev, valid_dev, cnorm_dev))  # compile+warm
     samples = []
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(run_many(qs, corpus_dev, valid_dev))
+        jax.block_until_ready(run_many(qs, corpus_dev, valid_dev, cnorm_dev))
         samples.append(time.perf_counter() - t0)
     qps = iters * batch / float(np.min(samples))
 

@@ -61,6 +61,7 @@ class BruteForceIndex:
         self._sq8: SQ8Vectors | None = None
         self._packed = None  # [N_pad, W] uint32 (binary mode)
         self._sq_norm = None  # [N_pad] f32 squared norms (euclidean w/ sq8)
+        self._full_sqnorm = None  # [N_pad] f32 norms for the fused kernel
 
     # -- build -------------------------------------------------------------
 
@@ -80,6 +81,11 @@ class BruteForceIndex:
                 StorageMode.BF16: jnp.bfloat16,
             }[mode]
             self._full = jax.device_put(jnp.asarray(slots, dtype=dtype))
+            # corpus-static squared norms feed the fused kernel (computed
+            # once per rebuild, not per chunk per query batch)
+            self._full_sqnorm = jax.device_put(
+                jnp.sum(jnp.asarray(slots, jnp.float32) ** 2, axis=1)
+            )
         elif mode is StorageMode.SQ8:
             sq = sq8_quantize(jnp.asarray(slots))
             self._sq8 = jax.device_put(sq)
@@ -151,7 +157,12 @@ class BruteForceIndex:
                 if mask is not None:
                     valid = jnp.logical_and(valid, jnp.asarray(mask))
                 return fused_topk(
-                    queries, self._full, valid=valid, k=k_eff, metric=self.metric
+                    queries,
+                    self._full,
+                    valid=valid,
+                    k=k_eff,
+                    metric=self.metric,
+                    corpus_sqnorm=self._full_sqnorm,
                 )
             except Exception:  # Mosaic lowering/runtime issue: fall back once
                 _PALLAS_OK[0] = False

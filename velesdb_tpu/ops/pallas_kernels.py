@@ -116,6 +116,7 @@ def _fused_kernel(
     qaux_ref,  # [B, 128] VMEM: per-query aux (|q|^2 broadcast) — euclidean
     corpus_ref,  # [C, D] VMEM (this grid step's chunk)
     valid_ref,  # [8, C] f32 VMEM (row 0 = 1.0 valid / 0.0 masked)
+    cnorm_ref,  # [8, C] f32 VMEM (row 0 = |c|^2, corpus-static precompute)
     vals_ref,  # [B, K] out
     idx_ref,  # [B, K] out
     run_v,  # [B, K] VMEM scratch
@@ -135,6 +136,9 @@ def _fused_kernel(
         run_i[:] = jnp.full_like(run_i, -1)
 
     q = q_ref[:]
+    # f16/bf16 corpora halve HBM traffic; upcast per chunk for the MXU
+    # (native bf16 dot_general with a transposed rhs lowers poorly in
+    # Mosaic — measured 20x slower than upcast+f32 matmul)
     chunk_rows = corpus_ref[:].astype(jnp.float32)
     dots = jax.lax.dot_general(
         q,
@@ -146,12 +150,13 @@ def _fused_kernel(
     if metric is DistanceMetric.DOT_PRODUCT:
         scores = dots
     elif metric is DistanceMetric.COSINE:
-        # queries pre-normalized by the wrapper; normalize corpus rows here
-        sq = jnp.sum(chunk_rows * chunk_rows, axis=1)[None, :]  # [1, C]
+        # queries pre-normalized by the wrapper; corpus norms are a
+        # corpus-static input — never recomputed per chunk per batch
+        sq = cnorm_ref[0, :][None, :]
         inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-30))
         scores = dots * jnp.where(sq > 1e-30, inv, 0.0)
     elif metric is DistanceMetric.EUCLIDEAN:
-        cc = jnp.sum(chunk_rows * chunk_rows, axis=1)[None, :]  # [1, C]
+        cc = cnorm_ref[0, :][None, :]
         qq = qaux_ref[:, :1]  # [B, 1] |q|^2
         d2 = jnp.maximum(qq + cc - 2.0 * dots, 0.0)
         scores = -d2  # maximize
@@ -179,7 +184,7 @@ def _fused_kernel(
 @functools.partial(
     jax.jit, static_argnames=("k", "metric", "chunk", "interpret")
 )
-def _fused_topk_entry(queries, corpus, valid, *, k, metric, chunk, interpret):
+def _fused_topk_entry(queries, corpus, valid, cnorm, *, k, metric, chunk, interpret):
     """One jitted program: normalize/pad/aux prep + the Pallas kernel.
 
     Keeping the prep inside the jit collapses ~6 eager dispatches per search
@@ -202,13 +207,19 @@ def _fused_topk_entry(queries, corpus, valid, *, k, metric, chunk, interpret):
     corpus = jnp.pad(corpus, ((0, n_pad - n), (0, d_pad - d)))
     v = jnp.pad(valid.astype(jnp.float32), (0, n_pad - n))
     v8 = jnp.broadcast_to(v[None, :], (8, n_pad))
+    if cnorm is None:  # ad-hoc callers: one extra corpus read, same program
+        cnorm = jnp.sum(corpus.astype(jnp.float32) ** 2, axis=1)
+    else:
+        cnorm = jnp.pad(cnorm.astype(jnp.float32), (0, n_pad - cnorm.shape[0]))
+    c8 = jnp.broadcast_to(cnorm[None, :], (8, n_pad))
     vals, idx = _fused_topk_padded(
-        q, qaux, corpus, v8, k=k, metric=metric, chunk=chunk, interpret=interpret
+        q, qaux, corpus, v8, c8, k=k, metric=metric, chunk=chunk,
+        interpret=interpret,
     )
     return vals[:b], idx[:b]
 
 
-def _fused_topk_padded(queries, qaux, corpus, valid_f32, *, k, metric, chunk, interpret):
+def _fused_topk_padded(queries, qaux, corpus, valid_f32, cnorm_f32, *, k, metric, chunk, interpret):
     b, d = queries.shape
     n = corpus.shape[0]
     k_pad = _round_up(max(k, 8), 128)
@@ -223,6 +234,7 @@ def _fused_topk_padded(queries, qaux, corpus, valid_f32, *, k, metric, chunk, in
             pl.BlockSpec((b, d), lambda c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 128), lambda c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, d), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c: (0, c), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, chunk), lambda c: (0, c), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -243,7 +255,7 @@ def _fused_topk_padded(queries, qaux, corpus, valid_f32, *, k, metric, chunk, in
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, qaux, corpus, valid_f32)
+    )(queries, qaux, corpus, valid_f32, cnorm_f32)
     return vals[:, :k], idx[:, :k]
 
 
@@ -255,6 +267,7 @@ def fused_topk(
     metric: DistanceMetric = DistanceMetric.COSINE,
     chunk: int = DEFAULT_CHUNK,
     interpret: bool | None = None,
+    corpus_sqnorm=None,
 ):
     """Fused streaming distance + top-k. NumPy/JAX in, device arrays out.
 
@@ -279,8 +292,9 @@ def fused_topk(
     )
     # euclidean fixup stays outside jit (cheap [B, k] elementwise) so the
     # jitted entry is shared across metrics with identical output contract
+    cn = None if corpus_sqnorm is None else jnp.asarray(corpus_sqnorm)
     vals, idx = _fused_topk_entry(
-        q, c, v, k=k, metric=metric, chunk=chunk, interpret=interpret
+        q, c, v, cn, k=k, metric=metric, chunk=chunk, interpret=interpret
     )
     if metric is DistanceMetric.EUCLIDEAN:
         # kernel maximizes -d^2; surface sqrt(d^2) with +inf for empties
