@@ -295,3 +295,20 @@ def test_cli_graph_and_errors(tmp_db_dir, capsys, rng):
 
     assert cli_main(["--path", tmp_db_dir, "info", "missing"]) == 1
     assert "error" in capsys.readouterr().err
+
+
+def test_rest_search_multi(server, rng):
+    base = server
+    _req(base, "POST", "/collections", {"name": "multi", "dim": 8})
+    vecs = rng.standard_normal((30, 8)).astype(np.float32)
+    pts = [{"id": i, "vector": vecs[i].tolist()} for i in range(30)]
+    _req(base, "PUT", "/collections/multi/points", {"points": pts})
+    status, body = _req(
+        base,
+        "POST",
+        "/collections/multi/search/multi",
+        {"vectors": [vecs[3].tolist(), vecs[20].tolist()], "k": 6, "strategy": "rrf"},
+    )
+    assert status == 200
+    ids = {r["id"] for r in body["results"]}
+    assert {3, 20} <= ids

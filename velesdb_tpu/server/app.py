@@ -65,6 +65,7 @@ class VelesServer:
         )
         r("POST", r"/collections/(?P<name>[^/]+)/search", self.search)
         r("POST", r"/collections/(?P<name>[^/]+)/search/batch", self.search_batch)
+        r("POST", r"/collections/(?P<name>[^/]+)/search/multi", self.search_multi)
         r("POST", r"/collections/(?P<name>[^/]+)/search/text", self.search_text)
         r("POST", r"/collections/(?P<name>[^/]+)/search/hybrid", self.search_hybrid)
         r("POST", r"/query", self.query)
@@ -237,6 +238,24 @@ class VelesServer:
         except ValueError as e:
             raise HttpError(400, str(e))
         return {"results": [[dict(h) for h in row] for row in res]}
+
+    def search_multi(self, name, body, **_):
+        """Fuse several query vectors into ONE ranked list
+        (``/search/multi``, ``multi_query_search`` with FusionStrategy)."""
+        col = self._coll(name)
+        b = _require(body, "vectors")
+        try:
+            hits = col.multi_query_search(
+                np.asarray(b["vectors"], np.float32),
+                int(b.get("k", 10)),
+                strategy=b.get("strategy", "rrf"),
+                weights=b.get("weights"),
+                filter=b.get("filter"),
+                ef=b.get("ef"),
+            )
+        except ValueError as e:
+            raise HttpError(400, str(e))
+        return {"results": [dict(h) for h in hits]}
 
     def search_text(self, name, body, **_):
         col = self._coll(name)
