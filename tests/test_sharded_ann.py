@@ -53,3 +53,36 @@ def test_sharded_ann_uneven_rows(rng):
     vals, rows = idx.search(corpus[:8], k, ef=64)
     assert (rows[:, 0] == np.arange(8)).all()  # self is its own NN
     assert rows.max() < n  # padding rows never surface
+
+
+def test_sharded_ivf_recall(rng):
+    from velesdb_tpu.parallel.sharded_ivf import ShardedIvfIndex
+
+    mesh = make_mesh(8, dp=2)
+    n, d, k = 4000, 32, 10
+    corpus = _clustered(rng, n, d)
+    queries = _clustered(rng, 48, d)
+    idx = ShardedIvfIndex(mesh, d, DistanceMetric.COSINE, n_clusters=16)
+    idx.build(corpus)
+    vals, rows = idx.search(queries, k, nprobe=8)
+    assert rows.shape == (48, k) and rows.max() < n and rows.min() >= 0
+    _, gt = brute_force_topk(queries, corpus, k, DistanceMetric.COSINE)
+    hits = sum(len(set(rows[i].tolist()) & set(gt[i].tolist())) for i in range(48))
+    recall = hits / (48 * k)
+    assert recall >= 0.9, f"sharded IVF recall {recall:.3f}"
+    # full probe per shard -> exact
+    _, rows = idx.search(queries, k, nprobe=idx.c_local)
+    hits = sum(len(set(rows[i].tolist()) & set(gt[i].tolist())) for i in range(48))
+    assert hits / (48 * k) >= 0.999
+
+
+def test_sharded_ivf_uneven(rng):
+    from velesdb_tpu.parallel.sharded_ivf import ShardedIvfIndex
+
+    mesh = make_mesh(8)
+    n, d = 999, 16
+    corpus = _clustered(rng, n, d)
+    idx = ShardedIvfIndex(mesh, d, DistanceMetric.EUCLIDEAN, n_clusters=4)
+    idx.build(corpus)
+    vals, rows = idx.search(corpus[:8], 5, nprobe=4)
+    assert (rows[:, 0] == np.arange(8)).all()

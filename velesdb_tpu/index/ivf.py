@@ -35,7 +35,7 @@ from velesdb_tpu.index.params import SearchQuality
 from velesdb_tpu.ops.distance import DistanceMetric
 from velesdb_tpu.ops.topk import top_k
 
-__all__ = ["IvfIndex", "kmeans"]
+__all__ = ["IvfIndex", "kmeans", "ivf_search_impl"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -313,9 +313,8 @@ class IvfIndex:
         return True
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
-def _ivf_search(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
-                k, nprobe, metric):
+def ivf_search_impl(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
+                    k, nprobe, metric):
     b, d = q.shape
     if metric is DistanceMetric.COSINE:
         qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
@@ -360,3 +359,8 @@ def _ivf_search(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
     )
     (vals, idx), _ = jax.lax.scan(body, init, jnp.arange(nprobe))
     return vals, idx
+
+
+_ivf_search = functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "metric")
+)(ivf_search_impl)

@@ -7,8 +7,13 @@ from velesdb_tpu.parallel.sharded import (
     sharded_ingest_search_step,
 )
 
+from velesdb_tpu.parallel.sharded_ann import ShardedGraphIndex
+from velesdb_tpu.parallel.sharded_ivf import ShardedIvfIndex
+
 __all__ = [
     "ShardedBruteForce",
+    "ShardedGraphIndex",
+    "ShardedIvfIndex",
     "make_mesh",
     "shard_rows",
     "sharded_ingest_search_step",
