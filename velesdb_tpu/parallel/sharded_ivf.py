@@ -68,17 +68,18 @@ class ShardedIvfIndex:
         l_max = _round_up(max(sub.part_len for sub in subs), 8)
         self.c_local, self.part_len = c_max, l_max
 
-        cents = np.full((s, c_max, self.dim), np.inf, np.float32)
+        cents = np.zeros((s, c_max, self.dim), np.float32)
         parts = np.zeros((s, c_max, l_max, self.dim), np.float32)
         prows = np.full((s, c_max, l_max), -1, np.int32)
         for shard, sub in enumerate(subs):
             cents[shard, : sub.c] = np.asarray(sub._centroids)
+            # geometry-padding partitions duplicate the first real centroid:
+            # probing them is redundant but never harmful (their rows are -1)
+            cents[shard, sub.c :] = cents[shard, 0]
             parts[shard, : sub.c, : sub.part_len] = np.asarray(sub._parts)
             local = np.asarray(sub._part_rows)
             glob = np.where(local >= 0, shard_rows[shard][np.maximum(local, 0)], -1)
             prows[shard, : sub.c, : sub.part_len] = glob
-        # empty-partition centroids sit at +inf so routing never picks them
-        cents = np.nan_to_num(cents, posinf=1e30)
 
         spec2 = NamedSharding(self.mesh, P("rows", None))
         spec3 = NamedSharding(self.mesh, P("rows", None, None))
