@@ -292,3 +292,66 @@ def test_milvus_connector(mock_es_weaviate_milvus, coll):
     report = MigrationPipeline(MilvusConnector(base, "c", batch=4), coll).run()
     assert report.migrated == 9
     np.testing.assert_allclose(coll.get(7)[0], vectors[7], rtol=1e-6)
+
+
+def test_pinecone_connector(coll, rng):
+    from velesdb_tpu.migrate import PineconeConnector
+
+    vectors = _vecs(rng, 6)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+            parsed = urlparse(self.path)
+            qs = parse_qs(parsed.query)
+            if parsed.path == "/vectors/list":
+                tok = qs.get("paginationToken", [None])[0]
+                start = int(tok) if tok else 0
+                lim = int(qs["limit"][0])
+                ids = [str(i) for i in range(start, min(start + lim, 6))]
+                out = {"vectors": [{"id": i} for i in ids]}
+                nxt = start + lim
+                if nxt < 6:
+                    out["pagination"] = {"next": str(nxt)}
+            elif parsed.path == "/vectors/fetch":
+                ids = qs["ids"]
+                out = {
+                    "vectors": {
+                        i: {"values": vectors[int(i)].tolist(), "metadata": {"i": int(i)}}
+                        for i in ids
+                    }
+                }
+            else:
+                self.send_response(404); self.end_headers(); return
+            data = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        report = MigrationPipeline(PineconeConnector(base, batch=4), coll).run()
+        assert report.migrated == 6 and coll.get(4)[1] == {"i": 4}
+    finally:
+        httpd.shutdown()
+
+
+def test_driver_gated_connectors_error_clearly(coll):
+    from velesdb_tpu.migrate import MongoConnector, RedisConnector
+
+    for conn, pkg in [
+        (RedisConnector("redis://x", "idx"), "redis"),
+        (MongoConnector("mongodb://x", "db", "c"), "pymongo"),
+    ]:
+        try:
+            list(conn.records())
+        except ConnectorError as e:
+            assert pkg in str(e)
+        except Exception:
+            pass  # driver present in env: connection errors are fine too

@@ -9,9 +9,12 @@ from velesdb_tpu.migrate.connectors import (
     JsonConnector,
     JsonlConnector,
     MilvusConnector,
+    MongoConnector,
     NumpyConnector,
+    PineconeConnector,
     PgvectorConnector,
     QdrantConnector,
+    RedisConnector,
     WeaviateConnector,
 )
 from velesdb_tpu.migrate.pipeline import MigrationPipeline, MigrationReport
@@ -29,6 +32,9 @@ __all__ = [
     "ElasticsearchConnector",
     "WeaviateConnector",
     "MilvusConnector",
+    "PineconeConnector",
+    "RedisConnector",
+    "MongoConnector",
     "MigrationPipeline",
     "MigrationReport",
 ]

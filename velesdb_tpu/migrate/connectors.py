@@ -403,6 +403,120 @@ class MilvusConnector(_RestConnector):
             offset += len(rows)
 
 
+class PineconeConnector(_RestConnector):
+    """Pinecone: ``GET /vectors/list`` pagination + ``GET /vectors/fetch``."""
+
+    def __init__(self, base_url: str, namespace: str = "", api_key: str = "", **kw):
+        super().__init__(base_url, **kw)
+        self.namespace = namespace
+        self.api_key = api_key
+
+    def _get(self, path: str) -> dict:
+        req = urllib.request.Request(self.base_url + path, method="GET")
+        if self.api_key:
+            req.add_header("Api-Key", self.api_key)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return json.loads(resp.read().decode())
+        except Exception as e:
+            raise ConnectorError(f"REST call {path} failed: {e}") from e
+
+    def records(self) -> Iterator[dict]:
+        token = None
+        while True:
+            path = f"/vectors/list?limit={self.batch}"
+            if self.namespace:
+                path += f"&namespace={self.namespace}"
+            if token:
+                path += f"&paginationToken={token}"
+            page = self._get(path)
+            ids = [v["id"] for v in page.get("vectors") or []]
+            if not ids:
+                return
+            fetch_path = "/vectors/fetch?" + "&".join(f"ids={i}" for i in ids)
+            if self.namespace:
+                fetch_path += f"&namespace={self.namespace}"
+            got = self._get(fetch_path).get("vectors") or {}
+            for vid in ids:
+                rec = got.get(vid)
+                if rec is None:
+                    continue
+                yield {
+                    "id": int(vid),
+                    "vector": rec.get("values"),
+                    "payload": rec.get("metadata"),
+                }
+            token = (page.get("pagination") or {}).get("next")
+            if not token:
+                return
+
+
+class RedisConnector:
+    """Redis (RediSearch vector fields) via the optional ``redis`` package."""
+
+    def __init__(self, url: str, index: str, vector_field="embedding",
+                 batch: int = 500):
+        self.url, self.index = url, index
+        self.vector_field = vector_field
+        self.batch = batch
+
+    def records(self) -> Iterator[dict]:
+        try:
+            import redis  # noqa: F401
+        except ImportError as e:
+            raise ConnectorError("Redis migration needs the 'redis' package") from e
+        import redis as _redis
+
+        r = _redis.from_url(self.url)
+        cursor = 0
+        while True:
+            cursor, keys = r.scan(cursor, match=f"{self.index}:*", count=self.batch)
+            for key in keys:
+                doc = r.hgetall(key)
+                vec = doc.pop(self.vector_field.encode(), None)
+                if vec is None:
+                    continue
+                payload = {
+                    k.decode(): v.decode(errors="replace") for k, v in doc.items()
+                }
+                rid = int(key.decode().rsplit(":", 1)[-1])
+                yield {
+                    "id": rid,
+                    "vector": np.frombuffer(vec, np.float32),
+                    "payload": payload or None,
+                }
+            if cursor == 0:
+                return
+
+
+class MongoConnector:
+    """MongoDB (Atlas vector fields) via the optional ``pymongo`` package."""
+
+    def __init__(self, uri: str, database: str, collection: str,
+                 vector_field="embedding", id_field="_veles_id", batch: int = 500):
+        self.uri, self.database, self.collection = uri, database, collection
+        self.vector_field = vector_field
+        self.id_field = id_field
+        self.batch = batch
+
+    def records(self) -> Iterator[dict]:
+        try:
+            import pymongo  # noqa: F401
+        except ImportError as e:
+            raise ConnectorError("MongoDB migration needs the 'pymongo' package") from e
+        import pymongo as _pymongo
+
+        client = _pymongo.MongoClient(self.uri)
+        coll = client[self.database][self.collection]
+        for i, doc in enumerate(coll.find({}, batch_size=self.batch)):
+            vec = doc.pop(self.vector_field, None)
+            if vec is None:
+                continue
+            rid = doc.pop(self.id_field, i)
+            doc.pop("_id", None)
+            yield {"id": int(rid), "vector": vec, "payload": doc or None}
+
+
 CONNECTORS = {
     "jsonl": JsonlConnector,
     "json": JsonConnector,
@@ -414,4 +528,7 @@ CONNECTORS = {
     "elasticsearch": ElasticsearchConnector,
     "weaviate": WeaviateConnector,
     "milvus": MilvusConnector,
+    "pinecone": PineconeConnector,
+    "redis": RedisConnector,
+    "mongodb": MongoConnector,
 }
