@@ -22,6 +22,11 @@ import time
 
 import numpy as np
 
+# persistent compile cache: kernel compiles through the remote tunnel cost
+# 30-120s; cache them across bench runs (set before jax initializes)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/velesdb_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 REFERENCE_QPS = 9200.0  # docs/BENCHMARKS.md:58 (10K x 768D, Balanced, k=10)
 
 
