@@ -40,8 +40,8 @@ def test_ivf_recall(rng, metric):
     hits = sum(len(set(rows[i]) & set(gt[i])) for i in range(len(queries)))
     recall = hits / (len(queries) * k)
     assert recall >= 0.9, f"{metric}: recall {recall}"
-    # full probe = exact
-    vals, rows = idx.search(queries, k, nprobe=32)
+    # full probe (every partition incl. splits) = exact
+    vals, rows = idx.search(queries, k, nprobe=idx.c)
     rows = np.asarray(rows)
     hits = sum(len(set(rows[i]) & set(gt[i])) for i in range(len(queries)))
     assert hits / (len(queries) * k) >= 0.999

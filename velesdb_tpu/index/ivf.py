@@ -89,7 +89,7 @@ def _kmeans_device(xc, *, init, k, iters):
 
 
 def kmeans(
-    x: np.ndarray,
+    x,
     k: int,
     iters: int = 8,
     seed: int = 0,
@@ -99,33 +99,33 @@ def kmeans(
 
     Lloyd runs on a training SAMPLE (faiss-style — centroid quality
     saturates long before full-data training pays for itself), then ONE
-    chunked assignment pass covers the full corpus. Padding rows are
-    appended to a chunk multiple and dropped before returning.
+    chunked assignment pass covers the full corpus. ``x`` may already be a
+    device array — padding/reshaping/sampling all happen on device (the
+    corpus is transferred at most once).
     """
-    x = np.asarray(x, np.float32)
+    x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
     rng = np.random.default_rng(seed)
-    init = x[rng.choice(n, size=k, replace=n < k)]
+    init = x[jnp.asarray(rng.choice(n, size=k, replace=n < k))]
 
     def to_chunks(arr):
         m = arr.shape[0]
         chunk = min(_KM_CHUNK, _round_up(m, 8))
         m_pad = _round_up(m, chunk)
-        ap = np.pad(arr, ((0, m_pad - m), (0, 0)))
         if m_pad != m:
-            # padded zero-rows would gravitate a centroid to 0: reinforce an
-            # existing cluster instead
-            ap[m:] = arr[0]
-        return jnp.asarray(ap.reshape(-1, chunk, d))
+            # padded rows repeat row 0 (zero-rows would gravitate a centroid
+            # to the origin; repeats just reinforce an existing cluster)
+            arr = jnp.concatenate(
+                [arr, jnp.broadcast_to(arr[0], (m_pad - m, d))]
+            )
+        return arr.reshape(-1, chunk, d)
 
     if train_sample is not None and n > train_sample:
-        sample = x[rng.choice(n, size=train_sample, replace=False)]
-        cents, _ = _kmeans_device(
-            to_chunks(sample), init=jnp.asarray(init), k=k, iters=iters
-        )
-        assign = _assign_full(to_chunks(x), cents, k=k)[: n]
+        sample = x[jnp.asarray(rng.choice(n, size=train_sample, replace=False))]
+        cents, _ = _kmeans_device(to_chunks(sample), init=init, k=k, iters=iters)
+        assign = _assign_full(to_chunks(x), cents, k=k)[:n]
         return cents, assign
-    cents, assign = _kmeans_device(to_chunks(x), init=jnp.asarray(init), k=k, iters=iters)
+    cents, assign = _kmeans_device(to_chunks(x), init=init, k=k, iters=iters)
     return cents, assign[:n]
 
 
@@ -138,6 +138,38 @@ def _assign_full(xc, cents, *, k):
 
     _, assign = jax.lax.scan(chunk, None, xc)
     return assign.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "L", "n_parts"))
+def _group_partitions(live, assign, cents, rows_global, *, c, L, n_parts):
+    """Device partition assembly: sort by cluster, derive a dest->src gather
+    map (scatter of N ints, then ONE row gather — no [N, D] scatter), and
+    build routing/centroid/norm tables at static shapes."""
+    n = live.shape[0]
+    order = jnp.argsort(assign)
+    sorted_assign = assign[order]
+    counts = jnp.bincount(assign, length=c)
+    splits = jnp.maximum(-(-counts // L), 1)
+    base_part = jnp.concatenate([jnp.zeros(1, splits.dtype), jnp.cumsum(splits)[:-1]])
+    starts = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]])
+    pos_within = jnp.arange(n) - starts[sorted_assign]
+    dest = (base_part[sorted_assign] + pos_within // L) * L + pos_within % L
+    src = jnp.full(n_parts * L, -1, jnp.int32).at[dest].set(order.astype(jnp.int32))
+    ok = src >= 0
+    parts = jnp.where(
+        ok[:, None], live[jnp.maximum(src, 0)], 0.0
+    ).reshape(n_parts, L, live.shape[1])
+    part_rows = jnp.where(ok, rows_global[jnp.maximum(src, 0)], -1).reshape(
+        n_parts, L
+    )
+    # routing: partition p belongs to the cluster whose split range covers it
+    cluster_of_part = jnp.searchsorted(
+        jnp.cumsum(splits), jnp.arange(n_parts), side="right"
+    )
+    route_cents = cents[jnp.minimum(cluster_of_part, c - 1)]
+    cent_sq = jnp.sum(route_cents * route_cents, axis=1)
+    part_sq = jnp.sum(parts * parts, axis=2)
+    return route_cents, cent_sq, parts, part_rows, part_sq
 
 
 class IvfIndex:
@@ -185,45 +217,40 @@ class IvfIndex:
         c = self.n_clusters or max(1, min(len(rows) // 256, 4096))
         c = min(c, len(rows))
         self.c = c
-        live = corpus[rows]
+        live_dev = jax.device_put(jnp.asarray(corpus[rows]))  # ONE transfer
         if self.metric is DistanceMetric.COSINE:
-            norm = np.linalg.norm(live, axis=1, keepdims=True)
-            km_input = live / np.maximum(norm, 1e-30)
+            nrm = jnp.linalg.norm(live_dev, axis=1, keepdims=True)
+            km_input = live_dev / jnp.maximum(nrm, 1e-30)
         else:
-            km_input = live
+            km_input = live_dev
         cents, assign = kmeans(km_input, c, iters=self.kmeans_iters)
-        assign = np.asarray(assign)
 
-        # group rows by cluster into uniform padded partitions (one
-        # vectorized scatter — no per-cluster host loop). Skewed clusters
-        # split into several partitions that SHARE a routing centroid, which
-        # bounds padding waste to ~2x the mean occupancy while keeping
-        # routing exact (a fat cluster simply occupies several probe slots).
-        order = np.argsort(assign, kind="stable")
-        sorted_assign = assign[order]
-        counts = np.bincount(sorted_assign, minlength=c)
+        # group rows by cluster into uniform padded partitions, ENTIRELY ON
+        # DEVICE (the [n_parts, L, D] tensor never exists on the host — at
+        # 1M x 128D that is >1GB of round trip). Skewed clusters split into
+        # several partitions that SHARE a routing centroid, bounding padding
+        # waste to ~2x mean occupancy while keeping routing exact; the
+        # partition count upper bound C + N/L + 1 keeps shapes static
+        # (surplus partitions duplicate centroid 0 with no rows — harmless).
         L = _round_up(max(int(np.ceil(2 * len(rows) / c)), 8), 8)
         self.part_len = L
-        splits = np.maximum(-(-counts // L), 1)  # partitions per cluster
-        base_part = np.concatenate([[0], np.cumsum(splits)[:-1]])
-        n_parts = int(splits.sum())
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        pos_within = np.arange(len(order)) - starts[sorted_assign]
-        part_of_row = base_part[sorted_assign] + pos_within // L
-        slot_of_row = pos_within % L
-        parts = np.zeros((n_parts, L, self.dim), np.float32)
-        part_rows = np.full((n_parts, L), -1, np.int32)
-        parts[part_of_row, slot_of_row] = live[order]
-        part_rows[part_of_row, slot_of_row] = rows[order]
-        # routing table: one centroid row per PARTITION (duplicated on split)
-        cluster_of_part = np.repeat(np.arange(c), splits)
-        route_cents = np.asarray(cents)[cluster_of_part]
+        n_parts = c + len(rows) // L + 1
         self.c = n_parts
-        self._centroids = jax.device_put(jnp.asarray(route_cents))
-        self._cent_sq = jax.device_put(jnp.sum(jnp.asarray(route_cents) ** 2, axis=1))
-        self._parts = jax.device_put(jnp.asarray(parts))
-        self._part_rows = jax.device_put(jnp.asarray(part_rows))
-        self._part_sq = jax.device_put(jnp.sum(jnp.asarray(parts) ** 2, axis=2))
+        (
+            self._centroids,
+            self._cent_sq,
+            self._parts,
+            self._part_rows,
+            self._part_sq,
+        ) = _group_partitions(
+            live_dev,
+            assign,
+            cents,
+            jnp.asarray(rows.astype(np.int32)),
+            c=c,
+            L=L,
+            n_parts=n_parts,
+        )
         self._dirty = False
 
     def invalidate(self, _ids=None) -> None:
