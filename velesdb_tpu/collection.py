@@ -371,17 +371,26 @@ class Collection:
         if ef is None:
             ef = (quality or SearchQuality.BALANCED).ef
         k_fetch = max(min(4 * k, ef), k) if mask is not None else k
+        # index builds happen BEFORE timing starts: a first-call build would
+        # otherwise poison the planner's latency EMA for that engine
+        if engine == "ivf" and not self._ensure_ivf():
+            engine = "exact"
+        if engine == "graph" and not self._ensure_ann():
+            engine = "exact"
         t0 = time.perf_counter()
-        if engine == "ivf" and self._ensure_ivf():
-            ivf_mask = np.asarray(mask)[: self.vectors.used_slots] if mask is not None else None
+        if engine == "ivf":
+            ivf_mask = (
+                np.asarray(mask)[: self.vectors.used_slots]
+                if mask is not None
+                else None
+            )
             vals, idx = self.ivf.search(q, k_fetch, ef=ef, mask=ivf_mask)
-        elif engine == "graph" and self._ensure_ann():
+        elif engine == "graph":
             ann_mask = None
             if mask is not None:
                 ann_mask = _pad_mask(np.asarray(mask), self.ann.n_pad)
             vals, idx = self.ann.search(q, k_fetch, ef=ef, mask=ann_mask)
         else:
-            engine = "exact"
             vals, idx = self._brute.search(q, k, mask=mask)
         out = self._hydrate(np.asarray(vals), np.asarray(idx), k)
         self.planner.record_latency(engine, q.shape[0], time.perf_counter() - t0)
