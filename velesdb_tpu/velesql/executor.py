@@ -326,16 +326,18 @@ def _exec_select(db, stmt: SelectStatement, params) -> list[dict]:
         candidates = _union_rows(vec_rows + txt_rows, meta_rows)
     elif has_vec and has_txt:
         # hybrid: RRF-fuse device top lists (USING FUSION overrides strategy)
-        fetch = max(4 * need, 32) if not aggregating else coll.count()
+        fetch = max(4 * need, 32) if not aggregating else min(coll.count(), max(10 * need, 1000))
         vec_rows = _vector_candidates(coll, stmt, params, fetch, ef, quality, filt)
         txt_rows = _text_candidates(coll, stmt, params, fetch, filt)
         fspec = stmt.near.fusion if stmt.near is not None else None
         candidates = _fuse_rows(coll, vec_rows, txt_rows, max(need, fetch), fspec)
     elif has_vec:
-        fetch = coll.count() if aggregating else need
+        # aggregation over NEAR widens the candidate set but stays bounded
+        # (the reference's 10x over-fetch, mod.rs; unbounded = [B, N] blowup)
+        fetch = min(coll.count(), max(10 * need, 1000)) if aggregating else need
         candidates = _vector_candidates(coll, stmt, params, fetch, ef, quality, filt)
     elif has_txt:
-        fetch = coll.count() if aggregating else need
+        fetch = min(coll.count(), max(10 * need, 1000)) if aggregating else need
         candidates = _text_candidates(coll, stmt, params, fetch, filt)
     else:
         candidates = _scan(coll, filt)
