@@ -135,7 +135,7 @@ class Database:
         """Query plan tree (``QueryPlan::from_select``, ``velesql/explain.rs``)."""
         from velesdb_tpu.velesql.explain import explain
 
-        return explain(self.query_cache.parse(velesql))
+        return explain(self.query_cache.parse(velesql), db=self)
 
     def close(self) -> None:
         with self._lock:

@@ -36,19 +36,39 @@ class PlanNode:
         }
 
 
-def explain(query: Query) -> PlanNode:
-    return _plan_node(query.root)
+def explain(query: Query, db=None) -> PlanNode:
+    """Plan tree; with ``db`` the vector nodes carry the cost-based
+    planner's engine choice + estimates (``query_cost`` EXPLAIN analog)."""
+    return _plan_node(query.root, db)
 
 
-def _plan_node(node) -> PlanNode:
+def _plan_node(node, db=None) -> PlanNode:
     if isinstance(node, SetOp):
         return PlanNode(
-            "SetOp", node.op.upper(), [_plan_node(node.left), _plan_node(node.right)]
+            "SetOp",
+            node.op.upper(),
+            [_plan_node(node.left, db), _plan_node(node.right, db)],
         )
-    return _plan_select(node)
+    return _plan_select(node, db)
 
 
-def _plan_select(stmt: SelectStatement) -> PlanNode:
+def _engine_annotation(stmt: SelectStatement, db) -> str:
+    if db is None:
+        return ""
+    try:
+        coll = db.get_collection(stmt.collection)
+    except Exception:
+        return ""
+    if coll.count() < coll.ann_min_rows:
+        return ", engine=exact (corpus below ANN crossover)"
+    choice = coll.planner.choose(
+        max(coll.vectors.used_slots, 1), coll.dim, 1, have_ivf=True
+    )
+    ms = choice.est_ns / 1e6
+    return f", engine={choice.engine} (est {ms:.2f}ms/batch)"
+
+
+def _plan_select(stmt: SelectStatement, db=None) -> PlanNode:
     has_vec = stmt.near is not None or bool(stmt.similarity)
     has_txt = stmt.text_match is not None
     mask = "mask pushdown" if stmt.filter is not None else "no filter"
@@ -59,7 +79,7 @@ def _plan_select(stmt: SelectStatement) -> PlanNode:
         detail = f"field={stmt.near.field}, vectors={len(stmt.near.vectors)}"
         if ef:
             detail += f", ef={ef}"
-        detail += f", {mask}"
+        detail += f", {mask}" + _engine_annotation(stmt, db)
         sources.append(PlanNode("VectorSearch", detail))
     elif stmt.similarity:
         sources.append(
