@@ -144,3 +144,60 @@ def test_async_ops(db, rng):
         await ac.flush()
 
     asyncio.run(drive())
+
+
+def test_search_batch_with_per_query_filters(db, rng):
+    c = db.create_collection("pqf", dim=8)
+    vecs = rng.standard_normal((60, 8)).astype(np.float32)
+    c.upsert_bulk(range(60), vecs, [{"grp": i % 3} for i in range(60)])
+    filters = [
+        {"type": "eq", "field": "grp", "value": 0},
+        {"type": "eq", "field": "grp", "value": 1},
+        None,
+        {"type": "eq", "field": "grp", "value": 0},
+    ]
+    res = c.search_batch_with_filters(vecs[:4], k=5, filters=filters)
+    assert all(h.payload["grp"] == 0 for h in res[0])
+    assert all(h.payload["grp"] == 1 for h in res[1])
+    assert len(res[2]) == 5  # unfiltered
+    assert all(h.payload["grp"] == 0 for h in res[3])
+    assert res[1][0].id == 1  # self still top-1 within its filter group
+    with pytest.raises(ValueError, match="length"):
+        c.search_batch_with_filters(vecs[:4], k=2, filters=filters[:2])
+
+
+def test_match_score_breakdown(db, rng):
+    from velesdb_tpu.graph.score_fusion import ScoreBreakdown, combine
+
+    c = db.create_collection("msb", dim=8)
+    vecs = rng.standard_normal((6, 8)).astype(np.float32)
+    for i in range(6):
+        c.add_node(i, ["N"], {"i": i}, vecs[i])
+    for i in range(5):
+        c.add_edge(i, i + 1, "next")
+    from velesdb_tpu.graph import execute_match
+
+    rows = execute_match(
+        c,
+        "MATCH (a:N {i: 0})-[r:next*1..3]->(b:N) "
+        "WHERE similarity(b, $v) > -1 RETURN b.i AS i, r",
+        {"v": vecs[2]},
+        with_scores=True,
+    )
+    by_i = {r["i"]: r for r in rows}
+    assert set(by_i) == {1, 2, 3}
+    s2 = by_i[2]["_score"]
+    assert s2["components"]["vector"] == pytest.approx(1.0, abs=1e-5)
+    assert s2["components"]["graph"] == pytest.approx(1 / 3)  # 2 hops
+    assert "=>" in s2["explain"]
+    assert by_i[1]["_score"]["components"]["graph"] == pytest.approx(0.5)
+
+    # score_fusion primitives
+    bd = ScoreBreakdown(vector=0.8, graph=0.4, boosts={"fresh": 0.1})
+    assert combine(bd, "average") == pytest.approx(0.7)
+    assert combine(bd, "maximum") == pytest.approx(0.9)
+    assert combine(bd, "weighted", {"vector": 3, "graph": 1}) == pytest.approx(
+        (0.8 * 3 + 0.4) / 4 + 0.1
+    )
+    with pytest.raises(ValueError):
+        combine(bd, "bogus")

@@ -497,6 +497,34 @@ class Collection:
             )
         return out
 
+    def search_batch_with_filters(
+        self,
+        queries,
+        k: int = 10,
+        filters: list[dict | None] | None = None,
+        ef: int | None = None,
+        quality=None,
+    ):
+        """Batched search with PER-QUERY filters (``search/batch.rs`` batch
+        search with per-query filters). Queries sharing a filter run as one
+        device batch; distinct filters become separate batches."""
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        if filters is None:
+            return self.search_batch(q, k, ef=ef, quality=quality)
+        if len(filters) != q.shape[0]:
+            raise ValueError("filters/queries length mismatch")
+        groups: dict[str, list[int]] = {}
+        for i, f in enumerate(filters):
+            groups.setdefault(json.dumps(f, sort_keys=True, default=str), []).append(i)
+        out: list = [None] * q.shape[0]
+        for key, idxs in groups.items():
+            res = self.search_batch(
+                q[idxs], k, filter=filters[idxs[0]], ef=ef, quality=quality
+            )
+            for slot, row in zip(idxs, res):
+                out[slot] = row
+        return out
+
     def multi_query_search(
         self,
         queries,

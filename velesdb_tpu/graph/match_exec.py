@@ -43,7 +43,13 @@ def _resolve(v, params):
 
 
 def execute_match(coll, stmt_or_text, params: dict | None = None,
-                  guardrails: Guardrails | None = None) -> list[dict]:
+                  guardrails: Guardrails | None = None,
+                  with_scores: bool = False,
+                  score_strategy: str = "weighted",
+                  score_weights: dict | None = None) -> list[dict]:
+    """``with_scores=True`` attaches a ``_score`` breakdown per row —
+    vector/graph components combined per strategy with an explain trace
+    (``score_fusion.rs`` multi-component scoring)."""
     params = params or {}
     g = guardrails or Guardrails()
     stmt = (
@@ -99,6 +105,37 @@ def execute_match(coll, stmt_or_text, params: dict | None = None,
                 (item.expr[1], id(cond)), {}
             )
     rows = [_project(coll, stmt, b, params, proj_cache) for b in bindings]
+
+    if with_scores:
+        from velesdb_tpu.graph.score_fusion import ScoreBreakdown
+
+        sim_lookup: dict[str, dict[int, float]] = {}
+        for cond in stmt.where or []:
+            if cond.get("kind") == "sim":
+                cache: dict = {}
+                _prime_sim_cache(coll, cond, bindings, params, cache)
+                got = cache.get((cond["var"], id(cond)))
+                if got:
+                    sim_lookup.setdefault(cond["var"], {}).update(got)
+        for row, b in zip(rows, bindings):
+            vector = None
+            for var, scores in sim_lookup.items():
+                node = b.get(var)
+                if node in scores:
+                    s = scores[node]
+                    vector = s if vector is None else max(vector, s)
+            hops = max(
+                (len(v) for v in b.values() if isinstance(v, list)), default=None
+            )
+            bd = ScoreBreakdown(
+                vector=vector,
+                graph=(1.0 / (1.0 + hops)) if hops is not None else None,
+            )
+            row["_score"] = {
+                "components": bd.components(),
+                "combined": bd.combined(score_strategy, score_weights),
+                "explain": bd.explain(score_strategy, score_weights),
+            }
     rows = _order(rows, stmt)
     if stmt.limit is not None:
         rows = rows[: stmt.limit]
