@@ -41,6 +41,13 @@ __all__ = ["BruteForceIndex", "pad_rows"]
 _PALLAS_OK = [True]  # sticky off-switch after a Mosaic failure
 
 
+def _pad_to(mask, n_pad: int):
+    m = jnp.asarray(mask)
+    if m.shape[0] < n_pad:
+        m = jnp.pad(m, (0, n_pad - m.shape[0]))
+    return m[:n_pad]
+
+
 def pad_rows(n: int, minimum: int = 1024) -> int:
     """Round row count up to a padded bucket (next power of two) so device
     array shapes — and therefore XLA compilations — stay bounded."""
@@ -155,7 +162,7 @@ class BruteForceIndex:
             try:
                 valid = self._valid
                 if mask is not None:
-                    valid = jnp.logical_and(valid, jnp.asarray(mask))
+                    valid = jnp.logical_and(valid, _pad_to(mask, self.n_pad))
                 return fused_topk(
                     queries,
                     self._full,
@@ -170,7 +177,7 @@ class BruteForceIndex:
             try:
                 valid = self._valid
                 if mask is not None:
-                    valid = jnp.logical_and(valid, jnp.asarray(mask))
+                    valid = jnp.logical_and(valid, _pad_to(mask, self.n_pad))
                 packed_q = binary_quantize(queries)
                 dist, idx = hamming_topk(
                     packed_q, self._packed, valid=valid, k=k_eff

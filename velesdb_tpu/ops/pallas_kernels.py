@@ -59,13 +59,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def fit_chunk(b: int, d: int, k: int, itemsize: int = 4, n: int | None = None) -> int:
-    """Largest corpus-chunk rows fitting the VMEM budget for this (B, D, K):
-    double-buffered corpus chunk + resident queries + score/merge temps."""
+    """Largest corpus-chunk rows fitting the VMEM budget for this (B, D, K).
+
+    Model (empirically calibrated on v5e — chunk=2048 fits at b=256/d=768
+    while 3072 OOMs): double-buffered corpus chunk + resident queries +
+    ~one [B, chunk+2*k_pad] f32 merge working set (Mosaic fuses the rest).
+    An over-estimate only costs speed; an under-estimate trips the sticky
+    XLA fallback in BruteForceIndex, so lean aggressive."""
     b_pad = _round_up(b, 8)
     d_pad = _round_up(d, 128)
     k_pad = _round_up(max(k, 8), 128)
-    budget = 10 * 1024 * 1024 - b_pad * d_pad * 4 - 3 * b_pad * k_pad * 8
-    denom = 2 * d_pad * itemsize + 12 * b_pad
+    budget = 16 * 1024 * 1024 - b_pad * d_pad * 4 - 8 * b_pad * k_pad
+    denom = 2 * d_pad * itemsize + 4 * b_pad
     fit = max(256, (budget // denom) // 256 * 256)
     if n is not None:
         fit = min(fit, _round_up(n, 256))
@@ -113,7 +118,6 @@ def _merge_topk(run_v, run_i, cand_v, cand_i, k_pad: int, k_sel: int):
 
 def _fused_kernel(
     q_ref,  # [B, D] VMEM (resident across steps)
-    qaux_ref,  # [B, 128] VMEM: per-query aux (|q|^2 broadcast) — euclidean
     corpus_ref,  # [C, D] VMEM (this grid step's chunk)
     valid_ref,  # [8, C] f32 VMEM (row 0 = 1.0 valid / 0.0 masked)
     cnorm_ref,  # [8, C] f32 VMEM (row 0 = |c|^2, corpus-static precompute)
@@ -157,7 +161,10 @@ def _fused_kernel(
         scores = dots * jnp.where(sq > 1e-30, inv, 0.0)
     elif metric is DistanceMetric.EUCLIDEAN:
         cc = cnorm_ref[0, :][None, :]
-        qq = qaux_ref[:, :1]  # [B, 1] |q|^2
+        # |q|^2 computed in-kernel from the resident queries: a [B, 128]
+        # aux input sliced as [:, :1] read garbage under Mosaic (lane-0
+        # slice mis-lowering), which flattened every euclidean score
+        qq = jnp.sum(q * q, axis=1, keepdims=True)
         d2 = jnp.maximum(qq + cc - 2.0 * dots, 0.0)
         scores = -d2  # maximize
     else:
@@ -201,8 +208,6 @@ def _fused_topk_entry(queries, corpus, valid, cnorm, *, k, metric, chunk, interp
     if metric is DistanceMetric.COSINE:
         sq = jnp.sum(q * q, axis=1, keepdims=True)
         q = q * jnp.where(sq > 1e-30, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0)
-    qq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
-    qaux = jnp.pad(jnp.broadcast_to(qq, (b, 128)), ((0, b_pad - b), (0, 0)))
     q = jnp.pad(q, ((0, b_pad - b), (0, d_pad - d)))
     corpus = jnp.pad(corpus, ((0, n_pad - n), (0, d_pad - d)))
     v = jnp.pad(valid.astype(jnp.float32), (0, n_pad - n))
@@ -213,13 +218,12 @@ def _fused_topk_entry(queries, corpus, valid, cnorm, *, k, metric, chunk, interp
         cnorm = jnp.pad(cnorm.astype(jnp.float32), (0, n_pad - cnorm.shape[0]))
     c8 = jnp.broadcast_to(cnorm[None, :], (8, n_pad))
     vals, idx = _fused_topk_padded(
-        q, qaux, corpus, v8, c8, k=k, metric=metric, chunk=chunk,
-        interpret=interpret,
+        q, corpus, v8, c8, k=k, metric=metric, chunk=chunk, interpret=interpret
     )
     return vals[:b], idx[:b]
 
 
-def _fused_topk_padded(queries, qaux, corpus, valid_f32, cnorm_f32, *, k, metric, chunk, interpret):
+def _fused_topk_padded(queries, corpus, valid_f32, cnorm_f32, *, k, metric, chunk, interpret):
     b, d = queries.shape
     n = corpus.shape[0]
     k_pad = _round_up(max(k, 8), 128)
@@ -232,7 +236,6 @@ def _fused_topk_padded(queries, qaux, corpus, valid_f32, cnorm_f32, *, k, metric
         grid=grid,
         in_specs=[
             pl.BlockSpec((b, d), lambda c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 128), lambda c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, d), lambda c: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, chunk), lambda c: (0, c), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, chunk), lambda c: (0, c), memory_space=pltpu.VMEM),
@@ -255,7 +258,7 @@ def _fused_topk_padded(queries, qaux, corpus, valid_f32, cnorm_f32, *, k, metric
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, qaux, corpus, valid_f32, cnorm_f32)
+    )(queries, corpus, valid_f32, cnorm_f32)
     return vals[:, :k], idx[:, :k]
 
 
