@@ -179,9 +179,13 @@ class Collection:
             self._on_mutation([int(vid)])
 
     def upsert_bulk(
-        self, ids: Iterable[int], vectors, payloads: Iterable[dict] | None = None
+        self,
+        ids: Iterable[int],
+        vectors,
+        payloads: Iterable[dict] | None = None,
+        ttl: float | None = None,
     ) -> None:
-        """Bulk variant (``crud.rs:175``)."""
+        """Bulk variant (``crud.rs:175``); ``ttl`` applies to every row."""
         vecs = np.asarray(vectors, dtype=np.float32)
         ids = [int(i) for i in ids]
         if vecs.ndim != 2 or vecs.shape[1] != self.dim:
@@ -212,6 +216,10 @@ class Collection:
                     self.graph.index_node(
                         vid, payloads[i] if payloads is not None else None
                     )
+            if ttl is not None:
+                expiry = time.time() + ttl
+                for vid in ids:
+                    self._ttl[vid] = expiry
             self._on_mutation(ids)
 
     def get(self, vid: int):
