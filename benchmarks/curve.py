@@ -5,6 +5,11 @@ criterion suites: for each engine (exact / IVF / graph) sweep the quality
 knob and print recall@10 vs QPS, plus the hybrid (vector+BM25+filter)
 configuration from BASELINE.json.
 
+Timings here are CLIENT-OBSERVED (one dispatch per batch): on a
+remote-attached chip they include the tunnel round trip, which can dominate
+(5-40ms swings). bench.py measures device-side throughput via scan batching;
+on a locally-attached TPU host the two converge.
+
 Run: python benchmarks/curve.py          (real TPU; ~5-10 min)
      BENCH_N=20000 python benchmarks/curve.py   (quicker)
 """
