@@ -200,33 +200,54 @@ def _expand(coll, stmt, bindings, *, edge_idx, from_idx, to_idx, reverse,
     for depth in range(1, edge.max_hops + 1):
         if frontier_cur.size == 0:
             break
-        nxt_src, nxt_cur, nxt_paths = [], [], []
+        nxt_src_parts, nxt_cur_parts, nxt_paths = [], [], []
         for view in views:
-            s, d, lab, eids = view.neighbors_of(frontier_cur)
+            # expand UNIQUE frontier nodes, then fan results back out to
+            # every frontier position holding that node — fully vectorized
+            # (the per-row python join was the MATCH hot loop)
+            uniq, inv = np.unique(frontier_cur, return_inverse=True)
+            s, d, lab, eids = view.neighbors_of(uniq)
             if label_ids is not None:
                 keep = np.isin(lab, list(label_ids))
                 s, d, eids = s[keep], d[keep], eids[keep]
-            # map each expansion row back to its frontier entry
-            pos_by_cur: dict[int, list[int]] = {}
-            for fi, c in enumerate(frontier_cur):
-                pos_by_cur.setdefault(int(c), []).append(fi)
-            for row in range(len(s)):
-                for fi in pos_by_cur.get(int(s[row]), ()):  # usually 1
-                    origin = int(frontier_src[fi])
-                    path = paths[fi] + [int(eids[row])]
-                    dst = int(d[row])
-                    if depth >= edge.min_hops:
-                        reach[origin].append((dst, path))
-                    nxt_src.append(origin)
-                    nxt_cur.append(dst)
-                    nxt_paths.append(path)
-                    if len(nxt_cur) > MAX_BINDINGS:
-                        raise MatchError("MATCH expansion exceeds guardrails")
-        if depth >= edge.max_hops:
+            if len(s) == 0:
+                continue
+            reps = np.searchsorted(uniq, s)  # s is sorted by uniq order
+            counts_u = np.bincount(reps, minlength=len(uniq))
+            starts_u = np.concatenate([[0], np.cumsum(counts_u)[:-1]])
+            cnt_fi = counts_u[inv]  # expansions per frontier position
+            total = int(cnt_fi.sum())
+            if total == 0:
+                continue
+            if total > MAX_BINDINGS:
+                raise MatchError("MATCH expansion exceeds guardrails")
+            fi_rep = np.repeat(np.arange(len(frontier_cur)), cnt_fi)
+            base = np.repeat(starts_u[inv], cnt_fi)
+            offs = np.arange(total) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt_fi)[:-1]]), cnt_fi
+            )
+            rows = base + offs
+            dsts = d[rows]
+            eid_rows = eids[rows]
+            origins = frontier_src[fi_rep]
+            new_paths = [
+                paths[fi] + [int(e)] for fi, e in zip(fi_rep, eid_rows)
+            ]
+            if depth >= edge.min_hops:
+                for o, dst, path in zip(origins, dsts, new_paths):
+                    reach[int(o)].append((int(dst), path))
+            nxt_src_parts.append(origins)
+            nxt_cur_parts.append(dsts.astype(np.int64))
+            nxt_paths.extend(new_paths)
+        if depth >= edge.max_hops or not nxt_cur_parts:
+            if not nxt_cur_parts:
+                break
             break
-        frontier_src = np.asarray(nxt_src, np.int64)
-        frontier_cur = np.asarray(nxt_cur, np.int64)
+        frontier_src = np.concatenate(nxt_src_parts)
+        frontier_cur = np.concatenate(nxt_cur_parts)
         paths = nxt_paths
+        if len(frontier_cur) > MAX_BINDINGS:
+            raise MatchError("MATCH expansion exceeds guardrails")
     if edge.min_hops == 0:
         for s in srcs:
             reach[int(s)].append((int(s), []))
