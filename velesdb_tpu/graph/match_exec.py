@@ -240,8 +240,6 @@ def _expand(coll, stmt, bindings, *, edge_idx, from_idx, to_idx, reverse,
             nxt_cur_parts.append(dsts.astype(np.int64))
             nxt_paths.extend(new_paths)
         if depth >= edge.max_hops or not nxt_cur_parts:
-            if not nxt_cur_parts:
-                break
             break
         frontier_src = np.concatenate(nxt_src_parts)
         frontier_cur = np.concatenate(nxt_cur_parts)
