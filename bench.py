@@ -120,11 +120,17 @@ def main():
         _, outs = jax.lax.scan(body, None, qs)
         return outs
 
+    # MEASUREMENT PROTOCOL (CLAUDE.md): the tunnel returns early on repeated
+    # identical-input invocations — every timed sample gets a UNIQUE input
+    # array (device-side roll, materialized before timing) and the timed
+    # region ends with a forced np.asarray readback of an output.
     jax.block_until_ready(run_many(qs, corpus_dev, valid_dev, cnorm_dev))  # compile+warm
+    qs_samples = [jax.block_until_ready(jnp.roll(qs, 1 + 7 * s, axis=0)) for s in range(5)]
     samples = []
-    for _ in range(5):
+    for qs_s in qs_samples:
         t0 = time.perf_counter()
-        jax.block_until_ready(run_many(qs, corpus_dev, valid_dev, cnorm_dev))
+        outs = run_many(qs_s, corpus_dev, valid_dev, cnorm_dev)
+        np.asarray(outs[0])  # force D2H completion
         samples.append(time.perf_counter() - t0)
     qps_scan = iters * batch / float(np.min(samples))
 
@@ -132,15 +138,13 @@ def main():
     # variant is tunnel-immune but pays XLA loop overhead around the custom
     # call; the host loop hits peak kernel speed but is hostage to tunnel
     # weather. Report the better of the two honest measurements.
-    host_batches = [
-        np.ascontiguousarray(queries[(i * batch) % max(n_queries - batch, 1) :][:batch])
-        for i in range(8)
-    ]
-    jax.block_until_ready(index.search(host_batches[0], k)[0])
+    host_batches = [make_clustered(rng, batch, d) for _ in range(41)]
+    jax.block_until_ready(index.search(host_batches[40], k)[0])
     hs = []
     for i in range(40):
         t0 = time.perf_counter()
-        jax.block_until_ready(index.search(host_batches[i % 8], k)[0])
+        vals, _ = index.search(host_batches[i], k)
+        np.asarray(vals)  # force D2H completion
         hs.append(time.perf_counter() - t0)
     qps_host = batch / float(np.min(hs))
     qps = max(qps_scan, qps_host)

@@ -34,6 +34,26 @@ def test_invalid_collection_name(tmp_db_dir):
     db.close()
 
 
+def test_path_traversal_rejected_on_get_and_delete(tmp_db_dir):
+    """ADVICE r1 (high): delete_collection('..') must never rmtree outside
+    the data directory; get_collection must validate names too."""
+    import os
+
+    db = make_db(tmp_db_dir)
+    db.create_collection("safe", 8)
+    parent_sentinel = os.path.join(os.path.dirname(db.path), "sentinel.txt")
+    with open(parent_sentinel, "w") as f:
+        f.write("x")
+    for bad in (".", "..", "a/../..", "a\\..", ""):
+        with pytest.raises(ValueError):
+            db.delete_collection(bad)
+        with pytest.raises((ValueError, KeyError)):
+            db.get_collection(bad)
+    assert os.path.exists(parent_sentinel)
+    assert os.path.exists(os.path.join(db.path, "safe", "config.json"))
+    db.close()
+
+
 def test_upsert_get_delete_search(tmp_db_dir, rng):
     db = make_db(tmp_db_dir)
     col = db.create_collection("items", 128, metric="cosine")

@@ -78,6 +78,10 @@ def test_edge_store_save_load(tmp_path):
     assert len(es2) == 1
     e = es2.edges_of(1, "out")[0]
     assert e.label == "knows" and e.properties == {"w": 1.5}
+    # ADVICE r1 (medium): the on-disk format must be loadable WITHOUT
+    # allow_pickle — no object arrays, no unpickling gadget surface.
+    raw = np.load(path, allow_pickle=False)
+    assert "meta_json" in raw
 
 
 # -- BFS / traverse --------------------------------------------------------------
@@ -247,6 +251,17 @@ def test_match_where_and_order(social):
         "RETURN b.name AS n, b.age AS age ORDER BY age DESC"
     )
     assert [r["n"] for r in rows] == ["carol", "dave"]
+
+
+def test_match_order_by_node_variable(social):
+    """ADVICE r1 (low): ORDER BY a bare node variable (projects to a dict)
+    must sort by node id, not raise TypeError on dict comparison."""
+    _, c = social
+    rows = c.execute_match(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN b ORDER BY b"
+    )
+    ids = [r["b"]["id"] for r in rows]
+    assert ids == sorted(ids)
 
 
 def test_match_incoming_and_label_selection(social):

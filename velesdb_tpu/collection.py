@@ -220,6 +220,11 @@ class Collection:
                 expiry = time.time() + ttl
                 for vid in ids:
                     self._ttl[vid] = expiry
+            else:
+                # Mirror single-row upsert: a re-upsert without ttl clears
+                # any stale deadline instead of letting the row expire.
+                for vid in ids:
+                    self._ttl.pop(vid, None)
             self._on_mutation(ids)
 
     def get(self, vid: int):

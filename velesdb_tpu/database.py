@@ -48,7 +48,7 @@ class Database:
         with self._lock:
             if name in self._collections:
                 raise ValueError(f"collection {name!r} already exists")
-            cdir = os.path.join(self.path, name)
+            cdir = self._collection_dir(name)
             if os.path.exists(os.path.join(cdir, "config.json")):
                 raise ValueError(f"collection {name!r} already exists on disk")
             col = Collection(
@@ -64,9 +64,10 @@ class Database:
             return col
 
     def get_collection(self, name: str) -> Collection:
+        _validate_name(name)
         with self._lock:
             if name not in self._collections:
-                cdir = os.path.join(self.path, name)
+                cdir = self._collection_dir(name)
                 if os.path.exists(os.path.join(cdir, "config.json")):
                     self._collections[name] = Collection.open(cdir)
                 else:
@@ -89,15 +90,26 @@ class Database:
             return sorted(names)
 
     def delete_collection(self, name: str) -> bool:
+        _validate_name(name)
         with self._lock:
             col = self._collections.pop(name, None)
             if col is not None:
                 col.close()
-            cdir = os.path.join(self.path, name)
+            cdir = self._collection_dir(name)
             if os.path.exists(cdir):
                 shutil.rmtree(cdir)
                 return True
             return col is not None
+
+    def _collection_dir(self, name: str) -> str:
+        """Resolve a collection's directory, refusing anything that escapes
+        the data root (defense in depth behind ``_validate_name``)."""
+        cdir = os.path.join(self.path, name)
+        root = os.path.realpath(self.path)
+        resolved = os.path.realpath(cdir)
+        if resolved == root or not resolved.startswith(root + os.sep):
+            raise ValueError(f"invalid collection name: {name!r}")
+        return cdir
 
     def load_collections(self) -> list[str]:
         loaded = []

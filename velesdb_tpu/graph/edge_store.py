@@ -241,38 +241,48 @@ class EdgeStore:
     # -- persistence ------------------------------------------------------------
 
     def save(self, path: str) -> None:
+        """Persist as pure numeric arrays + JSON-encoded uint8 blobs so
+        ``load`` never needs ``allow_pickle`` (no unpickling gadget surface
+        from a tampered data directory)."""
         with self._lock:
             alive = np.asarray(self._alive, bool)
             import json
 
+            meta = {
+                "labels": [str(x) for x in self._labels],
+                "props": [
+                    p for p, a in zip(self._props, self._alive) if a
+                ],
+            }
+            blob = np.frombuffer(
+                json.dumps(meta).encode("utf-8"), dtype=np.uint8
+            )
             np.savez_compressed(
                 path,
                 src=np.asarray(self._src, np.int64)[alive],
                 dst=np.asarray(self._dst, np.int64)[alive],
                 label=np.asarray(self._label, np.int32)[alive],
-                labels=np.asarray(self._labels, dtype=object),
-                props=np.asarray(
-                    [
-                        json.dumps(p) if p is not None else ""
-                        for p, a in zip(self._props, self._alive)
-                        if a
-                    ],
-                    dtype=object,
-                ),
+                meta_json=blob,
             )
 
     @classmethod
     def load(cls, path: str) -> "EdgeStore":
         import json
 
-        data = np.load(path, allow_pickle=True)
+        data = np.load(path, allow_pickle=False)
+        if "meta_json" not in data:
+            raise ValueError(
+                f"{path}: legacy pickle-format edge store; re-save with the "
+                "current version (refusing allow_pickle load)"
+            )
+        meta = json.loads(bytes(data["meta_json"]).decode("utf-8"))
         store = cls()
-        store._labels = [str(x) for x in data["labels"]]
+        store._labels = [str(x) for x in meta["labels"]]
         store._label_ids = {l: i for i, l in enumerate(store._labels)}
         store._src = [int(x) for x in data["src"]]
         store._dst = [int(x) for x in data["dst"]]
         store._label = [int(x) for x in data["label"]]
-        store._props = [json.loads(p) if p else None for p in data["props"]]
+        store._props = list(meta["props"])
         store._alive = [True] * len(store._src)
         store._n_alive = len(store._src)
         store._dirty = True

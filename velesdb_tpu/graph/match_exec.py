@@ -424,6 +424,20 @@ def _order(rows, stmt) -> list[dict]:
             key_name = ob.expr
         non_null = [r for r in rows if r.get(key_name) is not None]
         nulls = [r for r in rows if r.get(key_name) is None]
-        non_null.sort(key=lambda r: r[key_name], reverse=ob.desc)
+        non_null.sort(key=lambda r: _sort_key(r[key_name]), reverse=ob.desc)
         rows = non_null + nulls
     return rows
+
+
+def _sort_key(val):
+    """Stable sort key: a bare node variable projects to a dict
+    ({'id', 'properties'}) — order those by node id instead of raising
+    TypeError on dict comparison. Mixed scalar types sort by (typename,
+    str) to stay deterministic."""
+    if isinstance(val, dict) and "id" in val:
+        return (0, val["id"], "")
+    if isinstance(val, bool):
+        return (1, int(val), "")
+    if isinstance(val, (int, float)):
+        return (1, float(val), "")
+    return (2, 0.0, str(val))
