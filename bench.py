@@ -1,18 +1,21 @@
 """Headline benchmark: search QPS/chip at recall@10 >= 0.95.
 
-Measures the engine's actual serving path at this corpus size — the fused
-Pallas streaming kernel (exact, recall ~1.0) that `Collection.search` uses on
-TPU below the ANN crossover (`collection.py:ANN_MIN_ROWS`). The reference's
-headline is 9.2K QPS at recall@10=0.988 on 10K x 768D cosine, k=10
-(`docs/BENCHMARKS.md:58`); we run 10x the corpus (100K x 768D) and divide our
-QPS by the reference's 9,200.
+Round 2: the serving path is the bucket-max Pallas kernel + PartialReduce
+selection (`ops/bucket_kernel.py`) — the engine `Collection.search` uses on
+TPU at >=128K padded rows. Two configs are measured:
+
+- 100K x 768D cosine (the round-1 headline config; reference bar 9.2K QPS
+  at recall 0.988, `docs/BENCHMARKS.md:58`)
+- 1M x 128D euclidean (SIFT-1M class — the BASELINE.md north star:
+  >=100K QPS at recall@10 >= 0.95)
 
 Recall is validated on device against an INDEPENDENT exact oracle (the
 chunked XLA path) — MXU matmul precision can swap near-tied ranks, so recall
-is ~0.999 rather than exactly 1.0.
+lands ~0.99 rather than exactly 1.0.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Env knobs: BENCH_N, BENCH_D, BENCH_QUERIES, BENCH_BATCH, BENCH_ANN=1.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
+is the headline-config QPS and the metric string carries the SIFT-1M numbers.
+Env knobs: BENCH_N, BENCH_D, BENCH_QUERIES, BENCH_BATCH, BENCH_SKIP_SIFT.
 """
 
 import json
@@ -38,128 +41,161 @@ def make_clustered(rng, n, d, n_clusters=64):
     return centers[assign] + rng.standard_normal((n, d)).astype(np.float32) * 0.7
 
 
-def main():
-    n = int(os.environ.get("BENCH_N", 100_000))
-    d = int(os.environ.get("BENCH_D", 768))
-    n_queries = int(os.environ.get("BENCH_QUERIES", 2048))
-    batch = int(os.environ.get("BENCH_BATCH", 256))
-    k = 10
+def _time_entry(search_fn, corpus_dev, pen_dev, queries, batch, k, metric,
+                chunk, interp):
+    """Scan-batched device-side timing with the repo measurement protocol:
+    UNIQUE inputs per timed sample + forced np.asarray readback."""
+    import jax
+    import jax.numpy as jnp
 
+    # 64 scanned batches per timed dispatch: the (weather-dependent, up to
+    # tens of ms) tunnel round trip amortizes to <10% of the sample. Every
+    # scanned batch is UNIQUE (resized queries + per-row noise) so no
+    # repeated-input shortcut can fire anywhere in the stack.
+    iters = 64
+    d = queries.shape[1]
+    big = np.resize(queries, (iters * batch, d))
+    big = big + np.random.default_rng(1).standard_normal(big.shape).astype(
+        np.float32
+    ) * 0.01
+    qs = jnp.asarray(big.reshape(iters, batch, d))
+
+    @jax.jit
+    def run_many(qs, corpus_a, pen_a):
+        def body(_, q):
+            v, i = search_fn(q, corpus_a, pen_a)
+            return None, (v[0, 0], i[0, 0])  # tiny carry-out defeats DCE
+
+        _, outs = jax.lax.scan(body, None, qs)
+        return outs
+
+    jax.block_until_ready(run_many(qs, corpus_dev, pen_dev))  # compile+warm
+    samples = []
+    for s in range(4):
+        qs_s = jax.block_until_ready(jnp.roll(qs, 1 + 7 * s, axis=0))
+        t0 = time.perf_counter()
+        outs = run_many(qs_s, corpus_dev, pen_dev)
+        np.asarray(outs[0])  # force D2H completion
+        samples.append(time.perf_counter() - t0)
+    return iters * batch / float(np.min(samples))
+
+
+def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
     import jax
     import jax.numpy as jnp
 
     from velesdb_tpu.index.brute import BruteForceIndex
     from velesdb_tpu.ops import DistanceMetric, StorageMode
-    from velesdb_tpu.ops.chunked import brute_force_topk
-
-    metric = DistanceMetric.COSINE
-    rng = np.random.default_rng(42)
-    corpus = make_clustered(rng, n, d)
-    queries = make_clustered(rng, n_queries, d)
-
-    # "build" for the exact engine = device upload (+ quantize in SQ8/binary)
-    t0 = time.perf_counter()
-    index = BruteForceIndex(d, metric, StorageMode.FULL)
-    index.rebuild(corpus, np.ones(n, bool))
-    jax.block_until_ready(index._full)
-    build_s = time.perf_counter() - t0
-    build_rate = n / build_s
-
-    # independent exact oracle (chunked XLA path, not the Pallas kernel)
-    _, gt = brute_force_topk(queries, corpus, k, metric, return_device=True)
-
-    from velesdb_tpu.ops.pallas_kernels import (
-        _fused_topk_entry,
-        fit_chunk,
-        use_pallas,
+    from velesdb_tpu.ops.bucket_kernel import (
+        bucket_chunk_for,
+        bucket_topk_entry,
     )
+    from velesdb_tpu.ops.chunked import chunked_topk
+    from velesdb_tpu.ops.pallas_kernels import use_pallas
+    from velesdb_tpu.ops.streamed import streamed_topk
+
+    metric = DistanceMetric.parse(metric_name)
+    rng = np.random.default_rng(42)
+    build_rate = None
+
+    if device_corpus:
+        # large corpora generate ON DEVICE (512MB of H2D through the remote
+        # tunnel costs more than the whole benchmark)
+        @jax.jit
+        def gen(seed):
+            k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
+            centers = jax.random.normal(k1, (64, d), jnp.float32) * 2.0
+            assign = jax.random.randint(k2, (n,), 0, 64)
+            return centers[assign] + jax.random.normal(k3, (n, d)) * 0.7
+
+        n_pad = 1 << (n - 1).bit_length()
+        corpus_dev = gen(0)
+        if metric is DistanceMetric.COSINE:
+            sq = jnp.sum(corpus_dev * corpus_dev, axis=1, keepdims=True)
+            corpus_dev = corpus_dev * jax.lax.rsqrt(jnp.maximum(sq, 1e-30))
+        corpus_dev = jnp.pad(corpus_dev, ((0, n_pad - n), (0, 0)))
+        sqn = jnp.sum(corpus_dev * corpus_dev, axis=1)
+        base = sqn if metric is DistanceMetric.EUCLIDEAN else jnp.zeros_like(sqn)
+        pen_dev = jnp.where(jnp.arange(n_pad) < n, base, jnp.inf)
+        valid_dev = jnp.arange(n_pad) < n
+        jax.block_until_ready(corpus_dev)
+        queries = make_clustered(rng, n_queries, d)
+    else:
+        corpus = make_clustered(rng, n, d)
+        queries = make_clustered(rng, n_queries, d)
+        t0 = time.perf_counter()
+        index = BruteForceIndex(d, metric, StorageMode.FULL)
+        index.rebuild(corpus, np.ones(n, bool))
+        jax.block_until_ready(index._full)
+        build_rate = n / (time.perf_counter() - t0)
+        corpus_dev = index._full
+        pen_dev = index._bucket_pen
+        sqn = index._full_sqnorm
+        valid_dev = index._valid
+        n_pad = index.n_pad
 
     interp = not use_pallas()
-    chunk = fit_chunk(batch, d, k, n=n)
-    corpus_dev = index._full
-    valid_f32 = index._valid.astype(jnp.float32)
-    cnorm_dev = index._full_sqnorm
-    nb = n_queries // batch
-    qsr = jnp.asarray(queries[: nb * batch].reshape(nb, batch, d))
-    gtb = gt[: nb * batch].reshape(nb, batch, k)
+    chunk = min(bucket_chunk_for(batch, ((d + 127) // 128) * 128), n_pad)
 
-    @jax.jit
-    def recall_scan(qs, gts, corpus_a, valid_a, cn_a):
-        def body(acc, qg):
-            q, g = qg
-            _, i = _fused_topk_entry(
-                q, corpus_a, valid_a, cn_a, k=k, metric=metric, chunk=chunk,
-                interpret=interp,
+    def search_fn(q, corpus_a, pen_a):
+        return bucket_topk_entry(
+            q, corpus_a, pen_a, k=k, metric=metric, chunk=chunk,
+            interpret=interp, prenormalized=True,
+        )
+
+    # recall vs the independent chunked-XLA exact oracle, all on device
+    nb = min(8, n_queries // batch)
+    qs = jnp.asarray(queries[: nb * batch].reshape(nb, batch, d))
+    hits = 0
+    for i in range(nb):
+        _, gt = chunked_topk(
+            qs[i], corpus_dev, valid_dev, k, metric,
+            chunk=min(65536, n_pad),
+        )
+        _, got = search_fn(qs[i], corpus_dev, pen_dev)
+        eq = (got[:, :, None] == gt[:, None, :]) & (gt[:, None, :] >= 0)
+        hits += int(jnp.sum(jnp.any(eq, axis=1)))
+    recall = hits / (nb * batch * k)
+
+    qps = _time_entry(
+        search_fn, corpus_dev, pen_dev, queries, batch, k, metric, chunk, interp
+    )
+    return {"qps": qps, "recall": recall, "build_rate": build_rate}
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", 100_000))
+    d = int(os.environ.get("BENCH_D", 768))
+    n_queries = int(os.environ.get("BENCH_QUERIES", 2048))
+    batch = int(os.environ.get("BENCH_BATCH", 256))
+
+    head = run_config(n, d, "cosine", batch, n_queries)
+
+    sift_txt = ""
+    if not os.environ.get("BENCH_SKIP_SIFT"):
+        try:
+            sift = run_config(
+                1_000_000, 128, "euclidean", batch, n_queries,
+                device_corpus=True,
             )
-            eq = (i[:, :, None] == g[:, None, :]) & (g[:, None, :] >= 0)
-            return acc + jnp.sum(jnp.any(eq, axis=1)), None
-
-        acc, _ = jax.lax.scan(body, jnp.int32(0), (qs, gts))
-        return acc
-
-    # corpus passes as an argument: closure capture would embed it in the
-    # compile payload (rejected by the remote-compile size limit)
-    recall = float(recall_scan(qsr, gtb, corpus_dev, valid_f32, cnorm_dev)) / (nb * batch * k)
-
-    # steady-state batched QPS on one chip, measured DEVICE-SIDE: `iters`
-    # successive searches run inside one jitted lax.scan, so the (highly
-    # variable, multi-ms) remote-tunnel round trip is paid once per timing
-    # run instead of once per batch — matching a local TPU host deployment.
-    iters = 64
-    qs = jnp.asarray(np.resize(queries, (iters * batch, d)).reshape(iters, batch, d))
-    valid_dev = valid_f32
-
-    @jax.jit
-    def run_many(qs, corpus_a, valid_a, cn_a):
-        def body(_, q):
-            v, i = _fused_topk_entry(
-                q, corpus_a, valid_a, cn_a, k=k, metric=metric, chunk=chunk,
-                interpret=interp,
+            sift_txt = (
+                f"; SIFT-1M-class 1Mx128D L2: {sift['qps']:,.0f} QPS "
+                f"@ recall@10={sift['recall']:.4f}"
             )
-            return None, (v[0, 0], i[0, 0])  # tiny carry-out defeats DCE
-        _, outs = jax.lax.scan(body, None, qs)
-        return outs
-
-    # MEASUREMENT PROTOCOL (CLAUDE.md): the tunnel returns early on repeated
-    # identical-input invocations — every timed sample gets a UNIQUE input
-    # array (device-side roll, materialized before timing) and the timed
-    # region ends with a forced np.asarray readback of an output.
-    jax.block_until_ready(run_many(qs, corpus_dev, valid_dev, cnorm_dev))  # compile+warm
-    qs_samples = [jax.block_until_ready(jnp.roll(qs, 1 + 7 * s, axis=0)) for s in range(5)]
-    samples = []
-    for qs_s in qs_samples:
-        t0 = time.perf_counter()
-        outs = run_many(qs_s, corpus_dev, valid_dev, cnorm_dev)
-        np.asarray(outs[0])  # force D2H completion
-        samples.append(time.perf_counter() - t0)
-    qps_scan = iters * batch / float(np.min(samples))
-
-    # second estimator: host-loop min (one dispatch per batch). The scan
-    # variant is tunnel-immune but pays XLA loop overhead around the custom
-    # call; the host loop hits peak kernel speed but is hostage to tunnel
-    # weather. Report the better of the two honest measurements.
-    host_batches = [make_clustered(rng, batch, d) for _ in range(41)]
-    jax.block_until_ready(index.search(host_batches[40], k)[0])
-    hs = []
-    for i in range(40):
-        t0 = time.perf_counter()
-        vals, _ = index.search(host_batches[i], k)
-        np.asarray(vals)  # force D2H completion
-        hs.append(time.perf_counter() - t0)
-    qps_host = batch / float(np.min(hs))
-    qps = max(qps_scan, qps_host)
+        except Exception as e:  # tunnel weather: keep the headline
+            sift_txt = f"; SIFT-1M config failed: {type(e).__name__}"
 
     print(
         json.dumps(
             {
                 "metric": (
-                    f"search QPS/chip at recall@10={recall:.4f} "
-                    f"({n}x{d}D cosine, k={k}, fused exact kernel; "
-                    f"ingest {build_rate:,.0f} vec/s)"
+                    f"search QPS/chip at recall@10={head['recall']:.4f} "
+                    f"({n}x{d}D cosine, k=10, bucket-max kernel; "
+                    f"ingest {head['build_rate']:,.0f} vec/s{sift_txt})"
                 ),
-                "value": round(qps, 1),
+                "value": round(head["qps"], 1),
                 "unit": "qps",
-                "vs_baseline": round(qps / REFERENCE_QPS, 2),
+                "vs_baseline": round(head["qps"] / REFERENCE_QPS, 2),
             }
         )
     )

@@ -1,0 +1,113 @@
+"""Streamed (scan+PartialReduce) and bucket-kernel exact engines vs oracle.
+
+These are the round-2 replacements for the k-pass fused kernel on the TPU hot
+path (`ops/streamed.py`, `ops/bucket_kernel.py`). The CPU suite validates
+exact correctness (streamed, approx=False), aggregate-selection recall
+(approx=True), the bucket kernel in interpret mode, and the dispatch
+contract (masks, empty results, k>n, value orientation per metric).
+"""
+
+import numpy as np
+import pytest
+
+from velesdb_tpu.ops import DistanceMetric
+from velesdb_tpu.ops.bucket_kernel import bucket_topk
+from velesdb_tpu.ops.chunked import brute_force_topk
+from velesdb_tpu.ops.streamed import streamed_topk
+
+METRICS = ["cosine", "euclidean", "dot"]
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    n, d = 4096, 48
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((13, d)).astype(np.float32)
+    valid = rng.random(n) > 0.15
+    return corpus, queries, valid
+
+
+def _recall(a, b):
+    return np.mean(
+        [len(set(a[i]) & set(b[i])) / a.shape[1] for i in range(a.shape[0])]
+    )
+
+
+@pytest.mark.parametrize("metric", METRICS)
+@pytest.mark.parametrize("approx", [False, True])
+def test_streamed_matches_oracle(data, metric, approx):
+    corpus, queries, valid = data
+    m = DistanceMetric.parse(metric)
+    gv, gi = brute_force_topk(queries, corpus, 10, m, valid=valid)
+    sv, si = streamed_topk(
+        queries, corpus, valid=valid, k=10, metric=m, chunk=1024, approx=approx
+    )
+    sv, si = np.asarray(sv), np.asarray(si)
+    if approx:
+        assert _recall(si, gi) >= 0.99
+    else:
+        np.testing.assert_array_equal(si, gi)
+        np.testing.assert_allclose(sv, gv, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_bucket_kernel_interpret(data, metric):
+    corpus, queries, valid = data
+    m = DistanceMetric.parse(metric)
+    _, gi = brute_force_topk(queries, corpus, 10, m, valid=valid)
+    if m is DistanceMetric.EUCLIDEAN:
+        pen = np.where(valid, (corpus**2).sum(1), np.inf).astype(np.float32)
+    else:
+        pen = np.where(valid, 0.0, np.inf).astype(np.float32)
+    bv, bi = bucket_topk(
+        queries, corpus, penalty=pen, k=10, metric=m, chunk=512, interpret=True
+    )
+    bi = np.asarray(bi)
+    # one winner per 128-lane bucket: collisions cost a little recall
+    assert _recall(bi, gi) >= 0.97
+    assert np.all(bi[:, 0] == gi[:, 0])  # top-1 never collides with itself
+    if m is DistanceMetric.EUCLIDEAN:
+        assert np.all(np.diff(np.asarray(bv), axis=1) >= -1e-5)
+
+
+def test_streamed_all_masked(data):
+    corpus, queries, _ = data
+    sv, si = streamed_topk(
+        queries, corpus, valid=np.zeros(corpus.shape[0], bool), k=5,
+        metric="cosine",
+    )
+    assert np.all(np.asarray(si) == -1)
+    assert np.all(np.asarray(sv) == -np.inf)
+
+
+def test_streamed_k_exceeds_n():
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((7, 16)).astype(np.float32)
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    sv, si = streamed_topk(q, corpus, k=20, metric="euclidean")
+    assert si.shape == (2, 7)
+    assert sorted(np.asarray(si)[0].tolist()) == list(range(7))
+
+
+def test_streamed_euclidean_values_are_distances(data):
+    corpus, queries, valid = data
+    sv, si = streamed_topk(
+        queries, corpus, valid=valid, k=5, metric="euclidean", approx=False
+    )
+    sv, si = np.asarray(sv), np.asarray(si)
+    d0 = np.linalg.norm(queries[0] - corpus[si[0, 0]])
+    assert abs(sv[0, 0] - d0) < 1e-3
+    assert np.all(np.diff(sv, axis=1) >= -1e-5)  # ascending distances
+
+
+def test_streamed_dynamic_mask_changes_results(data):
+    corpus, queries, valid = data
+    _, si_all = streamed_topk(queries, corpus, valid=valid, k=5, metric="cosine")
+    banned = np.asarray(si_all)[:, 0]
+    mask = valid.copy()
+    mask[banned] = False
+    _, si_m = streamed_topk(queries, corpus, valid=mask, k=5, metric="cosine")
+    si_m = np.asarray(si_m)
+    for i in range(queries.shape[0]):
+        assert banned[i] not in si_m[i]
