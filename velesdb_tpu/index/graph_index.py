@@ -75,9 +75,16 @@ class GraphIndex:
     # build
     # ------------------------------------------------------------------
 
+    # Above this row count the exact O(N^2 D) self-kNN build switches to the
+    # IVF-bucketed approximate build (O(N * nprobe * L * D)) — the reference
+    # keeps HNSW construction sub-quadratic by greedy insertion
+    # (native/graph.rs:158); we keep it sub-quadratic by partition probing.
+    EXACT_KNN_MAX_ROWS = 65_536
+
     def build(self, corpus: np.ndarray, valid: np.ndarray) -> None:
         """Full (re)build from the host slot array. Throughput-oriented: the
-        kNN stage is pure MXU work (~N^2 D flops, chunked), the graph
+        kNN stage is pure MXU work (chunked exact below
+        ``EXACT_KNN_MAX_ROWS``, IVF-bucketed approximate above), the graph
         assembly is vectorized NumPy."""
         n = corpus.shape[0]
         p = self.params
@@ -87,8 +94,15 @@ class GraphIndex:
             self._dirty = False
             return
         knn_k = min(p.knn_k, max(1, int(valid.sum()) - 1))
-        # 1. exact kNN graph (self-edges excluded) — ONE device program
-        knn_idx = self_knn(corpus, knn_k, self.metric, valid=valid)
+        # 1. kNN graph (self-edges excluded) — ONE device program
+        if n <= self.EXACT_KNN_MAX_ROWS:
+            knn_idx = self_knn(corpus, knn_k, self.metric, valid=valid)
+        else:
+            from velesdb_tpu.index.ivf import ivf_self_knn
+
+            knn_idx = ivf_self_knn(
+                corpus, knn_k, self.metric, valid=valid, nprobe=8
+            )
         # distance-ordered forward candidates
         fwd = knn_idx.astype(np.int32)  # [n, knn_k], -1 where few valid
         # 2. alpha-diversification prune (device, blockwise)

@@ -341,7 +341,7 @@ class IvfIndex:
 
 
 def ivf_search_impl(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
-                    k, nprobe, metric):
+                    k, nprobe, metric, exclude_rows=None):
     b, d = q.shape
     if metric is DistanceMetric.COSINE:
         qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
@@ -373,6 +373,8 @@ def ivf_search_impl(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
         ok = rows >= 0
         if mask is not None:
             ok = ok & mask[jnp.maximum(rows, 0)]
+        if exclude_rows is not None:  # self-kNN: drop the query's own row
+            ok = ok & (rows != exclude_rows[:, None])
         s = jnp.where(ok, s, worst)
         rows = jnp.where(ok, rows, -1)
         av = jnp.concatenate([rv, s], axis=1)
@@ -386,6 +388,71 @@ def ivf_search_impl(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
     )
     (vals, idx), _ = jax.lax.scan(body, init, jnp.arange(nprobe))
     return vals, idx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "metric", "qblock")
+)
+def _ivf_self_knn_scan(corpus_pad, rows_pad, cents, cent_sq, parts, part_rows,
+                       part_sq, *, k, nprobe, metric, qblock):
+    """Approximate self-kNN: every (padded) corpus row queries the IVF
+    partitions in ONE device program (outer scan over query blocks).
+    Returns ``[N_pad, k] int32`` neighbor row ids (-1 = none)."""
+    nb = corpus_pad.shape[0] // qblock
+
+    def body(_, qi):
+        q = jax.lax.dynamic_slice_in_dim(corpus_pad, qi * qblock, qblock)
+        rid = jax.lax.dynamic_slice_in_dim(rows_pad, qi * qblock, qblock)
+        _, idx = ivf_search_impl(
+            q, cents, cent_sq, parts, part_rows, part_sq, None,
+            k=k, nprobe=nprobe, metric=metric, exclude_rows=rid,
+        )
+        return None, idx
+
+    _, idx = jax.lax.scan(body, None, jnp.arange(nb, dtype=jnp.int32))
+    return idx.reshape(-1, k)
+
+
+def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
+                 nprobe: int = 8, qblock: int = 1024,
+                 n_clusters: int | None = None) -> np.ndarray:
+    """Approximate kNN graph of a corpus against itself: ``[N, k] int32``.
+
+    The scalable build path for the graph index (VERDICT round-1 #2a):
+    k-means buckets + per-row probing of the ``nprobe`` nearest partitions
+    is O(N * nprobe * L * D) instead of exact self-kNN's O(N^2 D) — feasible
+    at the multi-million-row regime where the graph engine activates.
+    Reference analog: the HNSW incremental build (``native/graph.rs:158``)
+    achieves the same sub-quadratic construction by greedy insertion.
+    """
+    corpus_np = np.asarray(corpus, np.float32)
+    n = corpus_np.shape[0]
+    metric = DistanceMetric(metric)
+    valid_np = np.ones(n, bool) if valid is None else np.asarray(valid, bool)
+    ivf = IvfIndex(corpus_np.shape[1], metric, n_clusters=n_clusters)
+    ivf.build(corpus_np, valid_np)
+    if ivf._parts is None:
+        return np.full((n, k), -1, np.int32)
+    nprobe = int(min(max(nprobe, 1), ivf.c))
+    k_eff = min(k, nprobe * ivf.part_len)
+    n_pad = _round_up(n, qblock)
+    corpus_dev = jax.device_put(
+        jnp.asarray(np.pad(corpus_np, ((0, n_pad - n), (0, 0))))
+    )
+    # invalid/padded query rows still run (static shapes); their outputs are
+    # discarded below, and invalid rows never appear as candidates because
+    # the partitions hold only live rows
+    rows = np.arange(n_pad, dtype=np.int32)
+    idx = _ivf_self_knn_scan(
+        corpus_dev, jnp.asarray(rows), ivf._centroids, ivf._cent_sq,
+        ivf._parts, ivf._part_rows, ivf._part_sq,
+        k=k_eff, nprobe=nprobe, metric=metric, qblock=min(qblock, n_pad),
+    )
+    out = np.array(idx[:n])
+    if k_eff < k:
+        out = np.pad(out, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    out[~valid_np] = -1
+    return out
 
 
 _ivf_search = functools.partial(

@@ -222,6 +222,20 @@ class VectorStore:
                 return None
             return np.array(self._mmap[slot])
 
+    def retrieve_batch(self, vids) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized fetch: ``(vectors [len, D], found mask)``. One fancy
+        -index gather from the memmap instead of a per-id ``retrieve`` loop
+        (the rerank hot path hydrates ~k*oversample rows per query)."""
+        slots = np.fromiter(
+            (self.id_to_slot.get(int(v), -1) for v in vids),
+            dtype=np.int64,
+            count=len(vids),
+        )
+        found = slots >= 0
+        out = np.array(self._mmap[np.maximum(slots, 0)])
+        out[~found] = 0.0
+        return out, found
+
     def __contains__(self, vid) -> bool:
         return int(vid) in self.id_to_slot
 
