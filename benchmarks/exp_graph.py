@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--d", type=int, default=768)
     ap.add_argument("--metric", default="cosine")
     ap.add_argument("--force-exact-knn", action="store_true")
+    ap.add_argument("--degree", type=int, default=0)
+    ap.add_argument("--knn-k", type=int, default=0)
+    ap.add_argument("--alpha", type=float, default=0.0)
+    ap.add_argument("--entry-points", type=int, default=0)
     ap.add_argument("--ef", type=int, default=128)
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--k", type=int, default=10)
@@ -45,14 +49,33 @@ def main():
     valid = np.ones(args.n, bool)
     metric = DistanceMetric.parse(args.metric)
 
-    idx = GraphIndex(args.d, metric, GraphParams.auto(args.d, args.n))
+    gp = GraphParams.auto(args.d, args.n)
+    import dataclasses
+
+    overrides = {
+        k: v
+        for k, v in (
+            ("degree", args.degree),
+            ("knn_k", args.knn_k),
+            ("alpha", args.alpha),
+            ("entry_points", args.entry_points),
+        )
+        if v
+    }
+    if overrides:
+        gp = dataclasses.replace(gp, **overrides)
+    print("params:", gp)
+    idx = GraphIndex(args.d, metric, gp)
     if args.force_exact_knn:
         idx.EXACT_KNN_MAX_ROWS = 10**9
+    # collection context: the corpus is already device-resident (brute._full)
+    corpus_dev = jax.device_put(corpus)
+    jax.block_until_ready(corpus_dev)
     t0 = time.perf_counter()
-    idx.build(corpus, valid)
+    idx.build(corpus, valid, corpus_dev=corpus_dev)
     build_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
-    idx.build(corpus, valid)
+    idx.build(corpus, valid, corpus_dev=corpus_dev)
     build_warm = time.perf_counter() - t0
 
     _, gt = brute_force_topk(queries, corpus, args.k, metric)

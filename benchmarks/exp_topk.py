@@ -346,6 +346,24 @@ def main():
             variants[name] = make_lean(k, args.chunk, pure_dots=True)
         elif name == "lean_dots_bf16":
             variants[name] = make_lean(k, args.chunk, jnp.bfloat16, pure_dots=True)
+        elif name == "sq8_streamed":
+            from velesdb_tpu.ops import DistanceMetric
+            from velesdb_tpu.ops.quantization import sq8_quantize
+            from velesdb_tpu.ops.streamed import _sq8_streamed_entry
+
+            sq = sq8_quantize(corpus)
+            jax.block_until_ready(sq.codes)
+            ones = jnp.ones(corpus.shape[0], bool)
+
+            def _sq8_fn(q, c, cn, _sq=sq, _ones=ones):
+                # cn is |c|^2 with +inf on padding -> scores -inf there
+                return _sq8_streamed_entry(
+                    q, _sq.codes, _sq.scale, _sq.minv, cn, _ones,
+                    k=k, metric=DistanceMetric.EUCLIDEAN,
+                    chunk=args.chunk, approx=True,
+                )
+
+            variants[name] = _sq8_fn
         elif name == "pallas":
             variants[name] = make_pallas(k)(b, d, n)
         elif name == "int8":

@@ -71,6 +71,25 @@ def test_bucket_kernel_interpret(data, metric):
         assert np.all(np.diff(np.asarray(bv), axis=1) >= -1e-5)
 
 
+@pytest.mark.parametrize("metric", METRICS)
+def test_sq8_streamed_matches_dequant_oracle(data, metric):
+    import jax.numpy as jnp
+
+    from velesdb_tpu.ops.quantization import sq8_dequantize, sq8_quantize
+    from velesdb_tpu.ops.streamed import sq8_streamed_topk
+
+    corpus, queries, valid = data
+    m = DistanceMetric.parse(metric)
+    sq = sq8_quantize(jnp.asarray(corpus))
+    deq = np.asarray(sq8_dequantize(sq))
+    _, gi = brute_force_topk(queries, deq, 10, m, valid=valid)
+    _, si = sq8_streamed_topk(
+        queries, sq, valid=valid, k=10, metric=m, chunk=1024, approx=False
+    )
+    # bf16 query rounding in the streamed matmul can swap near-ties
+    assert _recall(np.asarray(si), gi) >= 0.95
+
+
 def test_streamed_all_masked(data):
     corpus, queries, _ = data
     sv, si = streamed_topk(

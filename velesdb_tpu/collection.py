@@ -442,7 +442,10 @@ class Collection:
 
                 old = self.ann.params
                 self.ann.params = want
-                self.ann.build(slots, valid)
+                # borrow the resident device corpus (skips three 300MB-class
+                # host->device transfers inside the build); cosine _full is
+                # pre-normalized, which cosine scoring is invariant to
+                self.ann.build(slots, valid, corpus_dev=self._brute._full)
                 self.ann.save(ann_path, version=version)
                 self.reindex_events.append(
                     {
@@ -584,7 +587,10 @@ class Collection:
             path = os.path.join(self.path, "ivf.npz")
             version = self.vectors.version
             if not self.ivf.load(path, slots, valid, version=version):
-                self.ivf.build(slots, valid)
+                src = slots
+                if self.storage_mode in _ANN_MODES and self._brute._full is not None:
+                    src = self._brute._full[:used]  # resident device corpus
+                self.ivf.build(src, valid)
                 self.ivf.save(path, version=version)
             # fresh build/restore covers every row: the delta drains
             self._stale["ivf"].clear()

@@ -40,7 +40,7 @@ from velesdb_tpu.ops.bucket_kernel import (
 )
 from velesdb_tpu.ops.pallas_kernels import hamming_topk, use_pallas
 from velesdb_tpu.ops.quantization import SQ8Vectors
-from velesdb_tpu.ops.streamed import streamed_topk
+from velesdb_tpu.ops.streamed import sq8_streamed_topk, streamed_topk
 
 __all__ = ["BruteForceIndex", "pad_rows"]
 
@@ -188,6 +188,28 @@ class BruteForceIndex:
                 return self._search_streaming(queries, k_eff, mask)
             except Exception:  # Mosaic lowering/runtime issue: fall back once
                 _PALLAS_OK[0] = False
+        if (
+            use_pallas()
+            and mode is StorageMode.SQ8
+            and self.metric
+            in (
+                DistanceMetric.COSINE,
+                DistanceMetric.DOT_PRODUCT,
+                DistanceMetric.EUCLIDEAN,
+            )
+        ):
+            # streamed SQ8: 1/4 HBM bytes per corpus pass, any N (the
+            # one-shot [B, N] score matrix below is host-memory bounded)
+            valid = self._valid
+            if mask is not None:
+                valid = jnp.logical_and(valid, _pad_to(mask, self.n_pad))
+            cn = self._sq_norm
+            if cn is None:
+                cn = jnp.zeros(self.n_pad, jnp.float32)
+            return sq8_streamed_topk(
+                queries, self._sq8, cnorm=cn, valid=valid, k=k_eff,
+                metric=self.metric,
+            )
         if _PALLAS_OK[0] and use_pallas() and mode is StorageMode.BINARY:
             try:
                 valid = self._valid

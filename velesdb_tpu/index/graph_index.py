@@ -81,11 +81,19 @@ class GraphIndex:
     # (native/graph.rs:158); we keep it sub-quadratic by partition probing.
     EXACT_KNN_MAX_ROWS = 65_536
 
-    def build(self, corpus: np.ndarray, valid: np.ndarray) -> None:
+    def build(self, corpus: np.ndarray, valid: np.ndarray,
+              corpus_dev=None) -> None:
         """Full (re)build from the host slot array. Throughput-oriented: the
         kNN stage is pure MXU work (chunked exact below
         ``EXACT_KNN_MAX_ROWS``, IVF-bucketed approximate above), the graph
-        assembly is vectorized NumPy."""
+        assembly is vectorized NumPy.
+
+        ``corpus_dev`` (optional ``[>=n, D]`` device array, e.g. the
+        collection's resident search corpus) skips every host->device corpus
+        transfer in the build — three 307MB uploads at 100K x 768D, the
+        dominant warm-build cost on remote-attached TPUs. For cosine it may
+        be pre-normalized (cosine scoring is normalization-invariant).
+        """
         n = corpus.shape[0]
         p = self.params
         self.n = n
@@ -93,26 +101,33 @@ class GraphIndex:
             self.n_pad = 0
             self._dirty = False
             return
+        dev = None
+        if corpus_dev is not None:
+            dev = jnp.asarray(corpus_dev)[:n].astype(jnp.float32)
         knn_k = min(p.knn_k, max(1, int(valid.sum()) - 1))
         # 1. kNN graph (self-edges excluded) — ONE device program
         if n <= self.EXACT_KNN_MAX_ROWS:
-            knn_idx = self_knn(corpus, knn_k, self.metric, valid=valid)
+            knn_idx = self_knn(
+                corpus if dev is None else dev, knn_k, self.metric, valid=valid
+            )
         else:
             from velesdb_tpu.index.ivf import ivf_self_knn
 
             knn_idx = ivf_self_knn(
-                corpus, knn_k, self.metric, valid=valid, nprobe=8
+                corpus if dev is None else dev, knn_k, self.metric,
+                valid=valid, nprobe=8,
             )
         # distance-ordered forward candidates
         fwd = knn_idx.astype(np.int32)  # [n, knn_k], -1 where few valid
         # 2. alpha-diversification prune (device, blockwise)
-        fwd = self._alpha_prune_host(corpus, fwd)
+        fwd = self._alpha_prune_host(corpus, fwd, dev)
         # 3. reverse-edge augmentation + final adjacency
         adj = _assemble_adjacency(fwd, n, p.degree)
-        self._upload(corpus, valid, adj)
+        self._upload(corpus, valid, adj, dev)
         self._dirty = False
 
-    def _alpha_prune_host(self, corpus: np.ndarray, fwd: np.ndarray) -> np.ndarray:
+    def _alpha_prune_host(self, corpus: np.ndarray, fwd: np.ndarray,
+                          dev=None) -> np.ndarray:
         """VAMANA prune (keeps diverse neighbors): ONE device program
         scanning node blocks, one readback."""
         if self.params.alpha <= 1.0:
@@ -120,9 +135,12 @@ class GraphIndex:
         n, k = fwd.shape
         block = 2048
         n_pad = ((n + block - 1) // block) * block
-        corpus_dev = jax.device_put(
-            jnp.asarray(np.pad(corpus, ((0, n_pad - n), (0, 0))))
-        )
+        if dev is not None:
+            corpus_dev = jnp.pad(dev, ((0, n_pad - n), (0, 0)))
+        else:
+            corpus_dev = jax.device_put(
+                jnp.asarray(np.pad(corpus, ((0, n_pad - n), (0, 0))))
+            )
         fwd_dev = jax.device_put(
             jnp.asarray(np.pad(fwd, ((0, n_pad - n), (0, 0)), constant_values=-1))
         )
@@ -133,17 +151,20 @@ class GraphIndex:
         )[:n]
         return np.where(keep, fwd, -1)
 
-    def _upload(self, corpus, valid, adj) -> None:
+    def _upload(self, corpus, valid, adj, dev=None) -> None:
         n = corpus.shape[0]
         self.n_pad = _pad_pow2(n, 1024)
         pad = self.n_pad - n
-        corpus_p = np.pad(np.asarray(corpus, np.float32), ((0, pad), (0, 0)))
+        if dev is not None:
+            self._corpus = jnp.pad(dev, ((0, pad), (0, 0)))
+        else:
+            corpus_p = np.pad(np.asarray(corpus, np.float32), ((0, pad), (0, 0)))
+            self._corpus = jax.device_put(jnp.asarray(corpus_p))
         valid_p = np.pad(np.asarray(valid, bool), (0, pad))
         adj_p = np.pad(adj, ((0, pad), (0, 0)), constant_values=-1)
-        self._corpus = jax.device_put(jnp.asarray(corpus_p))
         self._adj = jax.device_put(jnp.asarray(adj_p))
         self._valid = jax.device_put(jnp.asarray(valid_p))
-        self._sqnorm = jax.device_put(jnp.sum(jnp.asarray(corpus_p) ** 2, axis=-1))
+        self._sqnorm = jnp.sum(self._corpus * self._corpus, axis=-1)
         # routing sample: strided over valid rows, padded by repetition
         s = min(self.params.seed_sample, max(1, n))
         valid_rows = np.flatnonzero(valid_p[:n])

@@ -204,8 +204,9 @@ class IvfIndex:
 
     # -- build ----------------------------------------------------------------
 
-    def build(self, corpus: np.ndarray, valid: np.ndarray | None = None) -> None:
-        corpus = np.asarray(corpus, np.float32)
+    def build(self, corpus, valid: np.ndarray | None = None) -> None:
+        if not isinstance(corpus, jax.Array):
+            corpus = np.asarray(corpus, np.float32)
         n = corpus.shape[0]
         if valid is None:
             valid = np.ones(n, bool)
@@ -217,7 +218,10 @@ class IvfIndex:
         c = self.n_clusters or max(1, min(len(rows) // 256, 4096))
         c = min(c, len(rows))
         self.c = c
-        live_dev = jax.device_put(jnp.asarray(corpus[rows]))  # ONE transfer
+        if isinstance(corpus, jax.Array):  # device gather, zero host traffic
+            live_dev = corpus[jnp.asarray(rows)].astype(jnp.float32)
+        else:
+            live_dev = jax.device_put(jnp.asarray(corpus[rows]))  # ONE transfer
         if self.metric is DistanceMetric.COSINE:
             nrm = jnp.linalg.norm(live_dev, axis=1, keepdims=True)
             km_input = live_dev / jnp.maximum(nrm, 1e-30)
@@ -390,27 +394,49 @@ def ivf_search_impl(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
     return vals, idx
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "nprobe", "metric", "qblock")
-)
-def _ivf_self_knn_scan(corpus_pad, rows_pad, cents, cent_sq, parts, part_rows,
-                       part_sq, *, k, nprobe, metric, qblock):
-    """Approximate self-kNN: every (padded) corpus row queries the IVF
-    partitions in ONE device program (outer scan over query blocks).
-    Returns ``[N_pad, k] int32`` neighbor row ids (-1 = none)."""
-    nb = corpus_pad.shape[0] // qblock
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
+def _bucketed_self_knn(parts, part_rows, part_sq, cents, *, k, nprobe, metric):
+    """Partition-bucketed approximate self-kNN: each partition scores its
+    rows against its ``nprobe`` nearest partitions' rows in ONE matmul, so
+    every corpus row is read O(nprobe) times TOTAL (per-query probing reads
+    each partition once per querying row — 100-250x more HBM traffic).
+    Returns ``[P, L, k]`` neighbor row ids (-1 = none)."""
+    P, L, D = parts.shape
+    cc = jnp.sum(cents * cents, axis=1)
+    aff = cents @ cents.T
+    if metric is DistanceMetric.EUCLIDEAN:
+        aff = aff - 0.5 * cc[None, :]
+    _, probe = jax.lax.top_k(aff, min(nprobe, P))  # [P, nprobe] (incl. self)
 
-    def body(_, qi):
-        q = jax.lax.dynamic_slice_in_dim(corpus_pad, qi * qblock, qblock)
-        rid = jax.lax.dynamic_slice_in_dim(rows_pad, qi * qblock, qblock)
-        _, idx = ivf_search_impl(
-            q, cents, cent_sq, parts, part_rows, part_sq, None,
-            k=k, nprobe=nprobe, metric=metric, exclude_rows=rid,
-        )
-        return None, idx
+    def body(_, p):
+        q = parts[p]  # [L, D]
+        qrows = part_rows[p]  # [L]
+        cand = parts[probe[p]].reshape(-1, D)  # [nprobe*L, D]
+        crows = part_rows[probe[p]].reshape(-1)
+        csq = part_sq[probe[p]].reshape(-1)
+        dots = jax.lax.dot_general(
+            q, cand, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [L, nprobe*L]
+        if metric is DistanceMetric.EUCLIDEAN:
+            s = 2.0 * dots - csq[None, :]
+        elif metric is DistanceMetric.COSINE:
+            qs = part_sq[p]
+            s = (
+                dots
+                * jax.lax.rsqrt(jnp.maximum(qs, 1e-30))[:, None]
+                * jax.lax.rsqrt(jnp.maximum(csq, 1e-30))[None, :]
+            )
+        else:
+            s = dots
+        ok = (crows[None, :] >= 0) & (crows[None, :] != qrows[:, None])
+        s = jnp.where(ok, s, -jnp.inf)
+        v, i = jax.lax.top_k(s, k)
+        nbr = jnp.where(v == -jnp.inf, -1, crows[i])
+        return None, nbr
 
-    _, idx = jax.lax.scan(body, None, jnp.arange(nb, dtype=jnp.int32))
-    return idx.reshape(-1, k)
+    _, out = jax.lax.scan(body, None, jnp.arange(P, dtype=jnp.int32))
+    return out
 
 
 def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
@@ -419,38 +445,37 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
     """Approximate kNN graph of a corpus against itself: ``[N, k] int32``.
 
     The scalable build path for the graph index (VERDICT round-1 #2a):
-    k-means buckets + per-row probing of the ``nprobe`` nearest partitions
-    is O(N * nprobe * L * D) instead of exact self-kNN's O(N^2 D) — feasible
-    at the multi-million-row regime where the graph engine activates.
-    Reference analog: the HNSW incremental build (``native/graph.rs:158``)
-    achieves the same sub-quadratic construction by greedy insertion.
+    k-means partitions + one partition-vs-neighborhood matmul per partition
+    is O(N * nprobe * L * D) FLOPs with O(N * nprobe * D) HBM traffic —
+    feasible at the multi-million-row regime where the graph engine
+    activates. Reference analog: the HNSW incremental build
+    (``native/graph.rs:158``) achieves the same sub-quadratic construction
+    by greedy insertion. ``qblock`` is accepted for API compatibility.
     """
-    corpus_np = np.asarray(corpus, np.float32)
-    n = corpus_np.shape[0]
+    del qblock
+    corpus_in = (
+        corpus if isinstance(corpus, jax.Array) else np.asarray(corpus, np.float32)
+    )
+    n = corpus_in.shape[0]
     metric = DistanceMetric(metric)
     valid_np = np.ones(n, bool) if valid is None else np.asarray(valid, bool)
-    ivf = IvfIndex(corpus_np.shape[1], metric, n_clusters=n_clusters)
-    ivf.build(corpus_np, valid_np)
+    ivf = IvfIndex(corpus_in.shape[1], metric, n_clusters=n_clusters)
+    ivf.build(corpus_in, valid_np)
     if ivf._parts is None:
         return np.full((n, k), -1, np.int32)
     nprobe = int(min(max(nprobe, 1), ivf.c))
-    k_eff = min(k, nprobe * ivf.part_len)
-    n_pad = _round_up(n, qblock)
-    corpus_dev = jax.device_put(
-        jnp.asarray(np.pad(corpus_np, ((0, n_pad - n), (0, 0))))
-    )
-    # invalid/padded query rows still run (static shapes); their outputs are
-    # discarded below, and invalid rows never appear as candidates because
-    # the partitions hold only live rows
-    rows = np.arange(n_pad, dtype=np.int32)
-    idx = _ivf_self_knn_scan(
-        corpus_dev, jnp.asarray(rows), ivf._centroids, ivf._cent_sq,
-        ivf._parts, ivf._part_rows, ivf._part_sq,
-        k=k_eff, nprobe=nprobe, metric=metric, qblock=min(qblock, n_pad),
-    )
-    out = np.array(idx[:n])
-    if k_eff < k:
-        out = np.pad(out, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    k_eff = min(k, max(nprobe * ivf.part_len - 1, 1))
+    nbr = np.asarray(
+        _bucketed_self_knn(
+            ivf._parts, ivf._part_rows, ivf._part_sq, ivf._centroids,
+            k=k_eff, nprobe=nprobe, metric=metric,
+        )
+    )  # [P, L, k]
+    rows = np.asarray(ivf._part_rows).reshape(-1)
+    flat = nbr.reshape(-1, k_eff)
+    out = np.full((n, k), -1, np.int32)
+    live = rows >= 0
+    out[rows[live], :k_eff] = flat[live]
     out[~valid_np] = -1
     return out
 

@@ -87,8 +87,9 @@ def self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
 
     One dispatch, one readback (the graph-index build workhorse).
     """
-    corpus_np = np.asarray(corpus, np.float32)
-    n, d = corpus_np.shape
+    is_dev = isinstance(corpus, jax.Array)
+    corpus_in = corpus if is_dev else np.asarray(corpus, np.float32)
+    n, d = corpus_in.shape
     metric = DistanceMetric(metric)
     if valid is None:
         valid_np = np.ones(n, bool)
@@ -98,7 +99,12 @@ def self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
     block = min(q_block, c_chunk)
     unit = np.lcm(block, c_chunk)
     n_pad = ((n + unit - 1) // unit) * unit
-    corpus_dev = jax.device_put(np.pad(corpus_np, ((0, n_pad - n), (0, 0))))
+    if is_dev:  # device-resident corpus: pad in place, no host round trip
+        corpus_dev = jnp.pad(
+            corpus_in.astype(jnp.float32), ((0, n_pad - n), (0, 0))
+        )
+    else:
+        corpus_dev = jax.device_put(np.pad(corpus_in, ((0, n_pad - n), (0, 0))))
     valid_dev = jax.device_put(np.pad(valid_np, (0, n_pad - n)))
     idx = _self_knn_device(
         corpus_dev, valid_dev, k=k, metric=metric, q_block=block, chunk=c_chunk

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from velesdb_tpu.ops.distance import DistanceMetric
 
-__all__ = ["streamed_topk", "STREAM_CHUNK"]
+__all__ = ["streamed_topk", "sq8_streamed_topk", "STREAM_CHUNK"]
 
 STREAM_CHUNK = 65536  # corpus rows per scan step ([B, C] f32 scores = 64MB @ B=256)
 
@@ -103,6 +103,118 @@ def _streamed_entry(queries, corpus, valid, cnorm, *, k, metric, chunk, approx,
         d2 = jnp.maximum(qq[:, None] - vals, 0.0)
         vals = jnp.where(empty, jnp.inf, jnp.sqrt(d2))
     return vals, idx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "chunk", "approx")
+)
+def _sq8_streamed_entry(queries, codes, scale, minv, cnorm, valid, *, k,
+                        metric, chunk, approx):
+    """Streamed SQ8 scan: per chunk one MXU matmul on the raw uint8 codes
+    (cast bf16 — integers <=255 are exact) + the rank-1 affine correction
+    ``dot(q, dq(c)) = scale*(q.codes) + min*sum(q)``, then PartialReduce.
+    The quantized corpus streams at 1/4 the HBM bytes of f32 — SQ8 is the
+    4x-capacity mode of one chip's HBM (reference: ``quantization.rs:410``
+    ``dot_product_quantized_simd``). ``cnorm``: euclidean -> squared
+    dequantized norms; cosine -> dequantized norms; dot -> zeros.
+    """
+    b, d = queries.shape
+    n = codes.shape[0]
+    nc = n // chunk
+    q = queries
+    qq = jnp.sum(q * q, axis=1)
+    if metric is DistanceMetric.COSINE:
+        sq = jnp.sum(q * q, axis=1, keepdims=True)
+        q = q * jnp.where(sq > 1e-30, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0)
+    qsum = jnp.sum(q, axis=1, keepdims=True)
+    qb = q.astype(jnp.bfloat16)
+
+    codes_c = codes.reshape(nc, chunk, d)
+    scale_c = scale.reshape(nc, chunk)
+    minv_c = minv.reshape(nc, chunk)
+    cn_c = cnorm.reshape(nc, chunk)
+    valid_c = valid.reshape(nc, chunk)
+
+    def body(carry, inp):
+        rv, ri = carry
+        ci, cd_codes, sc, mn, cc, ok = inp
+        code_dot = jax.lax.dot_general(
+            qb, cd_codes.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dots = code_dot * sc[None, :] + qsum * mn[None, :]
+        if metric is DistanceMetric.DOT_PRODUCT:
+            s = dots
+        elif metric is DistanceMetric.COSINE:
+            s = dots * jnp.where(cc > 1e-30, 1.0 / jnp.maximum(cc, 1e-30), 0.0)[None, :]
+        else:  # EUCLIDEAN: maximize 2*q.c - |c|^2
+            s = 2.0 * dots - cc[None, :]
+        s = jnp.where(ok[None, :], s, -jnp.inf)
+        if approx:
+            v, i = jax.lax.approx_max_k(s, k)
+        else:
+            v, i = jax.lax.top_k(s, k)
+        gi = i + ci * chunk
+        mv, pos = jax.lax.top_k(jnp.concatenate([rv, v], axis=1), k)
+        mi = jnp.take_along_axis(jnp.concatenate([ri, gi], axis=1), pos, axis=1)
+        return (mv, mi), None
+
+    init = (
+        jnp.full((b, k), -jnp.inf, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    (vals, idx), _ = jax.lax.scan(
+        body, init,
+        (jnp.arange(nc, dtype=jnp.int32), codes_c, scale_c, minv_c, cn_c, valid_c),
+    )
+    empty = vals == -jnp.inf
+    idx = jnp.where(empty, -1, idx)
+    if metric is DistanceMetric.EUCLIDEAN:
+        d2 = jnp.maximum(qq[:, None] - vals, 0.0)
+        vals = jnp.where(empty, jnp.inf, jnp.sqrt(d2))
+    return vals, idx
+
+
+def sq8_streamed_topk(queries, sq, cnorm=None, valid=None, k: int = 10,
+                      metric: DistanceMetric = DistanceMetric.COSINE,
+                      chunk: int = STREAM_CHUNK, approx: bool = True):
+    """Streamed top-k over an SQ8-quantized corpus (``SQ8Vectors``).
+
+    Same output contract as :func:`streamed_topk`. ``cnorm`` defaults are
+    derived from the dequantized corpus when omitted (one extra pass).
+    """
+    metric = DistanceMetric.parse(metric)
+    q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+    codes = jnp.asarray(sq.codes)
+    n = codes.shape[0]
+    k = min(k, n)
+    chunk = min(chunk, n) if n % chunk else chunk
+    n_pad = ((n + chunk - 1) // chunk) * chunk if n % chunk else n
+    scale = jnp.asarray(sq.scale, jnp.float32)
+    minv = jnp.asarray(sq.minv, jnp.float32)
+    if cnorm is None:
+        from velesdb_tpu.ops.quantization import sq8_dequantize
+
+        deq = sq8_dequantize(sq)
+        sqn = jnp.sum(deq * deq, axis=1)
+        cnorm = (
+            sqn if metric is DistanceMetric.EUCLIDEAN else jnp.sqrt(sqn)
+        )
+        if metric is DistanceMetric.DOT_PRODUCT:
+            cnorm = jnp.zeros(n, jnp.float32)
+    else:
+        cnorm = jnp.asarray(cnorm, jnp.float32)
+    v = jnp.ones(n, bool) if valid is None else jnp.asarray(valid).astype(bool)
+    if n_pad != n:
+        codes = jnp.pad(codes, ((0, n_pad - n), (0, 0)))
+        scale = jnp.pad(scale, (0, n_pad - n))
+        minv = jnp.pad(minv, (0, n_pad - n))
+        cnorm = jnp.pad(cnorm, (0, n_pad - n))
+        v = jnp.pad(v, (0, n_pad - n))
+    return _sq8_streamed_entry(
+        q, codes, scale, minv, cnorm, v, k=k, metric=metric, chunk=chunk,
+        approx=approx,
+    )
 
 
 def streamed_topk(
