@@ -327,3 +327,44 @@ def test_delete_node_cleans_graph(social):
     c.delete(2)
     rows = c.execute_match("MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN a.name AS a, b.name AS b")
     assert {(r["a"], r["b"]) for r in rows} == {("carol", "dave")}
+
+
+def test_match_100k_bindings_stress(tmp_db_dir, rng):
+    """VERDICT round-1 #8: the hop join must scale past 10K bindings.
+
+    Bipartite fan-out: 316 left nodes each -FOLLOWS-> 316 right nodes
+    = 99,856 two-node bindings (at the guardrail ceiling), joined through the array fast path in
+    well under the old per-row join's budget."""
+    import time as _t
+
+    db = Database.open(tmp_db_dir)
+    c = db.create_collection("fan", dim=2)
+    nl = 316  # 316^2 = 99,856 bindings, just under the guardrail
+    for i in range(nl):
+        c.add_node(i, ["L"], {"i": i})
+    for j in range(nl):
+        c.add_node(10_000 + j, ["R"], {"j": j})
+    for i in range(nl):
+        for j in range(nl):
+            c.add_edge(i, 10_000 + j, "FOLLOWS")
+    t0 = _t.perf_counter()
+    rows = c.execute_match(
+        "MATCH (a:L)-[:FOLLOWS]->(b:R) RETURN a.i AS ai LIMIT 200000"
+    )
+    dt = _t.perf_counter() - t0
+    assert len(rows) == nl * nl
+    assert dt < 30.0, f"hop join too slow: {dt:.1f}s"
+
+
+def test_match_array_join_respects_bound_tovar(social):
+    """Cycle patterns re-bind an existing variable: (a)->(b)->(a)."""
+    _, c = social
+    c.add_edge(2, 1, "KNOWS")  # close a 2-cycle alice<->bob
+    rows = c.execute_match(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person)-[:KNOWS]->(a) "
+        "RETURN a.name AS a, b.name AS b"
+    )
+    assert {(r["a"], r["b"]) for r in rows} == {
+        ("alice", "bob"),
+        ("bob", "alice"),
+    }

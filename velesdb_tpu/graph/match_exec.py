@@ -193,6 +193,13 @@ def _expand(coll, stmt, bindings, *, edge_idx, from_idx, to_idx, reverse,
         if direction == "both"
         else [graph.edges.csr(direction)]
     )
+    if edge_var is None:
+        # fast path: no edge variable requested -> no per-path python lists;
+        # BFS and the bindings join stay entirely in numpy (the per-row
+        # join was the scale ceiling at ~10K bindings, VERDICT round-1 #8)
+        return _expand_arrays(
+            bindings, srcs, views, edge, label_ids, from_var, to_var, cands
+        )
     # BFS by depth, tracking (origin, current, path)
     frontier_src = srcs.copy()
     frontier_cur = srcs.copy()
@@ -264,6 +271,112 @@ def _expand(coll, stmt, bindings, *, edge_idx, from_idx, to_idx, reverse,
             out.append(nb)
             if len(out) > MAX_BINDINGS:
                 raise MatchError("MATCH bindings exceed guardrails")
+    return out
+
+
+def _expand_uniq(frontier_cur, frontier_src, view, label_ids):
+    """Expand unique frontier nodes through one CSR view; returns
+    ``(origins, dsts)`` arrays (one row per traversed edge)."""
+    uniq, inv = np.unique(frontier_cur, return_inverse=True)
+    s, d, lab, _eids = view.neighbors_of(uniq)
+    if label_ids is not None:
+        keep = np.isin(lab, list(label_ids))
+        s, d = s[keep], d[keep]
+    if len(s) == 0:
+        return None
+    reps = np.searchsorted(uniq, s)
+    counts_u = np.bincount(reps, minlength=len(uniq))
+    starts_u = np.concatenate([[0], np.cumsum(counts_u)[:-1]])
+    cnt_fi = counts_u[inv]
+    total = int(cnt_fi.sum())
+    if total == 0:
+        return None
+    if total > MAX_BINDINGS:
+        raise MatchError("MATCH expansion exceeds guardrails")
+    fi_rep = np.repeat(np.arange(len(frontier_cur)), cnt_fi)
+    base = np.repeat(starts_u[inv], cnt_fi)
+    offs = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(cnt_fi)[:-1]]), cnt_fi
+    )
+    rows = base + offs
+    return frontier_src[fi_rep], d[rows].astype(np.int64)
+
+
+def _expand_arrays(bindings, srcs, views, edge, label_ids, from_var, to_var,
+                   cands) -> list[dict]:
+    """Array-only hop expansion + join (no edge-variable/path tracking).
+
+    Multi-path multiplicity is preserved: every traversed edge sequence
+    contributes one (origin, dst) row, exactly like the path-tracking
+    branch emits one binding per path.
+    """
+    ro_parts, rd_parts = [], []  # reach: (origin, dst) rows
+    frontier_src = srcs.copy()
+    frontier_cur = srcs.copy()
+    for depth in range(1, edge.max_hops + 1):
+        if frontier_cur.size == 0:
+            break
+        nxt_src, nxt_cur = [], []
+        for view in views:
+            got = _expand_uniq(frontier_cur, frontier_src, view, label_ids)
+            if got is None:
+                continue
+            origins, dsts = got
+            if depth >= edge.min_hops:
+                ro_parts.append(origins)
+                rd_parts.append(dsts)
+            nxt_src.append(origins)
+            nxt_cur.append(dsts)
+        if depth >= edge.max_hops or not nxt_cur:
+            break
+        frontier_src = np.concatenate(nxt_src)
+        frontier_cur = np.concatenate(nxt_cur)
+        if len(frontier_cur) > MAX_BINDINGS:
+            raise MatchError("MATCH expansion exceeds guardrails")
+    if edge.min_hops == 0:
+        ro_parts.append(srcs)
+        rd_parts.append(srcs)
+    if not ro_parts:
+        return []
+    r_origin = np.concatenate(ro_parts)
+    r_dst = np.concatenate(rd_parts)
+    order = np.argsort(r_origin, kind="stable")
+    r_origin, r_dst = r_origin[order], r_dst[order]
+
+    # join every binding to its source's reach rows — pure numpy
+    b_src = np.fromiter(
+        (b[from_var] for b in bindings), np.int64, len(bindings)
+    )
+    start = np.searchsorted(r_origin, b_src, "left")
+    end = np.searchsorted(r_origin, b_src, "right")
+    cnt = end - start
+    total = int(cnt.sum())
+    if total > 4 * MAX_BINDINGS:
+        raise MatchError("MATCH bindings exceed guardrails")
+    brep = np.repeat(np.arange(len(bindings)), cnt)
+    base = np.repeat(start, cnt)
+    offs = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt
+    )
+    dst_out = r_dst[base + offs]
+
+    keep = np.ones(total, bool)
+    if cands is not None:
+        keep &= np.isin(dst_out, np.fromiter(cands, np.int64, len(cands)))
+    # bindings that already bind to_var must agree
+    if any(to_var in b for b in bindings):
+        bound = np.fromiter(
+            (b.get(to_var, -1) for b in bindings), np.int64, len(bindings)
+        )[brep]
+        keep &= (bound < 0) | (bound == dst_out)
+    dst_out, brep = dst_out[keep], brep[keep]
+    if len(brep) > MAX_BINDINGS:
+        raise MatchError("MATCH bindings exceed guardrails")
+    out = []
+    for bi, dst in zip(brep.tolist(), dst_out.tolist()):
+        nb = dict(bindings[bi])
+        nb[to_var] = dst
+        out.append(nb)
     return out
 
 
