@@ -79,3 +79,66 @@ def test_llamaindex_store(tmp_db_dir):
     store.delete("n3")
     res = store.query(emb._embed("text 3"), similarity_top_k=5)
     assert "n3" not in res.ids
+
+
+# -- graph retriever + agent-memory adapters (r2, VERDICT #9) ----------------
+
+
+def test_graph_retriever_seed_and_expand(tmp_db_dir):
+    import numpy as np
+
+    from integrations.langchain_velesdb_graph import VelesGraphRetriever
+    from velesdb_tpu import Database
+
+    rng = np.random.default_rng(0)
+    db = Database(tmp_db_dir)
+    docs = db.create_collection("docs", dim=8)
+    emb = {t: rng.standard_normal(8).astype(np.float32)
+           for t in ["alpha", "beta", "gamma", "delta"]}
+    for i, t in enumerate(emb):
+        docs.upsert(i, emb[t], {"text": t})
+    docs.add_edge(0, 1, "REF")
+    docs.add_edge(1, 2, "REF")
+    retr = VelesGraphRetriever(
+        docs, embedding=lambda t: emb[t], seed_k=1, expand_k=4, max_depth=2,
+        rel_types=["REF"],
+    )
+    got = retr.get_relevant_documents("alpha")
+    contents = [d.page_content for d in got]
+    assert contents[0] == "alpha"
+    assert "beta" in contents and "gamma" in contents  # 1- and 2-hop
+    assert "delta" not in contents  # disconnected
+    assert got[1].metadata["hop_depth"] >= 1
+    # low_latency skips expansion
+    fast = VelesGraphRetriever(
+        docs, embedding=lambda t: emb[t], seed_k=1, low_latency=True
+    )
+    assert len(fast.get_relevant_documents("alpha")) == 1
+
+
+def test_chat_and_semantic_memory(tmp_path):
+    import numpy as np
+
+    from integrations.langchain_velesdb_graph import (
+        VelesChatMemory,
+        VelesSemanticMemory,
+    )
+
+    rng = np.random.default_rng(1)
+    mem = VelesChatMemory(path=str(tmp_path / "a"), dimension=8)
+    mem.save_context({"input": "hello"}, {"output": "hi there"})
+    mem.save_context({"input": "more"}, {"output": "sure"})
+    hist = mem.load_memory_variables({})["history"]
+    assert hist.index("Human: hello") < hist.index("AI: sure")
+    mem.clear()
+    assert mem.load_memory_variables({})["history"] == ""
+
+    emb = {"alpha": rng.standard_normal(8).astype(np.float32)}
+    sem = VelesSemanticMemory(
+        path=str(tmp_path / "b"),
+        embedding=lambda t: emb.get(t, rng.standard_normal(8).astype(np.float32)),
+        dimension=8,
+        k=2,
+    )
+    sem.remember("alpha", importance=0.9)
+    assert "alpha" in sem.load_memory_variables({"q": "alpha"})["facts"]
