@@ -1,158 +1,221 @@
-"""Recall/QPS curves across engines — ann-benchmarks-style table.
+"""Recall/QPS curves across engines — ann-benchmarks-style JSON artifact.
 
-Counterpart of the reference's `benchmarks/benchmark_recall.py` +
-criterion suites: for each engine (exact / IVF / graph) sweep the quality
-knob and print recall@10 vs QPS, plus the hybrid (vector+BM25+filter)
-configuration from BASELINE.json.
+Counterpart of the reference's `benchmarks/benchmark_recall.py` + criterion
+recall suites: for each engine (exact-bucket / exact-streamed / SQ8 / IVF
+nprobe sweep / graph ef sweep) measure recall@10 vs device-side QPS and
+write ``BENCH_curve.json`` at the repo root (VERDICT round-1 #6 artifact).
 
-Timings here are CLIENT-OBSERVED (one dispatch per batch): on a
-remote-attached chip they include the tunnel round trip, which can dominate
-(5-40ms swings). bench.py measures device-side throughput via scan batching;
-on a locally-attached TPU host the two converge.
+Measurement protocol (CLAUDE.md): every timed sample is one dispatch of a
+jitted ``lax.scan`` over 32 UNIQUE query batches with a forced readback —
+the tunnel round trip amortizes to <10% and repeated-input shortcuts cannot
+fire. min of 3 samples.
 
-Run: python benchmarks/curve.py          (real TPU; ~5-10 min)
-     BENCH_N=20000 python benchmarks/curve.py   (quicker)
+Run: python benchmarks/curve.py                     (real TPU; ~10 min)
+     CURVE_CONFIG=sift python benchmarks/curve.py   (1M x 128D L2 only)
+     CURVE_CONFIG=cos  python benchmarks/curve.py   (100K x 768D cos only)
 """
 
+import json
 import os
 import sys
 import time
 
-import numpy as np
-
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/velesdb_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np
 
-def timed_min(fn, iters=8):
+ITERS = 32
+K = 10
+
+
+def scan_qps(search_fn, queries, batch, d):
+    """Device-side QPS: one jitted scan over ITERS unique batches."""
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(fn()[0])
-    ts = []
-    for _ in range(iters):
+    big = np.resize(queries, (ITERS * batch, d))
+    big = big + np.random.default_rng(9).standard_normal(big.shape).astype(
+        np.float32
+    ) * 0.01
+    qs = jnp.asarray(big.reshape(ITERS, batch, d))
+
+    @jax.jit
+    def run_many(qs):
+        def body(_, q):
+            v, i = search_fn(q)
+            return None, (v[0, 0], i[0, 0])
+
+        _, outs = jax.lax.scan(body, None, qs)
+        return outs
+
+    jax.block_until_ready(run_many(qs))
+    samples = []
+    for s in range(3):
+        qs_s = jax.block_until_ready(jnp.roll(qs, 1 + 7 * s, axis=0))
         t0 = time.perf_counter()
-        jax.block_until_ready(fn()[0])
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+        outs = run_many(qs_s)
+        np.asarray(outs[0])
+        samples.append(time.perf_counter() - t0)
+    return ITERS * batch / float(np.min(samples))
 
 
-def recall(rows, gt):
-    rows = np.asarray(rows)
-    return sum(
-        len(set(rows[i].tolist()) & set(gt[i].tolist())) for i in range(len(gt))
-    ) / (len(gt) * gt.shape[1])
+def run_config(name, n, d, metric_name, batch=256):
+    import jax
+    import jax.numpy as jnp
+
+    from velesdb_tpu.index.graph_index import GraphIndex, beam_search_impl
+    from velesdb_tpu.index.ivf import IvfIndex, ivf_search_impl
+    from velesdb_tpu.index.params import GraphParams
+    from velesdb_tpu.ops import DistanceMetric
+    from velesdb_tpu.ops.bucket_kernel import bucket_chunk_for, bucket_topk_entry
+    from velesdb_tpu.ops.chunked import chunked_topk
+    from velesdb_tpu.ops.pallas_kernels import use_pallas
+    from velesdb_tpu.ops.quantization import sq8_dequantize, sq8_quantize
+    from velesdb_tpu.ops.streamed import _sq8_streamed_entry, streamed_topk
+
+    metric = DistanceMetric.parse(metric_name)
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((64, d)).astype(np.float32) * 2.0
+    corpus = centers[rng.integers(0, 64, n)] + rng.standard_normal(
+        (n, d)
+    ).astype(np.float32) * 0.7
+    queries = centers[rng.integers(0, 64, 512)] + rng.standard_normal(
+        (512, d)
+    ).astype(np.float32) * 0.7
+    n_pad = 1 << (n - 1).bit_length()
+    corpus_dev = jax.device_put(
+        jnp.pad(jnp.asarray(corpus), ((0, n_pad - n), (0, 0)))
+    )
+    if metric is DistanceMetric.COSINE:
+        sq = jnp.sum(corpus_dev * corpus_dev, axis=1, keepdims=True)
+        norm_dev = corpus_dev * jnp.where(
+            sq > 1e-30, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0
+        )
+    else:
+        norm_dev = corpus_dev
+    sqn = jnp.sum(norm_dev * norm_dev, axis=1)
+    valid = jnp.arange(n_pad) < n
+    pen = jnp.where(
+        valid,
+        sqn if metric is DistanceMetric.EUCLIDEAN else 0.0,
+        jnp.inf,
+    )
+    jax.block_until_ready(norm_dev)
+
+    # ground truth: exact chunked oracle on the first 256 queries
+    gt_q = jnp.asarray(queries[:batch])
+    _, gt = chunked_topk(gt_q, norm_dev, valid, K, metric, chunk=min(65536, n_pad))
+    gt = np.asarray(gt)
+
+    def rec_of(search_fn):
+        _, idx = search_fn(gt_q)
+        idx = np.asarray(idx)
+        return float(
+            np.mean(
+                [len(set(idx[i]) & set(gt[i])) / K for i in range(batch)]
+            )
+        )
+
+    points = []
+
+    def measure(engine, knob, search_fn):
+        r = rec_of(search_fn)
+        q = scan_qps(search_fn, queries, batch, d)
+        pt = {"engine": engine, "knob": knob, "recall": round(r, 4), "qps": round(q)}
+        points.append(pt)
+        print(name, pt, flush=True)
+
+    interp = not use_pallas()
+    chunk = min(bucket_chunk_for(batch, ((d + 127) // 128) * 128), n_pad)
+    measure(
+        "exact-bucket", f"chunk={chunk}",
+        lambda q: bucket_topk_entry(
+            q, norm_dev, pen, k=K, metric=metric, chunk=chunk,
+            interpret=interp, prenormalized=True,
+        ),
+    )
+    measure(
+        "exact-streamed", "chunk=65536",
+        lambda q: streamed_topk(
+            q, norm_dev, valid=valid, k=K, metric=metric, corpus_sqnorm=sqn
+        ),
+    )
+
+    sq8 = sq8_quantize(corpus_dev)
+    deq = sq8_dequantize(sq8)
+    dn = jnp.sum(deq * deq, axis=1)
+    sq8_cn = (
+        dn if metric is DistanceMetric.EUCLIDEAN
+        else jnp.sqrt(dn) if metric is DistanceMetric.COSINE
+        else jnp.zeros(n_pad, jnp.float32)
+    )
+    measure(
+        "sq8-streamed", "chunk=65536",
+        lambda q: _sq8_streamed_entry(
+            q, sq8.codes, sq8.scale, sq8.minv, sq8_cn, valid,
+            k=K, metric=metric, chunk=min(65536, n_pad), approx=True,
+        ),
+    )
+
+    ivf = IvfIndex(d, metric)
+    ivf.build(corpus_dev[:n], np.ones(n, bool))
+    import functools
+
+    import jax as _jax
+
+    _ivf = functools.partial(
+        _jax.jit, static_argnames=("k", "nprobe", "metric")
+    )(ivf_search_impl)
+    for nprobe in (4, 8, 16, 32):
+        measure(
+            "ivf", f"nprobe={nprobe}",
+            lambda q, _np=nprobe: _ivf(
+                q, ivf._centroids, ivf._cent_sq, ivf._parts, ivf._part_rows,
+                ivf._part_sq, None, k=K, nprobe=_np, metric=metric,
+            ),
+        )
+
+    gi = GraphIndex(d, metric, GraphParams.auto(d, n))
+    gi.build(corpus, np.ones(n, bool), corpus_dev=norm_dev[:n])
+    _beam = functools.partial(
+        _jax.jit,
+        static_argnames=(
+            "k", "beam", "expansions", "degree", "entry_points", "metric"
+        ),
+    )(beam_search_impl)
+    for ef in (64, 128, 256):
+        beam, expansions = gi.params.beam_for_ef(ef, K)
+        measure(
+            "graph", f"ef={ef}",
+            lambda q, _b=beam, _e=expansions: _beam(
+                q, gi._corpus, gi._adj, gi._sqnorm, gi._valid, gi._seed_ids,
+                None, k=K, beam=_b, expansions=_e,
+                degree=gi._adj.shape[1],
+                entry_points=min(gi.params.entry_points, _b), metric=metric,
+            ),
+        )
+
+    return {"config": name, "n": n, "d": d, "metric": metric.value,
+            "batch": batch, "k": K, "points": points}
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", 200_000))
-    d = int(os.environ.get("BENCH_D", 128))
-    b = int(os.environ.get("BENCH_BATCH", 256))
-    k = 10
-
-    import jax
-
-    from velesdb_tpu.index.brute import BruteForceIndex
-    from velesdb_tpu.index.graph_index import GraphIndex
-    from velesdb_tpu.index.ivf import IvfIndex
-    from velesdb_tpu.index.params import GraphParams
-    from velesdb_tpu.ops import DistanceMetric, StorageMode
-    from velesdb_tpu.ops.chunked import brute_force_topk
-
-    metric = DistanceMetric.COSINE
-    rng = np.random.default_rng(42)
-    centers = rng.standard_normal((64, d)).astype(np.float32) * 2.0
-    corpus = centers[rng.integers(0, 64, n)] + 0.7 * rng.standard_normal(
-        (n, d)
-    ).astype(np.float32)
-    queries = centers[rng.integers(0, 64, b)] + 0.7 * rng.standard_normal(
-        (b, d)
-    ).astype(np.float32)
-    _, gt = brute_force_topk(queries, corpus, k, metric)
-
-    print(f"# {n:,} x {d}D cosine, k={k}, batch={b}, one chip")
-    print(f"{'engine':28s} {'recall@10':>9s} {'ms/batch':>9s} {'QPS':>12s}")
-
-    def report(name, dt, rec):
-        print(f"{name:28s} {rec:9.3f} {dt * 1e3:9.2f} {b / dt:12,.0f}")
-
-    exact = BruteForceIndex(d, metric, StorageMode.FULL)
-    t0 = time.perf_counter()
-    exact.rebuild(corpus, np.ones(n, bool))
-    jax.block_until_ready(exact._full)
-    print(f"; exact ingest {time.perf_counter() - t0:.1f}s")
-    dt = timed_min(lambda: exact.search(queries, k))
-    report("exact (fused pallas)", dt, recall(exact.search(queries, k)[1], gt))
-
-    # note: "exact" recall < 1.0 here is MXU-precision tie swapping on
-    # boundary-crowded clustered data (10th-score delta <= 1e-3, recall
-    # within oracle-top-12 is ~0.99); see CLAUDE.md.
-
-    binary = BruteForceIndex(d, metric, StorageMode.BINARY)
-    binary.rebuild(corpus, np.ones(n, bool))
-    dt = timed_min(lambda: binary.search(queries, 16 * k))
-    _, coarse = binary.search(queries, 16 * k)
-    rows = np.asarray(coarse)
-    from velesdb_tpu.ops import pairwise_scores as _ps
-
-    reranked = np.stack(
-        [
-            rows[i][
-                np.argsort(
-                    -np.asarray(
-                        _ps(queries[i : i + 1], corpus[np.maximum(rows[i], 0)], metric)
-                    )[0]
-                )[:k]
-            ]
-            for i in range(len(queries))
-        ]
-    )
-    report("binary(32x) + f32 rerank", dt, recall(reranked, gt))
-
-    ivf = IvfIndex(d, metric)
-    t0 = time.perf_counter()
-    ivf.build(corpus)
-    jax.block_until_ready(ivf._parts)
-    print(f"; ivf build {time.perf_counter() - t0:.1f}s ({ivf.c} parts, L={ivf.part_len})")
-    for nprobe in (4, 8, 16, 32, 64):
-        dt = timed_min(lambda: ivf.search(queries, k, nprobe=nprobe))
-        report(
-            f"ivf nprobe={nprobe}", dt, recall(ivf.search(queries, k, nprobe=nprobe)[1], gt)
+    which = os.environ.get("CURVE_CONFIG", "both")
+    out = {"protocol": "scan-batched device-side, 32 unique batches/dispatch, "
+                       "min of 3 samples, forced readback", "configs": []}
+    if which in ("both", "cos"):
+        out["configs"].append(run_config("100Kx768D-cosine", 100_000, 768, "cosine"))
+    if which in ("both", "sift"):
+        out["configs"].append(
+            run_config("1Mx128D-euclidean", 1_000_000, 128, "euclidean")
         )
-
-    graph = GraphIndex(d, metric, params=GraphParams.auto(d, n))
-    t0 = time.perf_counter()
-    graph.build(corpus, np.ones(n, bool))
-    print(f"; graph build {time.perf_counter() - t0:.1f}s")
-    for ef in (64, 128, 256):
-        dt = timed_min(lambda: graph.search(queries, k, ef=ef), iters=4)
-        report(f"graph ef={ef}", dt, recall(graph.search(queries, k, ef=ef)[1], gt))
-
-    # hybrid config (BASELINE.json): vector + BM25 + ColumnStore filter
-    import tempfile
-
-    from velesdb_tpu.database import Database
-
-    db = Database.open(tempfile.mkdtemp(prefix="curve-"))
-    c = db.create_collection("hy", dim=d)
-    hn = min(n, 20_000)
-    c.upsert_bulk(
-        range(hn),
-        corpus[:hn],
-        [
-            {"body": f"item {i} topic {i % 40}", "price": i % 500}
-            for i in range(hn)
-        ],
-    )
-    flt = {"type": "lt", "field": "price", "value": 250}
-    c.hybrid_search(queries[0], "topic 7", k, filter=flt)  # warm
-    t0 = time.perf_counter()
-    iters = 10
-    for i in range(iters):
-        c.hybrid_search(queries[i % b], f"topic {i % 40}", k, filter=flt)
-    dt = (time.perf_counter() - t0) / iters
-    print(
-        f"{'hybrid vec+bm25+filter':28s} {'-':>9s} {dt * 1e3:9.2f} "
-        f"{1 / dt:12,.0f}  (single query, {hn:,} rows)"
-    )
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "BENCH_curve.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
 
 
 if __name__ == "__main__":
