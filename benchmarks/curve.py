@@ -203,16 +203,23 @@ def run_config(name, n, d, metric_name, batch=256):
 
 def main():
     which = os.environ.get("CURVE_CONFIG", "both")
-    out = {"protocol": "scan-batched device-side, 32 unique batches/dispatch, "
-                       "min of 3 samples, forced readback", "configs": []}
-    if which in ("both", "cos"):
-        out["configs"].append(run_config("100Kx768D-cosine", 100_000, 768, "cosine"))
-    if which in ("both", "sift"):
-        out["configs"].append(
-            run_config("1Mx128D-euclidean", 1_000_000, 128, "euclidean")
-        )
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "BENCH_curve.json")
+    out = {"protocol": "scan-batched device-side, 32 unique batches/dispatch, "
+                       "min of 3 samples, forced readback", "configs": []}
+    if os.path.exists(path):  # merge: single-config runs update in place
+        try:
+            with open(path) as f:
+                out = json.load(f)
+        except ValueError:
+            pass
+    fresh = []
+    if which in ("both", "cos"):
+        fresh.append(run_config("100Kx768D-cosine", 100_000, 768, "cosine"))
+    if which in ("both", "sift"):
+        fresh.append(run_config("1Mx128D-euclidean", 1_000_000, 128, "euclidean"))
+    names = {c["config"] for c in fresh}
+    out["configs"] = [c for c in out["configs"] if c["config"] not in names] + fresh
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path)

@@ -89,3 +89,24 @@ def test_ingest_search_step(rng):
     assert np.asarray(valid)[: 2 * r].all() and not np.asarray(valid)[2 * r :].any()
     assert np.array_equal(np.sort(np.asarray(idx), axis=1), np.sort(ref_i, axis=1))
     np.testing.assert_allclose(np.asarray(vals), ref_v, rtol=1e-4, atol=1e-5)
+
+
+def test_multihost_helpers_single_host():
+    """Tier-3 scaffolding (docs/SCALE_OUT.md): single-host no-op bootstrap,
+    unit dcn axis, segment routing."""
+    from velesdb_tpu.parallel.multihost import (
+        init_distributed,
+        make_hybrid_mesh,
+        num_slices,
+        segment_for_host,
+    )
+
+    assert init_distributed() is False  # no env config -> no-op
+    assert num_slices() >= 1
+    m = make_hybrid_mesh(dp=2)
+    assert m.shape["dcn"] == 1 and m.shape["dp"] == 2
+    # contiguous, covering, non-overlapping segments
+    segs = [segment_for_host(103, h, 4) for h in range(4)]
+    assert segs[0][0] == 0 and segs[-1][1] == 103
+    for (a, b), (c, d) in zip(segs, segs[1:]):
+        assert b == c

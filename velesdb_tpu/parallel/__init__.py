@@ -7,6 +7,11 @@ from velesdb_tpu.parallel.sharded import (
     sharded_ingest_search_step,
 )
 
+from velesdb_tpu.parallel.multihost import (
+    init_distributed,
+    make_hybrid_mesh,
+    segment_for_host,
+)
 from velesdb_tpu.parallel.sharded_ann import ShardedGraphIndex
 from velesdb_tpu.parallel.sharded_ivf import ShardedIvfIndex
 
@@ -14,7 +19,10 @@ __all__ = [
     "ShardedBruteForce",
     "ShardedGraphIndex",
     "ShardedIvfIndex",
+    "init_distributed",
+    "make_hybrid_mesh",
     "make_mesh",
+    "segment_for_host",
     "shard_rows",
     "sharded_ingest_search_step",
 ]
