@@ -312,3 +312,43 @@ def test_rest_search_multi(server, rng):
     assert status == 200
     ids = {r["id"] for r in body["results"]}
     assert {3, 20} <= ids
+
+
+def test_rest_index_management(server, rng):
+    """r2: PATCH/GET /index + POST /index/rebuild drive the planner-
+    selectable engines and the incremental-delta config remotely."""
+    base = server
+    _req(base, "POST", "/collections", {"name": "idx", "dim": 8})
+    vecs = rng.standard_normal((600, 8)).astype(np.float32)
+    pts = [{"id": i, "vector": vecs[i].tolist()} for i in range(600)]
+    _req(base, "PUT", "/collections/idx/points", {"points": pts})
+
+    status, info = _req(base, "GET", "/collections/idx/index")
+    assert status == 200 and info["index_kind"] == "auto"
+    assert info["graph_built"] is False
+
+    status, info = _req(
+        base, "PATCH", "/collections/idx/index",
+        {"index_kind": "graph", "delta_rebuild_fraction": 0.2},
+    )
+    assert status == 200 and info["index_kind"] == "graph"
+    assert info["delta_rebuild_fraction"] == 0.2
+
+    status, info = _req(base, "POST", "/collections/idx/index/rebuild",
+                        {"kind": "graph"})
+    assert status == 200 and info["graph_built"] is True
+
+    # searches now route through the (freshly built) graph engine
+    status, res = _req(
+        base, "POST", "/collections/idx/search",
+        {"vector": vecs[7].tolist(), "k": 3},
+    )
+    assert status == 200 and res["results"][0]["id"] == 7
+
+    # invalid knobs rejected
+    status, _ = _req(base, "PATCH", "/collections/idx/index",
+                     {"index_kind": "warp"})
+    assert status == 400
+    status, _ = _req(base, "PATCH", "/collections/idx/index",
+                     {"delta_rebuild_fraction": 0})
+    assert status == 400

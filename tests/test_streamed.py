@@ -130,3 +130,27 @@ def test_streamed_dynamic_mask_changes_results(data):
     si_m = np.asarray(si_m)
     for i in range(queries.shape[0]):
         assert banned[i] not in si_m[i]
+
+
+def test_hamming_bucket_kernel_interpret(data):
+    import jax.numpy as jnp
+
+    from velesdb_tpu.ops import binary_quantize
+    from velesdb_tpu.ops.bucket_kernel import hamming_bucket_topk
+    from velesdb_tpu.ops.pallas_kernels import hamming_topk
+
+    corpus, queries, valid = data
+    pq = binary_quantize(jnp.asarray(queries))
+    pc = binary_quantize(jnp.asarray(corpus))
+    dg, ig = hamming_topk(pq, pc, valid=jnp.asarray(valid), k=10, interpret=True)
+    pen = jnp.where(jnp.asarray(valid), 0.0, jnp.inf)
+    db, ib = hamming_bucket_topk(pq, pc, pen, k=10, chunk=512, interpret=True)
+    db, ib = np.asarray(db), np.asarray(ib)
+    # integer Hamming distances tie heavily; compare the distance PROFILE
+    # (ties swap ids freely) plus exact top-1 distance
+    assert np.all(db[:, 0] == np.asarray(dg)[:, 0])
+    assert np.mean(np.abs(db - np.asarray(dg))) < 0.6
+    assert np.all(np.diff(db, axis=1) >= 0)
+    # masked rows never surface
+    bad = set(np.flatnonzero(~valid))
+    assert not (set(ib.ravel().tolist()) & bad)

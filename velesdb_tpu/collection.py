@@ -297,17 +297,29 @@ class Collection:
         if self.text_index is not None:
             self.text_index.invalidate(ids)
         # ANN engines absorb mutations through the delta buffer; a full
-        # rebuild only triggers once the delta outgrows its budget
-        if slots is None:
-            slots = [self.vectors.id_to_slot.get(int(v)) for v in ids]
-        live = [int(s) for s in slots if s is not None]
-        for st in self._stale.values():
-            st.update(live)
-        thresh = max(1024, int(self.delta_rebuild_fraction * max(self.count(), 1)))
-        if self.ann is not None and len(self._stale["graph"]) > thresh:
-            self.ann.invalidate(ids)
-        if self.ivf is not None and len(self._stale["ivf"]) > thresh:
-            self.ivf.invalidate(ids)
+        # rebuild only triggers once the delta outgrows its budget. Only
+        # LIVE indexes track deltas — before the first build (or once
+        # dirty) the coming full build covers every row anyway, and an
+        # unbounded slot set at 10M rows is real memory.
+        track_graph = (
+            self.ann is not None and not self.ann.dirty and self.ann.n_pad > 0
+        )
+        track_ivf = self.ivf is not None and not self.ivf.dirty
+        if track_graph or track_ivf:
+            if slots is None:
+                slots = [self.vectors.id_to_slot.get(int(v)) for v in ids]
+            live = [int(s) for s in slots if s is not None]
+            thresh = max(
+                1024, int(self.delta_rebuild_fraction * max(self.count(), 1))
+            )
+            if track_graph:
+                self._stale["graph"].update(live)
+                if len(self._stale["graph"]) > thresh:
+                    self.ann.invalidate(ids)
+            if track_ivf:
+                self._stale["ivf"].update(live)
+                if len(self._stale["ivf"]) > thresh:
+                    self.ivf.invalidate(ids)
         if self._result_cache is not None:
             self._result_cache.invalidate()
 

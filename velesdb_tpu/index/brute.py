@@ -37,6 +37,7 @@ from velesdb_tpu.ops.bucket_kernel import (
     BUCKET_MIN_ROWS,
     bucket_chunk_for,
     bucket_topk_entry,
+    hamming_bucket_topk,
 )
 from velesdb_tpu.ops.pallas_kernels import hamming_topk, use_pallas
 from velesdb_tpu.ops.quantization import SQ8Vectors
@@ -216,9 +217,19 @@ class BruteForceIndex:
                 if mask is not None:
                     valid = jnp.logical_and(valid, _pad_to(mask, self.n_pad))
                 packed_q = binary_quantize(queries)
-                dist, idx = hamming_topk(
-                    packed_q, self._packed, valid=valid, k=k_eff
-                )
+                nb = (self.n_pad // 2048) * 128
+                if self.n_pad >= BUCKET_MIN_ROWS and (k_eff - 1) <= 0.02 * nb:
+                    # bucket-selection kernel (the k-pass merge was the
+                    # round-1 VPU bottleneck in binary mode too)
+                    pen = jnp.where(valid, 0.0, jnp.inf)
+                    dist, idx = hamming_bucket_topk(
+                        packed_q, self._packed, pen, k=k_eff, chunk=2048,
+                        interpret=False,
+                    )
+                else:
+                    dist, idx = hamming_topk(
+                        packed_q, self._packed, valid=valid, k=k_eff
+                    )
                 if self.metric.higher_is_better:
                     vals = jnp.where(
                         idx < 0, -jnp.inf, 1.0 - dist / float(self.dim)

@@ -52,7 +52,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from velesdb_tpu.ops.distance import DistanceMetric
 
-__all__ = ["bucket_topk", "BUCKET_MIN_ROWS", "bucket_chunk_for"]
+__all__ = [
+    "bucket_topk",
+    "BUCKET_MIN_ROWS",
+    "bucket_chunk_for",
+    "hamming_bucket_topk",
+]
 
 # Below this corpus size bucket collisions bite (few buckets) and a single
 # [B, N] score+top_k program is already fast — the dispatcher uses the
@@ -197,6 +202,89 @@ def bucket_topk_entry(queries, corpus, cnorm_or_penalty, mask=None, *, k,
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# binary (bit-packed) Hamming — same bucket-selection structure; the round-1
+# hamming kernel still paid the k-pass VPU merge per chunk
+# ---------------------------------------------------------------------------
+
+
+def _hamming_kernel(q_ref, corpus_ref, pen_ref, gm_ref, gi_ref, *,
+                    chunk: int, n_words: int):
+    c = pl.program_id(0)
+    q = q_ref[:]
+    rows = corpus_ref[:]
+    b = q.shape[0]
+    dist = jnp.zeros((b, chunk), jnp.int32)
+    for w in range(n_words):
+        x = jnp.bitwise_xor(q[:, w][:, None], rows[:, w][None, :])
+        dist = dist + jax.lax.population_count(x).astype(jnp.int32)
+    s = -dist.astype(jnp.float32) - pen_ref[0, :][None, :]  # maximize
+    w_ = chunk // _LANES
+    gm = s[:, 0:_LANES]
+    for i in range(1, w_):
+        gm = jnp.maximum(gm, s[:, i * _LANES : (i + 1) * _LANES])
+    off = jnp.full_like(gm, w_, jnp.int32)
+    for i in range(w_ - 1, -1, -1):
+        off = jnp.where(s[:, i * _LANES : (i + 1) * _LANES] == gm, i, off)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, _LANES), 1)
+    gm_ref[:] = gm
+    gi_ref[:] = c * chunk + off * _LANES + lane
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "interpret"))
+def hamming_bucket_topk(packed_q, packed_corpus, penalty, *, k, chunk,
+                        interpret):
+    """Bucket-selection packed-Hamming top-k: smallest distance first.
+
+    ``packed_q [B, W] uint32`` vs ``packed_corpus [N_pad, W] uint32``
+    (``N_pad`` a multiple of ``chunk``); ``penalty [N_pad] f32`` is 0 on
+    valid rows / +inf on masked rows. Returns ``(distances [B, k] f32,
+    indices [B, k])`` with +inf / -1 for empties — the large-N BINARY-mode
+    engine (reference ``hamming_distance_binary_fast``,
+    ``simd_explicit.rs:328``).
+    """
+    b, w = packed_q.shape
+    n = packed_corpus.shape[0]
+    b_pad = _round_up(max(b, 8), 8)
+    w_pad = _round_up(w, 128)
+    q = jnp.pad(packed_q, ((0, b_pad - b), (0, w_pad - w)))
+    cps = packed_corpus
+    if w_pad != w:
+        cps = jnp.pad(cps, ((0, 0), (0, w_pad - w)))
+    grid = (n // chunk,)
+    nbuckets = (n // chunk) * _LANES
+    pen8 = jnp.broadcast_to(penalty[None, :], (8, n))
+    gm, gi = pl.pallas_call(
+        functools.partial(_hamming_kernel, chunk=chunk, n_words=w),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b_pad, w_pad), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, w_pad), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c: (0, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_pad, _LANES), lambda c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, _LANES), lambda c: (0, c), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, nbuckets), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, nbuckets), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b_pad * n * w,
+            bytes_accessed=n * w_pad * 4 + b_pad * w_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, cps, pen8)
+    k_eff = min(k, nbuckets)
+    vals, pos = jax.lax.approx_max_k(gm, k_eff, recall_target=0.99)
+    idx = jnp.take_along_axis(gi, pos, axis=1)[:b]
+    vals = vals[:b]
+    empty = vals == -jnp.inf
+    return jnp.where(empty, jnp.inf, -vals), jnp.where(empty, -1, idx)
 
 
 def bucket_topk(

@@ -88,6 +88,13 @@ class VelesServer:
             r"/collections/(?P<name>[^/]+)/degree/(?P<node>-?\d+)",
             self.degree,
         )
+        r("PATCH", r"/collections/(?P<name>[^/]+)/index", self.configure_index)
+        r("GET", r"/collections/(?P<name>[^/]+)/index", self.index_info)
+        r(
+            "POST",
+            r"/collections/(?P<name>[^/]+)/index/rebuild",
+            self.rebuild_index,
+        )
         r("POST", r"/collections/(?P<name>[^/]+)/explain", self.explain)
         r("GET", r"/metrics", self.prometheus)
         r("GET", r"/openapi.json", self.openapi)
@@ -168,6 +175,57 @@ class VelesServer:
 
     def collection_info(self, name, **_):
         return self._coll(name).info()
+
+    # -- index management (round-2: planner-selectable engines + delta) ------
+
+    def index_info(self, name, **_):
+        col = self._coll(name)
+        return {
+            "index_kind": col.index_kind,
+            "ann_min_rows": col.ann_min_rows,
+            "delta_rebuild_fraction": col.delta_rebuild_fraction,
+            "graph_built": col.ann is not None and not col.ann.dirty
+            and col.ann.n_pad > 0,
+            "ivf_built": col.ivf is not None and not col.ivf.dirty,
+            "delta_rows": {k: len(v) for k, v in col._stale.items()},
+            "reindex_events": col.reindex_events[-10:],
+        }
+
+    def configure_index(self, name, body, **_):
+        col = self._coll(name)
+        body = body or {}
+        kind = body.get("index_kind")
+        if kind is not None:
+            if kind not in ("auto", "exact", "graph", "ivf"):
+                raise HttpError(400, f"unknown index_kind {kind!r}")
+            col.index_kind = kind
+        if "ann_min_rows" in body:
+            col.ann_min_rows = int(body["ann_min_rows"])
+        if "delta_rebuild_fraction" in body:
+            f = float(body["delta_rebuild_fraction"])
+            if not 0.0 < f <= 1.0:
+                raise HttpError(400, "delta_rebuild_fraction must be in (0, 1]")
+            col.delta_rebuild_fraction = f
+        return self.index_info(name)
+
+    def rebuild_index(self, name, body, **_):
+        col = self._coll(name)
+        kind = (body or {}).get("kind", "graph")
+        col.refresh_device()
+        if kind == "graph":
+            if col.ann is None:
+                raise HttpError(400, "collection does not support a graph index")
+            col.ann.invalidate()
+            if not col._ensure_ann(force=True):
+                raise HttpError(409, "graph index unavailable for this collection")
+        elif kind == "ivf":
+            if col.ivf is not None:
+                col.ivf.invalidate()
+            if not col._ensure_ivf():
+                raise HttpError(409, "ivf index unavailable for this collection")
+        else:
+            raise HttpError(400, f"unknown index kind {kind!r}")
+        return self.index_info(name)
 
     def delete_collection(self, name, **_):
         if not self.db.delete_collection(name):
@@ -495,6 +553,9 @@ def make_server(
 
         def do_DELETE(self):
             self._handle("DELETE")
+
+        def do_PATCH(self):
+            self._handle("PATCH")
 
     httpd = ThreadingHTTPServer((host, port), Handler)
     httpd.app = app  # exposed for tests/CLI
