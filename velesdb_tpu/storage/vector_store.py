@@ -35,6 +35,17 @@ _HDR = struct.Struct("<BBQII")
 _INITIAL_SLOTS_BYTES = 16 * 1024 * 1024  # 16MB initial file, like mmap.rs
 
 
+def _native_codec():
+    """The C++ WAL codec, or None (pure-Python fallback paths)."""
+    try:
+        from velesdb_tpu.native import wal_codec
+
+        c = wal_codec()
+        return c if c.available else None
+    except Exception:
+        return None
+
+
 class VectorStore:
     """Append-mostly slot store of f32 vectors keyed by u64 ids.
 
@@ -151,6 +162,41 @@ class VectorStore:
             return
         with open(self._wal_path, "rb") as f:
             data = f.read()
+        codec = _native_codec()
+        if codec is not None:
+            # native validated scan (CRC + framing in C++), python apply
+            ids, ops, offs, dims, consumed = codec.scan(data)
+            n = len(ids)
+            if (
+                n > 1
+                and not self.id_to_slot
+                and not self._free_slots
+                and np.all(ops == _OP_UPSERT)
+                and np.all(dims == self.dim)
+                and len(np.unique(ids)) == n
+            ):
+                # bulk-load recovery: uniform records -> one strided view,
+                # one contiguous memmap write (the per-record apply loop
+                # costs ~10s per million rows)
+                vecs = codec.extract_bodies(data, n, self.dim)
+                if n > self._capacity:
+                    self._grow(n)
+                self._mmap[:n] = vecs
+                self.id_to_slot.update(
+                    zip((int(v) for v in ids), range(n))
+                )
+                self._next_slot = n
+                self.version += n
+                return
+            for vid, op, off, dim in zip(ids, ops, offs, dims):
+                if op == _OP_UPSERT and dim == self.dim:
+                    vec = np.frombuffer(
+                        data, np.float32, count=int(dim), offset=int(off)
+                    )
+                    self._apply_upsert(int(vid), vec)
+                elif op == _OP_DELETE:
+                    self._apply_delete(int(vid))
+            return
         pos = 0
         while pos + _HDR.size <= len(data):
             magic, op, vid, dim, crc = _HDR.unpack_from(data, pos)
@@ -203,10 +249,36 @@ class VectorStore:
         vecs = np.asarray(vecs, dtype=np.float32)
         if vecs.ndim != 2 or vecs.shape[1] != self.dim:
             raise ValueError(f"expected [N, {self.dim}], got {vecs.shape}")
+        ids = [int(v) for v in ids]
+        codec = _native_codec()
+        if codec is not None and len(ids) > 1:
+            # native batch framing: one buffer, one write, one flush —
+            # replaces len(ids) python header/CRC round trips
+            framed = codec.frame_batch(np.asarray(ids, np.int64), vecs)
+            self._wal_file.write(framed)
+            self._wal_file.flush()
+            # vectorized apply for the bulk-load shape (all-new unique ids,
+            # no freelist): one contiguous memmap write instead of N row
+            # copies + N dict/python round trips
+            if (
+                not self._free_slots
+                and len(set(ids)) == len(ids)
+                and not any(v in self.id_to_slot for v in ids)
+            ):
+                start = self._next_slot
+                end = start + len(ids)
+                if end > self._capacity:
+                    self._grow(end)
+                self._mmap[start:end] = vecs
+                self.id_to_slot.update(zip(ids, range(start, end)))
+                self._next_slot = end
+                self.version += len(ids)
+                return list(range(start, end))
+            return [self._apply_upsert(vid, vec) for vid, vec in zip(ids, vecs)]
         slots = []
         for vid, vec in zip(ids, vecs):
-            self._wal_append(_OP_UPSERT, int(vid), vec)
-            slots.append(self._apply_upsert(int(vid), vec))
+            self._wal_append(_OP_UPSERT, vid, vec)
+            slots.append(self._apply_upsert(vid, vec))
         return slots
 
     def delete(self, vid: int) -> bool:
