@@ -121,6 +121,36 @@ export class Collection {
       this.url("/traverse"), "POST", { start, ...opts });
     return r.nodes;
   }
+
+  /** Engine/index state: kind, delta rows, build status (GET /index). */
+  async indexInfo(): Promise<IndexInfo> {
+    return req<IndexInfo>(this.url("/index"), "GET");
+  }
+
+  /** Configure the search engine (PATCH /index): index_kind
+   * "auto" | "exact" | "graph" | "ivf", delta budget, auto-build floor. */
+  async configureIndex(opts: {
+    index_kind?: "auto" | "exact" | "graph" | "ivf";
+    ann_min_rows?: number;
+    delta_rebuild_fraction?: number;
+  }): Promise<IndexInfo> {
+    return req<IndexInfo>(this.url("/index"), "PATCH", opts);
+  }
+
+  /** Force a full rebuild of the graph or ivf index (POST /index/rebuild). */
+  async rebuildIndex(kind: "graph" | "ivf" = "graph"): Promise<IndexInfo> {
+    return req<IndexInfo>(this.url("/index/rebuild"), "POST", { kind });
+  }
+}
+
+export interface IndexInfo {
+  index_kind: string;
+  ann_min_rows: number;
+  delta_rebuild_fraction: number;
+  graph_built: boolean;
+  ivf_built: boolean;
+  delta_rows: { graph: number; ivf: number };
+  reindex_events: Record<string, unknown>[];
 }
 
 export class VelesDB {

@@ -352,3 +352,30 @@ def test_rest_index_management(server, rng):
     status, _ = _req(base, "PATCH", "/collections/idx/index",
                      {"delta_rebuild_fraction": 0})
     assert status == 400
+
+
+def test_cli_index_command(tmp_db_dir, rng, capsys):
+    from velesdb_tpu.cli import main as cli_main
+    from velesdb_tpu.database import Database
+
+    db = Database.open(tmp_db_dir)
+    c = db.create_collection("idxc", dim=8)
+    c.upsert_bulk(range(200), rng.standard_normal((200, 8)).astype(np.float32))
+    db.close()
+
+    import sys as _sys
+
+    _sys.argv = ["velesdb", "--path", tmp_db_dir, "index", "idxc"]
+    assert cli_main() == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["index_kind"] == "auto" and out["graph_built"] is False
+
+    _sys.argv = ["velesdb", "--path", tmp_db_dir, "index", "idxc",
+                 "--kind", "graph", "--rebuild", "graph"]
+    assert cli_main() == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["index_kind"] == "graph" and out["graph_built"] is True
+
+    _sys.argv = ["velesdb", "--path", tmp_db_dir, "index", "idxc",
+                 "--kind", "warp"]
+    assert cli_main() == 1  # invalid kind -> error exit

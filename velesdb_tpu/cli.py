@@ -165,6 +165,47 @@ def cmd_traverse(db: Database, args) -> int:
     return 0
 
 
+def cmd_index(db: Database, args) -> int:
+    """Show/configure the search engine and trigger rebuilds (the CLI face
+    of the round-2 planner-selectable engines + incremental delta)."""
+    col = db.get_collection(args.collection)
+    if args.kind:
+        if args.kind not in ("auto", "exact", "graph", "ivf"):
+            raise ValueError(f"unknown index kind {args.kind!r}")
+        col.index_kind = args.kind
+    if args.delta_fraction is not None:
+        if not 0.0 < args.delta_fraction <= 1.0:
+            raise ValueError("delta fraction must be in (0, 1]")
+        col.delta_rebuild_fraction = args.delta_fraction
+    if args.rebuild:
+        col.refresh_device()
+        if args.rebuild == "graph":
+            if col.ann is None:
+                raise ValueError("collection does not support a graph index")
+            col.ann.invalidate()
+            col._ensure_ann(force=True)
+        else:
+            if col.ivf is not None:
+                col.ivf.invalidate()
+            col._ensure_ivf()
+    print(
+        json.dumps(
+            {
+                "index_kind": col.index_kind,
+                "ann_min_rows": col.ann_min_rows,
+                "delta_rebuild_fraction": col.delta_rebuild_fraction,
+                "graph_built": col.ann is not None
+                and not col.ann.dirty
+                and col.ann.n_pad > 0,
+                "ivf_built": col.ivf is not None and not col.ivf.dirty,
+                "delta_rows": {k: len(v) for k, v in col._stale.items()},
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
 def cmd_migrate(db: Database, args) -> int:
     """Migrate from an external source (``velesdb-migrate`` CLI analog);
     ``--wizard`` walks through source/options interactively."""
@@ -327,6 +368,14 @@ def main(argv=None) -> int:
     sp.add_argument("--direction", default="out")
     sp.add_argument("--label")
 
+    sp = sub.add_parser("index", help="show/configure the search engine")
+    sp.add_argument("collection")
+    sp.add_argument("--kind", help="auto | exact | graph | ivf")
+    sp.add_argument("--delta-fraction", type=float, dest="delta_fraction",
+                    help="delta budget before a full ANN rebuild (0, 1]")
+    sp.add_argument("--rebuild", choices=["graph", "ivf"],
+                    help="force a full index rebuild now")
+
     sp = sub.add_parser("migrate", help="import from an external vector DB / file")
     sp.add_argument("--source", help="jsonl|json|csv|numpy|qdrant|chroma|pgvector")
     sp.add_argument("--location", help="file path, base URL, or DSN")
@@ -357,6 +406,7 @@ def main(argv=None) -> int:
             "export": cmd_export,
             "edge": cmd_edge,
             "traverse": cmd_traverse,
+            "index": cmd_index,
             "migrate": cmd_migrate,
             "serve": cmd_serve,
             "repl": cmd_repl,
