@@ -15,7 +15,9 @@
 
 namespace {
 
-uint32_t table[256];
+// slicing-by-8 CRC32 (zlib/IEEE polynomial): ~4x a byte-at-a-time table
+// loop, which dominated WAL recovery scans of multi-hundred-MB logs
+uint32_t table[8][256];
 bool table_ready = false;
 
 void init_table() {
@@ -23,15 +25,30 @@ void init_table() {
     uint32_t c = i;
     for (int k = 0; k < 8; k++)
       c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : (c >> 1);
-    table[i] = c;
+    table[0][i] = c;
   }
+  for (uint32_t i = 0; i < 256; i++)
+    for (int t = 1; t < 8; t++)
+      table[t][i] = table[0][table[t - 1][i] & 0xFFu] ^ (table[t - 1][i] >> 8);
   table_ready = true;
 }
 
 uint32_t crc32_buf(const uint8_t* p, long n) {
   if (!table_ready) init_table();
   uint32_t c = 0xFFFFFFFFu;
-  for (long i = 0; i < n; i++) c = table[(c ^ p[i]) & 0xFFu] ^ (c >> 8);
+  while (n >= 8) {
+    uint32_t lo, hi;
+    std::memcpy(&lo, p, 4);
+    std::memcpy(&hi, p + 4, 4);
+    lo ^= c;
+    c = table[7][lo & 0xFF] ^ table[6][(lo >> 8) & 0xFF] ^
+        table[5][(lo >> 16) & 0xFF] ^ table[4][lo >> 24] ^
+        table[3][hi & 0xFF] ^ table[2][(hi >> 8) & 0xFF] ^
+        table[1][(hi >> 16) & 0xFF] ^ table[0][hi >> 24];
+    p += 8;
+    n -= 8;
+  }
+  for (long i = 0; i < n; i++) c = table[0][(c ^ p[i]) & 0xFFu] ^ (c >> 8);
   return c ^ 0xFFFFFFFFu;
 }
 
