@@ -13,6 +13,7 @@ in/out; errors as ``{"error": msg}`` with proper status codes.
 from __future__ import annotations
 
 import json
+import os
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -49,6 +50,10 @@ class VelesServer:
             RateLimiter(lim.rate_per_s) if lim.rate_per_s else None
         )
         self.breaker = CircuitBreaker()
+        # micro-batching coalescer (utils/batcher.py): >0 ms window makes
+        # concurrent single-query /search requests share device dispatches
+        self.batch_window_ms = float(os.environ.get("VELESDB_BATCH_WINDOW_MS", "0"))
+        self._batchers: dict[str, object] = {}
         self._routes: list[tuple[str, re.Pattern, object]] = []
         r = self._route
         r("GET", r"/health", self.health)
@@ -263,19 +268,37 @@ class VelesServer:
             raise HttpError(404, f"point {id} not found")
         return {"deleted": int(id)}
 
+    def _batcher(self, name, col):
+        from velesdb_tpu.utils.batcher import MicroBatcher
+
+        bt = self._batchers.get(name)
+        if bt is None or bt.collection is not col:
+            bt = MicroBatcher(col, window_ms=self.batch_window_ms)
+            self._batchers[name] = bt
+        return bt
+
     def search(self, name, body, **_):
         col = self._coll(name)
         b = _require(body, "vector")
         k = int(b.get("k", b.get("limit", 10)))
         try:
             with self.metrics.latency("search").timer():
-                hits = col.search(
-                    np.asarray(b["vector"], np.float32),
-                    k,
-                    filter=b.get("filter"),
-                    ef=b.get("ef"),
-                    quality=b.get("quality"),
-                )
+                if (
+                    self.batch_window_ms > 0
+                    and b.get("filter") is None
+                    and b.get("quality") is None
+                ):
+                    hits = self._batcher(name, col).search(
+                        np.asarray(b["vector"], np.float32), k, ef=b.get("ef")
+                    )
+                else:
+                    hits = col.search(
+                        np.asarray(b["vector"], np.float32),
+                        k,
+                        filter=b.get("filter"),
+                        ef=b.get("ef"),
+                        quality=b.get("quality"),
+                    )
         except ValueError as e:
             raise HttpError(400, str(e))
         return {"results": [dict(h) for h in hits]}
