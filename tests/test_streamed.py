@@ -154,3 +154,36 @@ def test_hamming_bucket_kernel_interpret(data):
     # masked rows never surface
     bad = set(np.flatnonzero(~valid))
     assert not (set(ib.ravel().tolist()) & bad)
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_sq8_bucket_kernel_interpret(data, metric):
+    """SQ8 bucket kernel (int32-staged unpack): recall vs dequant oracle;
+    cosine's 1/|c| folds into scale/minv at pack time."""
+    import jax.numpy as jnp
+
+    from velesdb_tpu.ops.bucket_kernel import sq8_bucket_topk, sq8_pack_blocked
+    from velesdb_tpu.ops.quantization import sq8_dequantize, sq8_quantize
+
+    corpus, queries, valid = data
+    m = DistanceMetric.parse(metric)
+    sq = sq8_quantize(jnp.asarray(corpus))
+    deq = np.asarray(sq8_dequantize(sq))
+    words = sq8_pack_blocked(sq.codes)
+    dn = (deq**2).sum(1)
+    if m is DistanceMetric.COSINE:
+        inv = 1.0 / np.maximum(np.sqrt(dn), 1e-30)
+        scale, minv = np.asarray(sq.scale) * inv, np.asarray(sq.minv) * inv
+        pen = np.where(valid, 0.0, np.inf).astype(np.float32)
+    elif m is DistanceMetric.EUCLIDEAN:
+        scale, minv = np.asarray(sq.scale), np.asarray(sq.minv)
+        pen = np.where(valid, dn, np.inf).astype(np.float32)
+    else:
+        scale, minv = np.asarray(sq.scale), np.asarray(sq.minv)
+        pen = np.where(valid, 0.0, np.inf).astype(np.float32)
+    _, gi = brute_force_topk(queries, deq, 10, m, valid=valid)
+    _, si = sq8_bucket_topk(
+        jnp.asarray(queries), words, jnp.asarray(scale), jnp.asarray(minv),
+        jnp.asarray(pen), k=10, metric=m, chunk=512, interpret=True,
+    )
+    assert _recall(np.asarray(si), gi) >= 0.97

@@ -46,6 +46,8 @@ from velesdb_tpu.ops.streamed import sq8_streamed_topk, streamed_topk
 __all__ = ["BruteForceIndex", "pad_rows"]
 
 _PALLAS_OK = [True]  # sticky off-switch after a Mosaic failure
+_SQ8_BUCKET_OK = [True]  # separate switch: an SQ8-kernel failure must not
+# disable the f32/bf16 kernels (different lowering surface)
 
 
 def _pad_to(mask, n_pad: int):
@@ -77,6 +79,10 @@ class BruteForceIndex:
         self._sq_norm = None  # [N_pad] f32 squared norms (euclidean w/ sq8)
         self._full_sqnorm = None  # [N_pad] f32 norms for the fused kernel
         self._bucket_pen = None  # [N_pad] f32 additive penalty (bucket kernel)
+        self._sq8_words = None  # [N_pad, D/4] int32 block-packed codes
+        self._sq8_scale = None  # [N_pad] f32 (cosine: scale/|c| folded)
+        self._sq8_minv = None  # [N_pad] f32 (cosine: minv/|c| folded)
+        self._sq8_pen = None  # [N_pad] f32 additive penalty
 
     # -- build -------------------------------------------------------------
 
@@ -122,18 +128,37 @@ class BruteForceIndex:
         elif mode is StorageMode.SQ8:
             sq = sq8_quantize(jnp.asarray(slots))
             self._sq8 = jax.device_put(sq)
+            deq = sq.codes.astype(jnp.float32) * sq.scale[:, None] + sq.minv[:, None]
+            deq_sq = jnp.sum(deq * deq, axis=-1)
             if self.metric is DistanceMetric.EUCLIDEAN:
-                deq_norm = jnp.sum(
-                    (sq.codes.astype(jnp.float32) * sq.scale[:, None] + sq.minv[:, None])
-                    ** 2,
-                    axis=-1,
-                )
-                self._sq_norm = jax.device_put(deq_norm)
+                self._sq_norm = jax.device_put(deq_sq)
             elif self.metric is DistanceMetric.COSINE:
-                deq = sq.codes.astype(jnp.float32) * sq.scale[:, None] + sq.minv[:, None]
-                self._sq_norm = jax.device_put(
-                    jnp.sqrt(jnp.sum(deq * deq, axis=-1))
+                self._sq_norm = jax.device_put(jnp.sqrt(deq_sq))
+            # bucket-kernel state: block-packed int32 words + per-metric
+            # affine (cosine's 1/|c| FOLDS into scale/minv -> raw dots are
+            # already cosine scores, zero extra kernel ops)
+            from velesdb_tpu.ops.bucket_kernel import sq8_pack_blocked
+
+            self._sq8_words = jax.device_put(sq8_pack_blocked(sq.codes))
+            if self.metric is DistanceMetric.COSINE:
+                inv = jnp.where(
+                    deq_sq > 1e-30,
+                    jax.lax.rsqrt(jnp.maximum(deq_sq, 1e-30)),
+                    0.0,
                 )
+                scale2, minv2 = sq.scale * inv, sq.minv * inv
+                pen_base = jnp.zeros(self.n_pad, jnp.float32)
+            elif self.metric is DistanceMetric.EUCLIDEAN:
+                scale2, minv2 = sq.scale, sq.minv
+                pen_base = deq_sq
+            else:
+                scale2, minv2 = sq.scale, sq.minv
+                pen_base = jnp.zeros(self.n_pad, jnp.float32)
+            self._sq8_scale = jax.device_put(scale2.astype(jnp.float32))
+            self._sq8_minv = jax.device_put(minv2.astype(jnp.float32))
+            self._sq8_pen = jax.device_put(
+                jnp.where(self._valid, pen_base, jnp.inf)
+            )
         elif mode is StorageMode.BINARY:
             self._packed = jax.device_put(binary_quantize(jnp.asarray(slots)))
         else:
@@ -199,8 +224,37 @@ class BruteForceIndex:
                 DistanceMetric.EUCLIDEAN,
             )
         ):
-            # streamed SQ8: 1/4 HBM bytes per corpus pass, any N (the
-            # one-shot [B, N] score matrix below is host-memory bounded)
+            # SQ8 at 1/4 the HBM bytes: bucket Pallas kernel (int32-staged
+            # unpack) at large N, streamed XLA scan otherwise/fallback
+            chunk = min(
+                bucket_chunk_for(
+                    ((queries.shape[0] + 7) // 8) * 8,
+                    ((self.dim + 127) // 128) * 128,
+                    5,  # packed words (1B/dim) + in-VMEM unpacked f32 copy
+                ),
+                self.n_pad,
+            )
+            nb = (self.n_pad // chunk) * 128
+            if (
+                _SQ8_BUCKET_OK[0]
+                and self.n_pad >= BUCKET_MIN_ROWS
+                and (k_eff - 1) <= 0.02 * nb
+            ):
+                try:
+                    from velesdb_tpu.ops.bucket_kernel import sq8_bucket_topk
+
+                    pen = self._sq8_pen
+                    if mask is not None:
+                        pen = jnp.where(
+                            _pad_to(mask, self.n_pad), pen, jnp.inf
+                        )
+                    return sq8_bucket_topk(
+                        queries, self._sq8_words, self._sq8_scale,
+                        self._sq8_minv, pen, k=k_eff, metric=self.metric,
+                        chunk=chunk, interpret=False,
+                    )
+                except Exception:
+                    _SQ8_BUCKET_OK[0] = False
             valid = self._valid
             if mask is not None:
                 valid = jnp.logical_and(valid, _pad_to(mask, self.n_pad))

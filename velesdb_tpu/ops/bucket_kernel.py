@@ -57,6 +57,8 @@ __all__ = [
     "BUCKET_MIN_ROWS",
     "bucket_chunk_for",
     "hamming_bucket_topk",
+    "sq8_pack_blocked",
+    "sq8_bucket_topk",
 ]
 
 # Below this corpus size bucket collisions bite (few buckets) and a single
@@ -322,3 +324,128 @@ def bucket_topk(
         q, c, jnp.asarray(penalty, jnp.float32), k=k, metric=metric,
         chunk=chunk, interpret=interpret, prenormalized=prenormalized,
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 bucket kernel: uint8 codes staged through int32 words (Mosaic has no
+# u8->f32 cast; i32 shifts/masks + i32->f32 DO lower). Codes pack dim-block-
+# major so each byte plane unpacks to a CONTIGUOUS [C, D/4] slice: word k's
+# byte j holds dim j*(D/4)+k  ->  plane j = (w >> 8j) & 0xFF.
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def sq8_pack_blocked(codes):
+    """Pack ``[N, D] uint8`` SQ8 codes into ``[N, D/4] int32`` words (dim
+    padded to a multiple of 4; see layout note above)."""
+    n, d = codes.shape
+    d_pad = _round_up(d, 4)
+    c = jnp.pad(codes, ((0, 0), (0, d_pad - d))).astype(jnp.uint32)
+    planes = c.reshape(n, 4, d_pad // 4)  # plane j = dims [j*D/4, (j+1)*D/4)
+    w = (
+        planes[:, 0]
+        | (planes[:, 1] << 8)
+        | (planes[:, 2] << 16)
+        | (planes[:, 3] << 24)
+    )
+    return w.astype(jnp.int32)
+
+
+def _sq8_kernel(q_ref, words_ref, scale_ref, minv_ref, pen_ref, gm_ref,
+                gi_ref, *, chunk: int, d_pad: int):
+    c = pl.program_id(0)
+    q = q_ref[:]  # [B, D_pad] f32 (pre-scaled by the wrapper for euclidean)
+    w = words_ref[:]  # [C, D_pad/4] int32
+    parts = []
+    for j in range(4):
+        pj = jnp.bitwise_and(
+            jax.lax.shift_right_logical(w, jnp.int32(8 * j)), jnp.int32(0xFF)
+        )
+        parts.append(pj.astype(jnp.float32))
+    rows = jnp.concatenate(parts, axis=1)  # [C, D_pad] codes as f32 (0..255)
+    dots = jax.lax.dot_general(
+        q, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [B, C] = q . codes
+    # affine restore + additive penalty: s = scale*(q.codes) + qsum*minv - pen
+    qsum = jnp.sum(q, axis=1, keepdims=True)
+    s = dots * scale_ref[0, :][None, :] + qsum * minv_ref[0, :][None, :]
+    s = s - pen_ref[0, :][None, :]
+    w_ = chunk // _LANES
+    gm = s[:, 0:_LANES]
+    for i in range(1, w_):
+        gm = jnp.maximum(gm, s[:, i * _LANES : (i + 1) * _LANES])
+    off = jnp.full_like(gm, w_, jnp.int32)
+    for i in range(w_ - 1, -1, -1):
+        off = jnp.where(s[:, i * _LANES : (i + 1) * _LANES] == gm, i, off)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (gm.shape[0], _LANES), 1)
+    gm_ref[:] = gm
+    gi_ref[:] = c * chunk + off * _LANES + lane
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "chunk", "interpret")
+)
+def sq8_bucket_topk(queries, words, scale, minv, penalty, *, k, metric,
+                    chunk, interpret):
+    """Bucket-selection search over block-packed SQ8 codes.
+
+    ``words [N_pad, D_pad/4] int32`` from :func:`sq8_pack_blocked` (N_pad a
+    multiple of ``chunk``); ``penalty``: euclidean -> dequantized |c|^2
+    (+inf on masked rows); cosine/dot -> 0 (+inf masked). Streams 1/4 the
+    HBM bytes of f32. Same output contract as :func:`bucket_topk_entry`;
+    cosine assumes rows were normalized BEFORE quantization.
+    """
+    b, d = queries.shape
+    n = words.shape[0]
+    d_pad = words.shape[1] * 4
+    b_pad = _round_up(max(b, 8), 8)
+    q = queries
+    qq = jnp.sum(q * q, axis=1)
+    if metric is DistanceMetric.COSINE:
+        sq = jnp.sum(q * q, axis=1, keepdims=True)
+        q = q * jnp.where(sq > 1e-30, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0)
+    elif metric is DistanceMetric.EUCLIDEAN:
+        q = 2.0 * q
+    q = jnp.pad(q, ((0, b_pad - b), (0, d_pad - d)))
+    grid = (n // chunk,)
+    nbuckets = (n // chunk) * _LANES
+    s8 = jnp.broadcast_to(scale[None, :], (8, n))
+    m8 = jnp.broadcast_to(minv[None, :], (8, n))
+    p8 = jnp.broadcast_to(penalty[None, :], (8, n))
+    gm, gi = pl.pallas_call(
+        functools.partial(_sq8_kernel, chunk=chunk, d_pad=d_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b_pad, d_pad), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (chunk, d_pad // 4), lambda c: (c, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((8, chunk), lambda c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c: (0, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_pad, _LANES), lambda c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, _LANES), lambda c: (0, c), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, nbuckets), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, nbuckets), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n * d_pad,
+            bytes_accessed=n * d_pad + b_pad * d_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, words, s8, m8, p8)
+    k_eff = min(k, nbuckets)
+    vals, pos = jax.lax.approx_max_k(gm, k_eff, recall_target=0.99)
+    idx = jnp.take_along_axis(gi, pos, axis=1)[:b]
+    vals = vals[:b]
+    empty = vals == -jnp.inf
+    idx = jnp.where(empty, -1, idx)
+    if metric is DistanceMetric.EUCLIDEAN:
+        d2 = jnp.maximum(qq[:, None] - vals, 0.0)
+        vals = jnp.where(empty, jnp.inf, jnp.sqrt(d2))
+    return vals, idx
