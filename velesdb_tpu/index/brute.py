@@ -50,6 +50,13 @@ _SQ8_BUCKET_OK = [True]  # separate switch: an SQ8-kernel failure must not
 # disable the f32/bf16 kernels (different lowering surface)
 
 
+def _bucket_safe(n_pad: int, chunk: int, k: int) -> bool:
+    """Collision-recall guard shared by every bucket-kernel dispatch: one
+    winner per 128-lane bucket loses ~(k-1)/(2*nbuckets) of the true top-k;
+    keep that expected loss under ~1%."""
+    return n_pad >= BUCKET_MIN_ROWS and (k - 1) <= 0.02 * (n_pad // chunk) * 128
+
+
 def _pad_to(mask, n_pad: int):
     m = jnp.asarray(mask)
     if m.shape[0] < n_pad:
@@ -234,12 +241,7 @@ class BruteForceIndex:
                 ),
                 self.n_pad,
             )
-            nb = (self.n_pad // chunk) * 128
-            if (
-                _SQ8_BUCKET_OK[0]
-                and self.n_pad >= BUCKET_MIN_ROWS
-                and (k_eff - 1) <= 0.02 * nb
-            ):
+            if _SQ8_BUCKET_OK[0] and _bucket_safe(self.n_pad, chunk, k_eff):
                 try:
                     from velesdb_tpu.ops.bucket_kernel import sq8_bucket_topk
 
@@ -271,8 +273,7 @@ class BruteForceIndex:
                 if mask is not None:
                     valid = jnp.logical_and(valid, _pad_to(mask, self.n_pad))
                 packed_q = binary_quantize(queries)
-                nb = (self.n_pad // 2048) * 128
-                if self.n_pad >= BUCKET_MIN_ROWS and (k_eff - 1) <= 0.02 * nb:
+                if _bucket_safe(self.n_pad, 2048, k_eff):
                     # bucket-selection kernel (the k-pass merge was the
                     # round-1 VPU bottleneck in binary mode too)
                     pen = jnp.where(valid, 0.0, jnp.inf)
@@ -323,9 +324,8 @@ class BruteForceIndex:
             bucket_chunk_for(b_pad, d_pad, self._full.dtype.itemsize),
             self.n_pad,
         )
-        nbuckets = (self.n_pad // chunk) * 128
         mask_dev = None if mask is None else _pad_to(mask, self.n_pad)
-        if self.n_pad >= BUCKET_MIN_ROWS and (k - 1) <= 0.02 * nbuckets:
+        if _bucket_safe(self.n_pad, chunk, k):
             return bucket_topk_entry(
                 queries,
                 self._full,

@@ -87,8 +87,40 @@ def bucket_chunk_for(b: int, d: int, itemsize: int = 4) -> int:
     return chunk
 
 
+def _bucket_select(s, base: int):
+    """In-kernel bucket selection shared by every bucket kernel: one
+    (max, argmax) winner per 128-lane bucket of the ``[B, C]`` score tile,
+    via STATIC lane-aligned slice loops — pure elementwise VPU ops, no
+    reshape, no lane<->sublane relayout. Returns ``(gm, gi) [B, 128]``
+    with ``gi`` holding global corpus indices offset by ``base``."""
+    w = s.shape[1] // _LANES
+    gm = s[:, 0:_LANES]
+    for i in range(1, w):
+        gm = jnp.maximum(gm, s[:, i * _LANES : (i + 1) * _LANES])
+    off = jnp.full_like(gm, w, jnp.int32)
+    for i in range(w - 1, -1, -1):
+        off = jnp.where(s[:, i * _LANES : (i + 1) * _LANES] == gm, i, off)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], _LANES), 1)
+    return gm, base + off * _LANES + lane
+
+
+def _final_select(gm, gi, k: int, b: int):
+    """Host-program finish shared by every bucket kernel: PartialReduce over
+    the [B, nbuckets] bucket winners, empties mapped to -1/-inf."""
+    vals, pos = jax.lax.approx_max_k(gm, min(k, gm.shape[1]), recall_target=0.99)
+    idx = jnp.take_along_axis(gi, pos, axis=1)[:b]
+    vals = vals[:b]
+    return vals, jnp.where(vals == -jnp.inf, -1, idx)
+
+
+def _restore_euclidean(vals, idx, qq):
+    """Scores were maximize-oriented 2 q.c - |c|^2; surface distances."""
+    empty = idx < 0
+    d2 = jnp.maximum(qq[:, None] - vals, 0.0)
+    return jnp.where(empty, jnp.inf, jnp.sqrt(d2)), idx
+
+
 def _kernel(q_ref, corpus_ref, cc_ref, gm_ref, gi_ref, *, chunk: int):
-    w = chunk // _LANES
     c = pl.program_id(0)
     q = q_ref[:]
     rows = corpus_ref[:]
@@ -98,15 +130,7 @@ def _kernel(q_ref, corpus_ref, cc_ref, gm_ref, gi_ref, *, chunk: int):
         q, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     s = dots - cc_ref[0, :][None, :]  # [B, C]
-    gm = s[:, 0:_LANES]
-    for i in range(1, w):
-        gm = jnp.maximum(gm, s[:, i * _LANES : (i + 1) * _LANES])
-    off = jnp.full_like(gm, w, jnp.int32)
-    for i in range(w - 1, -1, -1):
-        off = jnp.where(s[:, i * _LANES : (i + 1) * _LANES] == gm, i, off)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (gm.shape[0], _LANES), 1)
-    gm_ref[:] = gm
-    gi_ref[:] = c * chunk + off * _LANES + lane
+    gm_ref[:], gi_ref[:] = _bucket_select(s, c * chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "interpret"))
@@ -140,9 +164,7 @@ def _bucket_call(q, corpus, cc, *, k, chunk, interpret):
         ),
         interpret=interpret,
     )(q, corpus, cc8)
-    k_eff = min(k, nbuckets)
-    vals, pos = jax.lax.approx_max_k(gm, k_eff, recall_target=0.99)
-    return vals, jnp.take_along_axis(gi, pos, axis=1)
+    return _final_select(gm, gi, k, b)
 
 
 @functools.partial(
@@ -194,11 +216,8 @@ def bucket_topk_entry(queries, corpus, cnorm_or_penalty, mask=None, *, k,
 
     vals, idx = _bucket_call(q, corpus, cc, k=k, chunk=chunk, interpret=interpret)
     vals, idx = vals[:b], idx[:b]
-    empty = vals == -jnp.inf
-    idx = jnp.where(empty, -1, idx)
     if metric is DistanceMetric.EUCLIDEAN:
-        d2 = jnp.maximum(qq[:, None] - vals, 0.0)
-        vals = jnp.where(empty, jnp.inf, jnp.sqrt(d2))
+        return _restore_euclidean(vals, idx, qq)
     return vals, idx
 
 
@@ -223,16 +242,7 @@ def _hamming_kernel(q_ref, corpus_ref, pen_ref, gm_ref, gi_ref, *,
         x = jnp.bitwise_xor(q[:, w][:, None], rows[:, w][None, :])
         dist = dist + jax.lax.population_count(x).astype(jnp.int32)
     s = -dist.astype(jnp.float32) - pen_ref[0, :][None, :]  # maximize
-    w_ = chunk // _LANES
-    gm = s[:, 0:_LANES]
-    for i in range(1, w_):
-        gm = jnp.maximum(gm, s[:, i * _LANES : (i + 1) * _LANES])
-    off = jnp.full_like(gm, w_, jnp.int32)
-    for i in range(w_ - 1, -1, -1):
-        off = jnp.where(s[:, i * _LANES : (i + 1) * _LANES] == gm, i, off)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (b, _LANES), 1)
-    gm_ref[:] = gm
-    gi_ref[:] = c * chunk + off * _LANES + lane
+    gm_ref[:], gi_ref[:] = _bucket_select(s, c * chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "interpret"))
@@ -281,12 +291,8 @@ def hamming_bucket_topk(packed_q, packed_corpus, penalty, *, k, chunk,
         ),
         interpret=interpret,
     )(q, cps, pen8)
-    k_eff = min(k, nbuckets)
-    vals, pos = jax.lax.approx_max_k(gm, k_eff, recall_target=0.99)
-    idx = jnp.take_along_axis(gi, pos, axis=1)[:b]
-    vals = vals[:b]
-    empty = vals == -jnp.inf
-    return jnp.where(empty, jnp.inf, -vals), jnp.where(empty, -1, idx)
+    vals, idx = _final_select(gm, gi, k, b)
+    return jnp.where(idx < 0, jnp.inf, -vals), idx
 
 
 def bucket_topk(
@@ -370,16 +376,7 @@ def _sq8_kernel(q_ref, words_ref, scale_ref, minv_ref, pen_ref, gm_ref,
     qsum = jnp.sum(q, axis=1, keepdims=True)
     s = dots * scale_ref[0, :][None, :] + qsum * minv_ref[0, :][None, :]
     s = s - pen_ref[0, :][None, :]
-    w_ = chunk // _LANES
-    gm = s[:, 0:_LANES]
-    for i in range(1, w_):
-        gm = jnp.maximum(gm, s[:, i * _LANES : (i + 1) * _LANES])
-    off = jnp.full_like(gm, w_, jnp.int32)
-    for i in range(w_ - 1, -1, -1):
-        off = jnp.where(s[:, i * _LANES : (i + 1) * _LANES] == gm, i, off)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (gm.shape[0], _LANES), 1)
-    gm_ref[:] = gm
-    gi_ref[:] = c * chunk + off * _LANES + lane
+    gm_ref[:], gi_ref[:] = _bucket_select(s, c * chunk)
 
 
 @functools.partial(
@@ -439,13 +436,7 @@ def sq8_bucket_topk(queries, words, scale, minv, penalty, *, k, metric,
         ),
         interpret=interpret,
     )(q, words, s8, m8, p8)
-    k_eff = min(k, nbuckets)
-    vals, pos = jax.lax.approx_max_k(gm, k_eff, recall_target=0.99)
-    idx = jnp.take_along_axis(gi, pos, axis=1)[:b]
-    vals = vals[:b]
-    empty = vals == -jnp.inf
-    idx = jnp.where(empty, -1, idx)
+    vals, idx = _final_select(gm, gi, k, b)
     if metric is DistanceMetric.EUCLIDEAN:
-        d2 = jnp.maximum(qq[:, None] - vals, 0.0)
-        vals = jnp.where(empty, jnp.inf, jnp.sqrt(d2))
+        return _restore_euclidean(vals, idx, qq)
     return vals, idx

@@ -22,8 +22,11 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Any
+
+import numpy as np
 
 __all__ = ["MicroBatcher"]
 
@@ -87,8 +90,6 @@ class MicroBatcher:
                 self._worker.start()
 
     def _drain(self, first: _Pending) -> list[_Pending]:
-        import time
-
         items = [first]
         deadline = time.monotonic() + self.window_s
         while len(items) < self.max_batch:
@@ -127,8 +128,6 @@ class MicroBatcher:
                 self._exec_group([p])
 
     def _exec_group(self, grp: list[_Pending]) -> None:
-        import numpy as np
-
         try:
             kmax = max(p.k for p in grp)
             vecs = np.stack([np.asarray(p.vector, np.float32) for p in grp])
