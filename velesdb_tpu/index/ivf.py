@@ -215,7 +215,10 @@ class IvfIndex:
         if len(rows) == 0:
             self._dirty = False
             return
-        c = self.n_clusters or max(1, min(len(rows) // 256, 4096))
+        # ~256 rows per cluster, capped so the routing matmul stays small;
+        # 8192 keeps partitions near mean occupancy out to ~2M rows (beyond
+        # that L grows linearly and nprobe cost with it)
+        c = self.n_clusters or max(1, min(len(rows) // 256, 8192))
         c = min(c, len(rows))
         self.c = c
         if isinstance(corpus, jax.Array):  # device gather, zero host traffic
