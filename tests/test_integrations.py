@@ -142,3 +142,86 @@ def test_chat_and_semantic_memory(tmp_path):
     )
     sem.remember("alpha", importance=0.9)
     assert "alpha" in sem.load_memory_variables({"q": "alpha"})["facts"]
+
+
+# -- graph toolkit: chunk -> extract -> load (r2) ---------------------------
+
+
+def test_semantic_chunker_boundaries():
+    from integrations.graph_toolkit import SemanticChunker
+
+    text = ("Para one sentence a. Sentence b about things.\n\n"
+            "Para two starts here and continues with more words. "
+            "It has another sentence that makes it long enough to split.")
+    chunks = SemanticChunker(chunk_size=80, chunk_overlap=20).chunk(text)
+    assert len(chunks) >= 2
+    assert all(c.text for c in chunks)
+    # overlap: consecutive chunks share text
+    joined = "".join(c.text for c in chunks)
+    assert "Para two" in joined and len(joined) >= len(text) - 10
+
+
+def test_heuristic_extractor():
+    from integrations.graph_toolkit import HeuristicExtractor
+
+    ents, rels = HeuristicExtractor().extract(
+        "Ada Lovelace works at Analytical Engines. "
+        "Charles Babbage founded Analytical Engines."
+    )
+    names = {e.name for e in ents}
+    assert "Ada Lovelace" in names and "Analytical Engines" in names
+    typed = {(r.source, r.relation_type, r.target) for r in rels}
+    assert ("Ada Lovelace", "WORKS_AT", "Analytical Engines") in typed
+    assert ("Charles Babbage", "FOUNDED", "Analytical Engines") in typed
+
+
+def test_llm_extractor_contract():
+    import json
+
+    from integrations.graph_toolkit import LLMExtractor
+
+    def fake_llm(prompt):
+        return "sure! " + json.dumps({
+            "entities": [{"name": "Mars", "type": "Planet"}],
+            "relations": [{"source": "Mars", "target": "Sun",
+                           "type": "ORBITS"}],
+        })
+
+    ents, rels = LLMExtractor(fake_llm).extract("whatever")
+    assert ents[0].entity_type == "Planet"
+    assert rels[0].relation_type == "ORBITS"
+    assert LLMExtractor(lambda p: "garbage").extract("x") == ([], [])
+
+
+def test_graph_loader_end_to_end(tmp_db_dir):
+    from integrations.graph_toolkit import GraphLoader, SemanticChunker
+    from integrations.langchain_velesdb_graph import VelesGraphRetriever
+    from velesdb_tpu import Database
+
+    db = Database(tmp_db_dir)
+    coll = db.create_collection("kg", dim=16)
+    loader = GraphLoader(coll)
+    stats = loader.load_document(
+        "Marie Curie works at Sorbonne University. "
+        "Pierre Curie married to Marie Curie.",
+        chunker=SemanticChunker(chunk_size=200, chunk_overlap=40),
+    )
+    assert stats["entities"] >= 3 and stats["relations"] >= 2
+    assert stats["chunks"] >= 1
+    # idempotent entity ids: re-loading does not duplicate nodes
+    before = coll.count()
+    loader2 = GraphLoader(coll)
+    loader2.load_document("Marie Curie works at Sorbonne University.")
+    rows = coll.execute_match(
+        "MATCH (a)-[:WORKS_AT]->(b) RETURN a.name AS a, b.name AS b"
+    )
+    assert ("Marie Curie", "Sorbonne University") in {
+        (r["a"], r["b"]) for r in rows
+    }
+    # the loaded graph is traversable by the RAG retriever via MENTIONS
+    chunk_id = stats["chunk_ids"][0]
+    got = coll.get(chunk_id)
+    assert got is not None and got[1]["kind"] == "chunk"
+    nbrs = coll.neighbors(chunk_id, "out", "MENTIONS")
+    assert len(nbrs) >= 1
+    db.close()
