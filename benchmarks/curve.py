@@ -8,13 +8,15 @@ write ``BENCH_curve.json`` at the repo root (VERDICT round-1 #6 artifact).
 Measurement protocol (CLAUDE.md): every timed sample is one dispatch of a
 jitted ``lax.scan`` over 32 UNIQUE query batches with a forced readback —
 the tunnel round trip amortizes to <10% and repeated-input shortcuts cannot
-fire. min of 3 samples.
+fire. min of 3 samples. Device arrays pass as jit ARGUMENTS (closure
+capture embeds them in the remote-compile payload -> HTTP 413).
 
 Run: python benchmarks/curve.py                     (real TPU; ~10 min)
      CURVE_CONFIG=sift python benchmarks/curve.py   (1M x 128D L2 only)
      CURVE_CONFIG=cos  python benchmarks/curve.py   (100K x 768D cos only)
 """
 
+import functools
 import json
 import os
 import sys
@@ -30,8 +32,9 @@ ITERS = 32
 K = 10
 
 
-def scan_qps(search_fn, queries, batch, d):
-    """Device-side QPS: one jitted scan over ITERS unique batches."""
+def scan_qps(fn, arrays, queries, batch, d):
+    """Device-side QPS of ``fn(q, *arrays)``: one jitted scan over ITERS
+    unique batches; big operands ride as jit arguments."""
     import jax
     import jax.numpy as jnp
 
@@ -42,20 +45,20 @@ def scan_qps(search_fn, queries, batch, d):
     qs = jnp.asarray(big.reshape(ITERS, batch, d))
 
     @jax.jit
-    def run_many(qs):
+    def run_many(qs, *ops):
         def body(_, q):
-            v, i = search_fn(q)
+            v, i = fn(q, *ops)
             return None, (v[0, 0], i[0, 0])
 
         _, outs = jax.lax.scan(body, None, qs)
         return outs
 
-    jax.block_until_ready(run_many(qs))
+    jax.block_until_ready(run_many(qs, *arrays))
     samples = []
     for s in range(3):
         qs_s = jax.block_until_ready(jnp.roll(qs, 1 + 7 * s, axis=0))
         t0 = time.perf_counter()
-        outs = run_many(qs_s)
+        outs = run_many(qs_s, *arrays)
         np.asarray(outs[0])
         samples.append(time.perf_counter() - t0)
     return ITERS * batch / float(np.min(samples))
@@ -69,11 +72,16 @@ def run_config(name, n, d, metric_name, batch=256):
     from velesdb_tpu.index.ivf import IvfIndex, ivf_search_impl
     from velesdb_tpu.index.params import GraphParams
     from velesdb_tpu.ops import DistanceMetric
-    from velesdb_tpu.ops.bucket_kernel import bucket_chunk_for, bucket_topk_entry
+    from velesdb_tpu.ops.bucket_kernel import (
+        bucket_chunk_for,
+        bucket_topk_entry,
+        sq8_pack_blocked,
+        sq8_bucket_topk,
+    )
     from velesdb_tpu.ops.chunked import chunked_topk
     from velesdb_tpu.ops.pallas_kernels import use_pallas
     from velesdb_tpu.ops.quantization import sq8_dequantize, sq8_quantize
-    from velesdb_tpu.ops.streamed import _sq8_streamed_entry, streamed_topk
+    from velesdb_tpu.ops.streamed import _streamed_entry
 
     metric = DistanceMetric.parse(metric_name)
     rng = np.random.default_rng(42)
@@ -109,20 +117,15 @@ def run_config(name, n, d, metric_name, batch=256):
     _, gt = chunked_topk(gt_q, norm_dev, valid, K, metric, chunk=min(65536, n_pad))
     gt = np.asarray(gt)
 
-    def rec_of(search_fn):
-        _, idx = search_fn(gt_q)
-        idx = np.asarray(idx)
-        return float(
-            np.mean(
-                [len(set(idx[i]) & set(gt[i])) / K for i in range(batch)]
-            )
-        )
-
     points = []
 
-    def measure(engine, knob, search_fn):
-        r = rec_of(search_fn)
-        q = scan_qps(search_fn, queries, batch, d)
+    def measure(engine, knob, fn, arrays):
+        _, idx = fn(gt_q, *arrays)
+        idx = np.asarray(idx)
+        r = float(
+            np.mean([len(set(idx[i]) & set(gt[i])) / K for i in range(batch)])
+        )
+        q = scan_qps(fn, arrays, queries, batch, d)
         pt = {"engine": engine, "knob": knob, "recall": round(r, 4), "qps": round(q)}
         points.append(pt)
         print(name, pt, flush=True)
@@ -131,38 +134,49 @@ def run_config(name, n, d, metric_name, batch=256):
     chunk = min(bucket_chunk_for(batch, ((d + 127) // 128) * 128), n_pad)
     measure(
         "exact-bucket", f"chunk={chunk}",
-        lambda q: bucket_topk_entry(
-            q, norm_dev, pen, k=K, metric=metric, chunk=chunk,
+        functools.partial(
+            bucket_topk_entry, k=K, metric=metric, chunk=chunk,
             interpret=interp, prenormalized=True,
         ),
+        (norm_dev, pen),
     )
     measure(
         "exact-streamed", "chunk=65536",
-        lambda q: streamed_topk(
-            q, norm_dev, valid=valid, k=K, metric=metric, corpus_sqnorm=sqn
+        functools.partial(
+            _streamed_entry, k=K, metric=metric, chunk=min(65536, n_pad),
+            approx=True, recall_target=0.95,
         ),
+        (norm_dev, valid, sqn),
     )
 
-    sq8 = sq8_quantize(corpus_dev)
+    sq8 = sq8_quantize(norm_dev)
+    words = sq8_pack_blocked(sq8.codes)
     deq = sq8_dequantize(sq8)
     dn = jnp.sum(deq * deq, axis=1)
-    sq8_cn = (
-        dn if metric is DistanceMetric.EUCLIDEAN
-        else jnp.sqrt(dn) if metric is DistanceMetric.COSINE
-        else jnp.zeros(n_pad, jnp.float32)
+    if metric is DistanceMetric.COSINE:
+        inv = jnp.where(dn > 1e-30, jax.lax.rsqrt(jnp.maximum(dn, 1e-30)), 0.0)
+        s2, m2 = sq8.scale * inv, sq8.minv * inv
+        sq8_pen = jnp.where(valid, 0.0, jnp.inf)
+    elif metric is DistanceMetric.EUCLIDEAN:
+        s2, m2 = sq8.scale, sq8.minv
+        sq8_pen = jnp.where(valid, dn, jnp.inf)
+    else:
+        s2, m2 = sq8.scale, sq8.minv
+        sq8_pen = jnp.where(valid, 0.0, jnp.inf)
+    sq8_chunk = min(
+        bucket_chunk_for(batch, ((d + 127) // 128) * 128, 5), n_pad
     )
     measure(
-        "sq8-streamed", "chunk=65536",
-        lambda q: _sq8_streamed_entry(
-            q, sq8.codes, sq8.scale, sq8.minv, sq8_cn, valid,
-            k=K, metric=metric, chunk=min(65536, n_pad), approx=True,
+        "sq8-bucket", f"chunk={sq8_chunk}",
+        functools.partial(
+            sq8_bucket_topk, k=K, metric=metric, chunk=sq8_chunk,
+            interpret=interp,
         ),
+        (words, s2.astype(jnp.float32), m2.astype(jnp.float32), sq8_pen),
     )
 
     ivf = IvfIndex(d, metric)
     ivf.build(corpus_dev[:n], np.ones(n, bool))
-    import functools
-
     import jax as _jax
 
     _ivf = functools.partial(
@@ -171,10 +185,14 @@ def run_config(name, n, d, metric_name, batch=256):
     for nprobe in (4, 8, 16, 32):
         measure(
             "ivf", f"nprobe={nprobe}",
-            lambda q, _np=nprobe: _ivf(
-                q, ivf._centroids, ivf._cent_sq, ivf._parts, ivf._part_rows,
-                ivf._part_sq, None, k=K, nprobe=_np, metric=metric,
+            functools.partial(
+                lambda q, c, cs, p, pr, ps, _np: _ivf(
+                    q, c, cs, p, pr, ps, None, k=K, nprobe=_np, metric=metric
+                ),
+                _np=nprobe,
             ),
+            (ivf._centroids, ivf._cent_sq, ivf._parts, ivf._part_rows,
+             ivf._part_sq),
         )
 
     gi = GraphIndex(d, metric, GraphParams.auto(d, n))
@@ -189,12 +207,16 @@ def run_config(name, n, d, metric_name, batch=256):
         beam, expansions = gi.params.beam_for_ef(ef, K)
         measure(
             "graph", f"ef={ef}",
-            lambda q, _b=beam, _e=expansions: _beam(
-                q, gi._corpus, gi._adj, gi._sqnorm, gi._valid, gi._seed_ids,
-                None, k=K, beam=_b, expansions=_e,
-                degree=gi._adj.shape[1],
-                entry_points=min(gi.params.entry_points, _b), metric=metric,
+            functools.partial(
+                lambda q, corp, adj, sn, vd, seeds, _b, _e: _beam(
+                    q, corp, adj, sn, vd, seeds, None, k=K, beam=_b,
+                    expansions=_e, degree=adj.shape[1],
+                    entry_points=min(gi.params.entry_points, _b),
+                    metric=metric,
+                ),
+                _b=beam, _e=expansions,
             ),
+            (gi._corpus, gi._adj, gi._sqnorm, gi._valid, gi._seed_ids),
         )
 
     return {"config": name, "n": n, "d": d, "metric": metric.value,
