@@ -358,19 +358,23 @@ def sq8_pack_blocked(codes):
 
 
 def _sq8_kernel(q_ref, words_ref, scale_ref, minv_ref, pen_ref, gm_ref,
-                gi_ref, *, chunk: int, d_pad: int):
+                gi_ref, *, chunk: int, d_pad: int, unpack_bf16: bool = False):
     c = pl.program_id(0)
     q = q_ref[:]  # [B, D_pad] f32 (pre-scaled by the wrapper for euclidean)
     w = words_ref[:]  # [C, D_pad/4] int32
+    # integers 0..255 are exact in bf16; the bf16 unpack halves the VMEM
+    # copy and runs the matmul on the bf16 MXU path
+    out_dt = jnp.bfloat16 if unpack_bf16 else jnp.float32
     parts = []
     for j in range(4):
         pj = jnp.bitwise_and(
             jax.lax.shift_right_logical(w, jnp.int32(8 * j)), jnp.int32(0xFF)
         )
-        parts.append(pj.astype(jnp.float32))
-    rows = jnp.concatenate(parts, axis=1)  # [C, D_pad] codes as f32 (0..255)
+        parts.append(pj.astype(out_dt))
+    rows = jnp.concatenate(parts, axis=1)  # [C, D_pad] codes (0..255)
     dots = jax.lax.dot_general(
-        q, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q.astype(out_dt), rows, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # [B, C] = q . codes
     # affine restore + additive penalty: s = scale*(q.codes) + qsum*minv - pen
     qsum = jnp.sum(q, axis=1, keepdims=True)
@@ -380,10 +384,10 @@ def _sq8_kernel(q_ref, words_ref, scale_ref, minv_ref, pen_ref, gm_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "chunk", "interpret")
+    jax.jit, static_argnames=("k", "metric", "chunk", "interpret", "unpack_bf16")
 )
 def sq8_bucket_topk(queries, words, scale, minv, penalty, *, k, metric,
-                    chunk, interpret):
+                    chunk, interpret, unpack_bf16=False):
     """Bucket-selection search over block-packed SQ8 codes.
 
     ``words [N_pad, D_pad/4] int32`` from :func:`sq8_pack_blocked` (N_pad a
@@ -410,7 +414,7 @@ def sq8_bucket_topk(queries, words, scale, minv, penalty, *, k, metric,
     m8 = jnp.broadcast_to(minv[None, :], (8, n))
     p8 = jnp.broadcast_to(penalty[None, :], (8, n))
     gm, gi = pl.pallas_call(
-        functools.partial(_sq8_kernel, chunk=chunk, d_pad=d_pad),
+        functools.partial(_sq8_kernel, chunk=chunk, d_pad=d_pad, unpack_bf16=unpack_bf16),
         grid=grid,
         in_specs=[
             pl.BlockSpec((b_pad, d_pad), lambda c: (0, 0), memory_space=pltpu.VMEM),
