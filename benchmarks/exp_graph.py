@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--knn-k", type=int, default=0)
     ap.add_argument("--alpha", type=float, default=0.0)
     ap.add_argument("--entry-points", type=int, default=0)
+    ap.add_argument("--build-nprobe", type=int, default=0)
     ap.add_argument("--ef", type=int, default=128)
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--k", type=int, default=10)
@@ -59,6 +60,7 @@ def main():
             ("knn_k", args.knn_k),
             ("alpha", args.alpha),
             ("entry_points", args.entry_points),
+            ("build_nprobe", args.build_nprobe),
         )
         if v
     }
