@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--alpha", type=float, default=0.0)
     ap.add_argument("--entry-points", type=int, default=0)
     ap.add_argument("--build-nprobe", type=int, default=0)
+    ap.add_argument("--build-passes", type=int, default=0)
     ap.add_argument("--ef", type=int, default=128)
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--k", type=int, default=10)
@@ -61,6 +62,7 @@ def main():
             ("alpha", args.alpha),
             ("entry_points", args.entry_points),
             ("build_nprobe", args.build_nprobe),
+            ("build_passes", args.build_passes),
         )
         if v
     }

@@ -115,7 +115,7 @@ class GraphIndex:
 
             knn_idx = ivf_self_knn(
                 corpus if dev is None else dev, knn_k, self.metric,
-                valid=valid, nprobe=p.build_nprobe,
+                valid=valid, nprobe=p.build_nprobe, passes=p.build_passes,
             )
         # distance-ordered forward candidates
         fwd = knn_idx.astype(np.int32)  # [n, knn_k], -1 where few valid

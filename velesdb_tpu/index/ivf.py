@@ -181,6 +181,7 @@ class IvfIndex:
         metric: DistanceMetric,
         n_clusters: int | None = None,
         kmeans_iters: int = 8,
+        kmeans_seed: int = 0,
     ):
         self.dim = dim
         self.metric = DistanceMetric.parse(metric)
@@ -192,6 +193,7 @@ class IvfIndex:
             raise ValueError(f"IVF does not support metric {self.metric}")
         self.n_clusters = n_clusters
         self.kmeans_iters = kmeans_iters
+        self.kmeans_seed = kmeans_seed
         self.n = 0
         self.c = 0
         self.part_len = 0
@@ -230,7 +232,7 @@ class IvfIndex:
             km_input = live_dev / jnp.maximum(nrm, 1e-30)
         else:
             km_input = live_dev
-        cents, assign = kmeans(km_input, c, iters=self.kmeans_iters)
+        cents, assign = kmeans(km_input, c, iters=self.kmeans_iters, seed=self.kmeans_seed)
 
         # group rows by cluster into uniform padded partitions, ENTIRELY ON
         # DEVICE (the [n_parts, L, D] tensor never exists on the host — at
@@ -436,15 +438,15 @@ def _bucketed_self_knn(parts, part_rows, part_sq, cents, *, k, nprobe, metric):
         s = jnp.where(ok, s, -jnp.inf)
         v, i = jax.lax.top_k(s, k)
         nbr = jnp.where(v == -jnp.inf, -1, crows[i])
-        return None, nbr
+        return None, (v, nbr)
 
-    _, out = jax.lax.scan(body, None, jnp.arange(P, dtype=jnp.int32))
-    return out
+    _, (vals, out) = jax.lax.scan(body, None, jnp.arange(P, dtype=jnp.int32))
+    return vals, out
 
 
 def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
                  nprobe: int = 8, qblock: int = 1024,
-                 n_clusters: int | None = None) -> np.ndarray:
+                 n_clusters: int | None = None, passes: int = 1) -> np.ndarray:
     """Approximate kNN graph of a corpus against itself: ``[N, k] int32``.
 
     The scalable build path for the graph index (VERDICT round-1 #2a):
@@ -462,23 +464,46 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
     n = corpus_in.shape[0]
     metric = DistanceMetric(metric)
     valid_np = np.ones(n, bool) if valid is None else np.asarray(valid, bool)
-    ivf = IvfIndex(corpus_in.shape[1], metric, n_clusters=n_clusters)
-    ivf.build(corpus_in, valid_np)
-    if ivf._parts is None:
-        return np.full((n, k), -1, np.int32)
-    nprobe = int(min(max(nprobe, 1), ivf.c))
-    k_eff = min(k, max(nprobe * ivf.part_len - 1, 1))
-    nbr = np.asarray(
-        _bucketed_self_knn(
-            ivf._parts, ivf._part_rows, ivf._part_sq, ivf._centroids,
-            k=k_eff, nprobe=nprobe, metric=metric,
+    pass_vals, pass_ids = [], []
+    for p in range(max(passes, 1)):
+        ivf = IvfIndex(
+            corpus_in.shape[1], metric, n_clusters=n_clusters, kmeans_seed=p
         )
-    )  # [P, L, k]
-    rows = np.asarray(ivf._part_rows).reshape(-1)
-    flat = nbr.reshape(-1, k_eff)
-    out = np.full((n, k), -1, np.int32)
-    live = rows >= 0
-    out[rows[live], :k_eff] = flat[live]
+        ivf.build(corpus_in, valid_np)
+        if ivf._parts is None:
+            return np.full((n, k), -1, np.int32)
+        nprobe_p = int(min(max(nprobe, 1), ivf.c))
+        k_eff = min(k, max(nprobe_p * ivf.part_len - 1, 1))
+        vals_d, nbr_d = _bucketed_self_knn(
+            ivf._parts, ivf._part_rows, ivf._part_sq, ivf._centroids,
+            k=k_eff, nprobe=nprobe_p, metric=metric,
+        )  # [P, L, k] each
+        rows = np.asarray(ivf._part_rows).reshape(-1)
+        live = rows >= 0
+        out_i = np.full((n, k), -1, np.int32)
+        out_v = np.full((n, k), -np.inf, np.float32)
+        out_i[rows[live], :k_eff] = np.asarray(nbr_d).reshape(-1, k_eff)[live]
+        out_v[rows[live], :k_eff] = np.asarray(vals_d).reshape(-1, k_eff)[live]
+        pass_ids.append(out_i)
+        pass_vals.append(out_v)
+    if len(pass_ids) == 1:
+        out = pass_ids[0]
+        out[~valid_np] = -1
+        return out
+    # union-merge decorrelated passes: scores are maximize-oriented and
+    # deterministic per (row, neighbor) pair, so duplicates carry equal
+    # values — lexsort (value desc, id) makes them adjacent for dedup
+    allv = np.concatenate(pass_vals, axis=1)
+    alli = np.concatenate(pass_ids, axis=1)
+    order = np.lexsort((alli, -allv), axis=1)
+    sv = np.take_along_axis(allv, order, axis=1)
+    si = np.take_along_axis(alli, order, axis=1)
+    dup = np.zeros_like(si, bool)
+    dup[:, 1:] = (si[:, 1:] == si[:, :-1]) & (si[:, 1:] >= 0)
+    sv[dup | (si < 0)] = -np.inf
+    keep = np.argsort(-sv, axis=1, kind="stable")[:, :k]
+    out = np.take_along_axis(si, keep, axis=1)
+    out[np.take_along_axis(sv, keep, axis=1) == -np.inf] = -1
     out[~valid_np] = -1
     return out
 

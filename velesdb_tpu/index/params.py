@@ -52,6 +52,7 @@ class GraphParams:
     entry_points: int = 16  # per-query beam seeds taken from the seed scan
     seed_sample: int = 2048  # routing-set size for the dense seed scan
     build_nprobe: int = 8  # partitions probed per row in the approx-kNN build
+    build_passes: int = 1  # decorrelated IVF clusterings unioned in the build
     # The seed scan replaces HNSW's upper layers: instead of greedy descent
     # through sparse coarse layers (graph.rs:251 descent loop), one small
     # [B, S] matmul against a strided routing sample ranks entry points —
@@ -67,7 +68,7 @@ class GraphParams:
             degree, knn_k = 64, 32
             # approx-kNN quality is the 1M-scale recall limiter: nprobe 8
             # gave graph recall 0.78 @ef=128, 16 gives 0.84 (measured
-            # 1M x 128D); build cost scales ~linearly with nprobe
+            # 1M x 128D); build cost scales ~linearly with nprobe x passes
             nprobe = 16
         elif n >= 100_000:
             degree, knn_k = 48, 24
@@ -75,7 +76,8 @@ class GraphParams:
             degree, knn_k = 32, 16
         if dim >= 1024:
             degree = max(degree, 48)
-        return cls(degree=degree, knn_k=knn_k, build_nprobe=nprobe)
+        return cls(degree=degree, knn_k=knn_k, build_nprobe=nprobe,
+                   build_passes=2 if n >= 1_000_000 else 1)
 
     def beam_for_ef(self, ef: int, k: int) -> tuple[int, int]:
         """Map an ef budget to (beam width L, expansions).
