@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--entry-points", type=int, default=0)
     ap.add_argument("--build-nprobe", type=int, default=0)
     ap.add_argument("--build-passes", type=int, default=0)
+    ap.add_argument("--refine-rounds", type=int, default=-1)
     ap.add_argument("--ef", type=int, default=128)
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--k", type=int, default=10)
@@ -63,6 +64,7 @@ def main():
             ("entry_points", args.entry_points),
             ("build_nprobe", args.build_nprobe),
             ("build_passes", args.build_passes),
+            ("refine_rounds", args.refine_rounds if args.refine_rounds >= 0 else 0),
         )
         if v
     }

@@ -113,10 +113,15 @@ class GraphIndex:
         else:
             from velesdb_tpu.index.ivf import ivf_self_knn
 
+            from velesdb_tpu.index.ivf import nn_descent_round
+
+            src = corpus if dev is None else dev
             knn_idx = ivf_self_knn(
-                corpus if dev is None else dev, knn_k, self.metric,
+                src, knn_k, self.metric,
                 valid=valid, nprobe=p.build_nprobe, passes=p.build_passes,
             )
+            for _ in range(p.refine_rounds):
+                knn_idx = nn_descent_round(src, knn_idx, self.metric, valid=valid)
         # distance-ordered forward candidates
         fwd = knn_idx.astype(np.int32)  # [n, knn_k], -1 where few valid
         # 2. alpha-diversification prune (device, blockwise)

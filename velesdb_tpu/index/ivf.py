@@ -35,7 +35,7 @@ from velesdb_tpu.index.params import SearchQuality
 from velesdb_tpu.ops.distance import DistanceMetric
 from velesdb_tpu.ops.topk import top_k
 
-__all__ = ["IvfIndex", "kmeans", "ivf_search_impl"]
+__all__ = ["IvfIndex", "kmeans", "ivf_search_impl", "ivf_self_knn", "merge_ranked", "nn_descent_round"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -490,11 +490,18 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
         out = pass_ids[0]
         out[~valid_np] = -1
         return out
-    # union-merge decorrelated passes: scores are maximize-oriented and
-    # deterministic per (row, neighbor) pair, so duplicates carry equal
-    # values — lexsort (value desc, id) makes them adjacent for dedup
-    allv = np.concatenate(pass_vals, axis=1)
-    alli = np.concatenate(pass_ids, axis=1)
+    out = merge_ranked(pass_vals, pass_ids, k)
+    out[~valid_np] = -1
+    return out
+
+
+def merge_ranked(vals_list, ids_list, k: int) -> np.ndarray:
+    """Union-merge ranked candidate lists per row: scores are
+    maximize-oriented and deterministic per (row, id) pair, so duplicates
+    carry equal values — lexsort (value desc, id) makes them adjacent for
+    dedup. Returns ``[N, k] int32`` ids (-1 = none)."""
+    allv = np.concatenate(vals_list, axis=1)
+    alli = np.concatenate(ids_list, axis=1)
     order = np.lexsort((alli, -allv), axis=1)
     sv = np.take_along_axis(allv, order, axis=1)
     si = np.take_along_axis(alli, order, axis=1)
@@ -504,6 +511,104 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
     keep = np.argsort(-sv, axis=1, kind="stable")[:, :k]
     out = np.take_along_axis(si, keep, axis=1)
     out[np.take_along_axis(sv, keep, axis=1) == -np.inf] = -1
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "sample", "block", "metric", "out_k")
+)
+def _nn_descent_scan(corpus, cnorm, knn, valid, *, k, sample, block, metric,
+                     out_k):
+    """One NN-descent round: per node, rescore {current neighbors} union
+    {sampled neighbors-of-neighbors} exactly, dedup IN-program (duplicate
+    candidates would crowd the top-k with repeats), and keep the best
+    ``out_k``. [N_pad, *] in, ([N_pad, out_k] vals, ids) out; one program."""
+    n_pad, kk = knn.shape
+    nb = n_pad // block
+
+    def body(_, bi):
+        base = bi * block
+        q = jax.lax.dynamic_slice_in_dim(corpus, base, block)  # [B, D]
+        ids = jax.lax.dynamic_slice_in_dim(knn, base, block)  # [B, kk]
+        ids_s = ids[:, :sample]
+        nn2 = knn[jnp.maximum(ids_s, 0)][:, :, :sample]  # [B, s, s]
+        nn2 = jnp.where(ids_s[:, :, None] >= 0, nn2, -1)
+        cand = jnp.concatenate([ids, nn2.reshape(block, -1)], axis=1)  # [B, S]
+        self_id = base + jnp.arange(block)[:, None]
+        ok = (cand >= 0) & (cand != self_id) & valid[jnp.maximum(cand, 0)]
+        # first-occurrence-only: duplicates otherwise fill top-k slots
+        eq = cand[:, :, None] == cand[:, None, :]
+        scount = cand.shape[1]
+        earlier = jnp.tril(jnp.ones((scount, scount), bool), k=-1)[None]
+        ok = ok & ~jnp.any(eq & earlier & ok[:, None, :], axis=2)
+        vecs = corpus[jnp.maximum(cand, 0)]  # [B, S, D]
+        dots = jnp.einsum("bd,bsd->bs", q, vecs, preferred_element_type=jnp.float32)
+        cc = cnorm[jnp.maximum(cand, 0)]
+        if metric is DistanceMetric.EUCLIDEAN:
+            s_ = 2.0 * dots - cc
+        elif metric is DistanceMetric.COSINE:
+            qn = jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, axis=1, keepdims=True), 1e-30))
+            s_ = dots * qn * jax.lax.rsqrt(jnp.maximum(cc, 1e-30))
+        else:
+            s_ = dots
+        s_ = jnp.where(ok, s_, -jnp.inf)
+        v, pos = jax.lax.top_k(s_, out_k)
+        i = jnp.take_along_axis(cand, pos, axis=1)
+        return None, (v, jnp.where(v == -jnp.inf, -1, i))
+
+    _, (vals, ids) = jax.lax.scan(body, None, jnp.arange(nb, dtype=jnp.int32))
+    return vals.reshape(n_pad, out_k), ids.reshape(n_pad, out_k)
+
+
+def _reverse_knn(knn: np.ndarray, n: int, k: int) -> np.ndarray:
+    """First-k reverse edges per node: [N, k] int32, -1 padded."""
+    src = np.repeat(np.arange(n, dtype=np.int64), knn.shape[1])
+    dst = knn.reshape(-1)
+    ok = dst >= 0
+    src, dst = src[ok], dst[ok]
+    order = np.argsort(dst, kind="stable")
+    dst_s, src_s = dst[order], src[order]
+    start = np.searchsorted(dst_s, np.arange(n))
+    pos = np.arange(len(dst_s)) - start[dst_s]
+    keep = pos < k
+    out = np.full((n, k), -1, np.int32)
+    out[dst_s[keep], pos[keep]] = src_s[keep]
+    return out
+
+
+def nn_descent_round(corpus, knn: np.ndarray, metric: DistanceMetric,
+                     valid=None, sample: int = 16, block: int = 512) -> np.ndarray:
+    """Refine a kNN graph by one NN-descent round (neighbors-of-neighbors
+    rescoring): lifts bucketed-build kNN recall where partition boundaries
+    cut true neighborhoods. O(N * (k + sample^2) * D) FLOPs, one program.
+    """
+    metric = DistanceMetric(metric)
+    corpus_in = (
+        corpus if isinstance(corpus, jax.Array) else jnp.asarray(corpus, jnp.float32)
+    )
+    n, k = knn.shape[0], knn.shape[1]
+    sample = min(sample, k)
+    n_pad = _round_up(n, block)
+    corpus_p = jnp.pad(corpus_in.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    cnorm = jnp.sum(corpus_p * corpus_p, axis=1)
+    # canonical NN-descent joins BOTH directions: nodes that point AT me
+    # are as informative as the ones I point at
+    rev = _reverse_knn(np.asarray(knn, np.int64), n, k)
+    both = np.concatenate([np.asarray(knn, np.int32), rev], axis=1)
+    knn_p = jnp.pad(jnp.asarray(both, jnp.int32), ((0, n_pad - n), (0, 0)),
+                    constant_values=-1)
+    valid_np = (
+        np.ones(n, bool) if valid is None else np.asarray(valid, bool)
+    )
+    valid_p = jnp.pad(jnp.asarray(valid_np), (0, n_pad - n))
+    out_k = min(2 * k, k + sample * sample)
+    vals, ids = _nn_descent_scan(
+        corpus_p, cnorm, knn_p, valid_p, k=2 * k, sample=sample, block=block,
+        metric=metric, out_k=out_k,
+    )
+    # candidates are already deduped in-program; a single ranked pass trims
+    # to k (merge_ranked also guards against any residual repeats)
+    out = merge_ranked([np.asarray(vals[:n])], [np.asarray(ids[:n])], k)
     out[~valid_np] = -1
     return out
 

@@ -53,6 +53,11 @@ class GraphParams:
     seed_sample: int = 2048  # routing-set size for the dense seed scan
     build_nprobe: int = 8  # partitions probed per row in the approx-kNN build
     build_passes: int = 1  # decorrelated IVF clusterings unioned in the build
+    refine_rounds: int = 0  # NN-descent rounds on the approx kNN. Lifts
+    # WEAK graphs strongly (kNN recall 0.25 -> 0.41 in 3 rounds on uniform
+    # data) but measured no beam-search recall gain at 1M x 128D clustered
+    # once the union build reaches ~0.95 kNN recall — the beam, not the
+    # kNN, limits there. Off by default; a knob for low-budget builds.
     # The seed scan replaces HNSW's upper layers: instead of greedy descent
     # through sparse coarse layers (graph.rs:251 descent loop), one small
     # [B, S] matmul against a strided routing sample ranks entry points —
