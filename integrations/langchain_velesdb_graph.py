@@ -226,12 +226,9 @@ class VelesChatMemory:
         return {self.memory_key: "\n".join(lines)}
 
     def clear(self) -> None:
-        stats = self.memory.stats()
-        for kind in ("episodic",):
-            coll = self.memory._coll(kind)
-            for vid in list(coll.vectors.id_to_slot):
-                coll.delete(vid)
-        del stats
+        coll = self.memory._coll("episodic")
+        for vid in list(coll.vectors.id_to_slot):
+            coll.delete(vid)
 
 
 class VelesSemanticMemory:

@@ -105,3 +105,31 @@ def test_snapshot_v2_roundtrip_and_v1_compat(tmp_path):
     log2 = PayloadLog(d)
     assert len(log2) == 50 and log2.retrieve(17)["n"] == 17
     log2.close()
+
+
+def test_ttl_survives_reopen(tmp_db_dir):
+    """ADVICE r1: TTLs were memory-only — rows silently resurrected on
+    restart. They persist in ttl.json now."""
+    import numpy as np
+
+    from velesdb_tpu import Database
+
+    db = Database(tmp_db_dir)
+    c = db.create_collection("t", dim=4)
+    c.upsert(1, np.ones(4, np.float32), ttl=0.001)
+    c.upsert(2, np.ones(4, np.float32))  # no ttl
+    db.close()
+
+    db2 = Database(tmp_db_dir)
+    c2 = db2.get_collection("t")
+    assert 1 in c2._ttl and 2 not in c2._ttl
+    import time as _t
+
+    _t.sleep(0.01)
+    assert c2.expire_rows() == 1
+    assert c2.get(1) is None and c2.get(2) is not None
+    db2.close()
+    # expiry persisted too: third open sees no stale deadline
+    db3 = Database(tmp_db_dir)
+    assert db3.get_collection("t")._ttl == {}
+    db3.close()

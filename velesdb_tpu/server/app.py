@@ -273,7 +273,8 @@ class VelesServer:
 
         bt = self._batchers.get(name)
         if bt is None or bt.collection is not col:
-            bt = MicroBatcher(col, window_ms=self.batch_window_ms)
+            bt = MicroBatcher(col, window_ms=self.batch_window_ms,
+                              metrics=self.metrics)
             self._batchers[name] = bt
         return bt
 

@@ -45,8 +45,10 @@ class _Pending:
 class MicroBatcher:
     """Per-collection coalescer. Thread-safe; start lazily, stop idempotent."""
 
-    def __init__(self, collection, window_ms: float = 2.0, max_batch: int = 256):
+    def __init__(self, collection, window_ms: float = 2.0, max_batch: int = 256,
+                 metrics=None):
         self.collection = collection
+        self.metrics = metrics  # optional OperationalMetrics for gauges
         self.window_s = max(window_ms, 0.0) / 1e3
         self.max_batch = int(max_batch)
         self._q: queue.Queue[_Pending] = queue.Queue()
@@ -137,6 +139,9 @@ class MicroBatcher:
             self.batches += 1
             if len(grp) > 1:
                 self.coalesced += len(grp)
+            if self.metrics is not None:
+                self.metrics.set_gauge("microbatch_batches", self.batches)
+                self.metrics.set_gauge("microbatch_coalesced", self.coalesced)
             for p, row in zip(grp, res):
                 p.result = row[: p.k]
                 p.done.set()
