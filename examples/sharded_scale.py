@@ -22,13 +22,15 @@ same lines run unmodified — only N changes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
 import jax
 import numpy as np
 
-jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+# config knobs, not JAX_PLATFORMS env — installed TPU plugins can ignore
+# the env var (CLAUDE.md quirk); these apply as long as no backend is up
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 from velesdb_tpu.ops import DistanceMetric
 from velesdb_tpu.parallel import ShardedBruteForce, make_mesh
