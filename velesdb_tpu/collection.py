@@ -127,6 +127,11 @@ class Collection:
         # Durable in ttl.json so deadlines survive reopen (advisor finding:
         # memory-only TTLs silently resurrected expiring rows on restart).
         self._ttl: dict[int, float] = self._load_ttl()  # vid -> unix expiry
+        # TTL writes are BATCHED (advisor r2: rewriting ttl.json per
+        # single-row upsert made TTL'd ingest O(N^2) in file I/O): mutations
+        # set a dirty flag; the file flushes once per flush()/close()/
+        # expire_rows()/bulk op.
+        self._ttl_dirty = False
         self._auto_vacuum: dict | None = None
         self._last_auto_vacuum = 0.0
 
@@ -153,6 +158,11 @@ class Collection:
                 return {int(k): float(v) for k, v in json.load(f).items()}
         except (OSError, ValueError):
             return {}
+
+    def _flush_ttl(self) -> None:
+        if self._ttl_dirty:
+            self._save_ttl()
+            self._ttl_dirty = False
 
     def _save_ttl(self) -> None:
         p = os.path.join(self.path, "ttl.json")
@@ -204,9 +214,9 @@ class Collection:
                 self.graph.index_node(int(vid), payload)
             if ttl is not None:
                 self._ttl[int(vid)] = time.time() + ttl
-                self._save_ttl()
+                self._ttl_dirty = True
             elif self._ttl.pop(int(vid), None) is not None:
-                self._save_ttl()
+                self._ttl_dirty = True
             self._on_mutation([int(vid)], slots=[slot])
 
     def upsert_bulk(
@@ -251,13 +261,13 @@ class Collection:
                 expiry = time.time() + ttl
                 for vid in ids:
                     self._ttl[vid] = expiry
-                self._save_ttl()
+                self._ttl_dirty = True
             else:
                 # Mirror single-row upsert: a re-upsert without ttl clears
                 # any stale deadline instead of letting the row expire.
-                had = any(self._ttl.pop(vid, None) is not None for vid in ids)
-                if had:
-                    self._save_ttl()
+                if any(self._ttl.pop(vid, None) is not None for vid in ids):
+                    self._ttl_dirty = True
+            self._flush_ttl()  # one write per bulk call
             self._on_mutation(ids, slots=slots)
 
     def get(self, vid: int):
@@ -643,7 +653,7 @@ class Collection:
         # host-numpy exact rescoring — zero extra device dispatches
         all_ids = [[r.id for r in row] for row in coarse]
         flat = [vid for ids in all_ids for vid in ids]
-        vecs, _ = self.vectors.retrieve_batch(flat)
+        vecs, found = self.vectors.retrieve_batch(flat)
         out = []
         pos = 0
         hib = self.metric.higher_is_better
@@ -653,7 +663,19 @@ class Collection:
                 out.append([])
                 continue
             v = vecs[pos : pos + len(ids)]
+            f = np.asarray(found[pos : pos + len(ids)], bool)
             pos += len(ids)
+            # an id deleted between the coarse pass and hydration comes back
+            # as a zero vector (advisor r2: for euclidean a zero vector can
+            # OUTRANK real candidates) — drop the misses before rescoring
+            if not f.all():
+                keep = np.flatnonzero(f)
+                if keep.size == 0:
+                    out.append([])
+                    continue
+                v = v[keep]
+                ids = [ids[int(j)] for j in keep]
+                row = [row[int(j)] for j in keep]
             scores = _host_scores(q[b], v, self.metric)
             order = np.argsort(-scores if hib else scores)
             out.append(
@@ -741,7 +763,8 @@ class Collection:
             self._ttl.pop(vid, None)
             self.delete(vid)
         if dead:
-            self._save_ttl()
+            self._ttl_dirty = True
+        self._flush_ttl()
         return len(dead)
 
     def configure_auto_vacuum(
@@ -1026,12 +1049,13 @@ class Collection:
         with self._lock:
             self.vectors.flush()
             self.payloads.flush()
-            self._save_ttl()
+            self._flush_ttl()
             if self.graph is not None:
                 self.graph.save(self.path)
 
     def close(self) -> None:
         with self._lock:
+            self._flush_ttl()
             if self.graph is not None:
                 self.graph.save(self.path)
             self.vectors.close()

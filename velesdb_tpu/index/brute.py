@@ -45,9 +45,12 @@ from velesdb_tpu.ops.streamed import sq8_streamed_topk, streamed_topk
 
 __all__ = ["BruteForceIndex", "pad_rows"]
 
-_PALLAS_OK = [True]  # sticky off-switch after a Mosaic failure
-_SQ8_BUCKET_OK = [True]  # separate switch: an SQ8-kernel failure must not
-# disable the f32/bf16 kernels (different lowering surface)
+# Sticky off-switches, scoped PER LOWERING SURFACE: a Mosaic failure in one
+# kernel family must not disable the others, and must never disable the
+# pure-XLA streamed fallback (which is not Pallas at all).
+_PALLAS_OK = [True]  # f32/bf16 bucket kernel
+_SQ8_BUCKET_OK = [True]  # SQ8 bucket kernel (int32-staged unpack)
+_BINARY_OK = [True]  # Hamming kernels
 
 
 def _bucket_safe(n_pad: int, chunk: int, k: int) -> bool:
@@ -207,8 +210,7 @@ class BruteForceIndex:
         k_eff = min(k, self.n_pad)
         mode = self.storage_mode
         if (
-            _PALLAS_OK[0]
-            and use_pallas()
+            use_pallas()
             and mode in (StorageMode.FULL, StorageMode.F16, StorageMode.BF16)
             and self.metric
             in (
@@ -217,10 +219,7 @@ class BruteForceIndex:
                 DistanceMetric.EUCLIDEAN,
             )
         ):
-            try:
-                return self._search_streaming(queries, k_eff, mask)
-            except Exception:  # Mosaic lowering/runtime issue: fall back once
-                _PALLAS_OK[0] = False
+            return self._search_streaming(queries, k_eff, mask)
         if (
             use_pallas()
             and mode is StorageMode.SQ8
@@ -267,7 +266,7 @@ class BruteForceIndex:
                 queries, self._sq8, cnorm=cn, valid=valid, k=k_eff,
                 metric=self.metric,
             )
-        if _PALLAS_OK[0] and use_pallas() and mode is StorageMode.BINARY:
+        if _BINARY_OK[0] and use_pallas() and mode is StorageMode.BINARY:
             try:
                 valid = self._valid
                 if mask is not None:
@@ -292,7 +291,7 @@ class BruteForceIndex:
                     return vals, idx
                 return dist, idx
             except Exception:
-                _PALLAS_OK[0] = False
+                _BINARY_OK[0] = False
         if mode in (StorageMode.FULL, StorageMode.F16, StorageMode.BF16):
             corpus_args = (self._full,)
         elif mode is StorageMode.SQ8:
@@ -325,18 +324,21 @@ class BruteForceIndex:
             self.n_pad,
         )
         mask_dev = None if mask is None else _pad_to(mask, self.n_pad)
-        if _bucket_safe(self.n_pad, chunk, k):
-            return bucket_topk_entry(
-                queries,
-                self._full,
-                self._bucket_pen,
-                mask_dev,
-                k=k,
-                metric=self.metric,
-                chunk=chunk,
-                interpret=False,
-                prenormalized=True,
-            )
+        if _PALLAS_OK[0] and _bucket_safe(self.n_pad, chunk, k):
+            try:
+                return bucket_topk_entry(
+                    queries,
+                    self._full,
+                    self._bucket_pen,
+                    mask_dev,
+                    k=k,
+                    metric=self.metric,
+                    chunk=chunk,
+                    interpret=False,
+                    prenormalized=True,
+                )
+            except Exception:  # Mosaic failure: disable ONLY this kernel and
+                _PALLAS_OK[0] = False  # retry via the pure-XLA streamed path
         valid = self._valid
         if mask_dev is not None:
             valid = jnp.logical_and(valid, mask_dev)

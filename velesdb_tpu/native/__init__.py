@@ -102,6 +102,10 @@ class _WalCodec:
         ids = np.ascontiguousarray(ids, np.int64)
         vecs = np.ascontiguousarray(vecs, np.float32)
         n, d = vecs.shape
+        if ids.shape != (n,):
+            raise ValueError(
+                f"frame_batch: ids shape {ids.shape} != ({n},) for {n} vectors"
+            )
         out = np.empty(n * (18 + 4 * d), np.uint8)
         written = self._lib.wal_frame_batch(ids, vecs, n, d, out)
         return out[:written].tobytes()

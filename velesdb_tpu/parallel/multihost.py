@@ -38,7 +38,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["init_distributed", "make_hybrid_mesh", "num_slices"]
+__all__ = ["init_distributed", "make_hybrid_mesh", "num_slices", "segment_for_host"]
 
 _INITIALIZED = [False]
 

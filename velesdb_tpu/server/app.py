@@ -54,6 +54,7 @@ class VelesServer:
         # concurrent single-query /search requests share device dispatches
         self.batch_window_ms = float(os.environ.get("VELESDB_BATCH_WINDOW_MS", "0"))
         self._batchers: dict[str, object] = {}
+        self._batchers_lock = threading.Lock()
         self._routes: list[tuple[str, re.Pattern, object]] = []
         r = self._route
         r("GET", r"/health", self.health)
@@ -271,11 +272,20 @@ class VelesServer:
     def _batcher(self, name, col):
         from velesdb_tpu.utils.batcher import MicroBatcher
 
+        # double-checked under a lock: concurrent first requests from
+        # ThreadingHTTPServer handler threads must not each construct (and
+        # leak) a coalescer worker for the same collection (advisor r2)
         bt = self._batchers.get(name)
         if bt is None or bt.collection is not col:
-            bt = MicroBatcher(col, window_ms=self.batch_window_ms,
-                              metrics=self.metrics)
-            self._batchers[name] = bt
+            with self._batchers_lock:
+                bt = self._batchers.get(name)
+                if bt is None or bt.collection is not col:
+                    old = bt
+                    bt = MicroBatcher(col, window_ms=self.batch_window_ms,
+                                      metrics=self.metrics)
+                    self._batchers[name] = bt
+                    if old is not None:
+                        old.stop()
         return bt
 
     def search(self, name, body, **_):
