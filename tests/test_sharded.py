@@ -110,3 +110,110 @@ def test_multihost_helpers_single_host():
     assert segs[0][0] == 0 and segs[-1][1] == 103
     for (a, b), (c, d) in zip(segs, segs[1:]):
         assert b == c
+
+
+def test_sharded_sq8_matches_single_device(rng):
+    """VERDICT r2 #2: the SQ8 shard mode must agree with the single-device
+    SQ8 engine (same quantization, same scores, same rows)."""
+    from velesdb_tpu.ops import StorageMode
+    from velesdb_tpu.ops.quantization import SQ8Vectors
+    from velesdb_tpu.ops.streamed import sq8_streamed_topk
+    from velesdb_tpu.parallel.sharded import _sq8_quantize_host
+
+    mesh = make_mesh(8, dp=2)
+    n, d, b, k = 1024, 64, 8, 10
+    metric = DistanceMetric.EUCLIDEAN
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((b, d)).astype(np.float32)
+
+    idx = ShardedBruteForce(mesh, d, metric, storage_mode=StorageMode.SQ8)
+    idx.rebuild(corpus)
+    vals, gidx = idx.search(queries, k)
+
+    import jax.numpy as jnp
+
+    codes, scale, minv = _sq8_quantize_host(corpus)
+    deq = codes.astype(np.float32) * scale[:, None] + minv[:, None]
+    cnorm = np.sum(deq * deq, axis=1).astype(np.float32)
+    sv, si = sq8_streamed_topk(
+        queries,
+        SQ8Vectors(jnp.asarray(codes), jnp.asarray(scale), jnp.asarray(minv)),
+        cnorm=jnp.asarray(cnorm),
+        k=k,
+        metric=metric,
+    )
+    assert np.array_equal(
+        np.sort(gidx, axis=1), np.sort(np.asarray(si), axis=1)
+    ), "sharded SQ8 must equal single-device SQ8"
+    np.testing.assert_allclose(
+        np.sort(vals, axis=1), np.sort(np.asarray(sv), axis=1),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_sharded_bf16_mode(rng):
+    """bf16 shard mode: half the HBM per shard, rows still exact enough to
+    match the f32 top-k on well-separated data."""
+    from velesdb_tpu.ops import StorageMode
+
+    mesh = make_mesh(8)
+    n, d, b, k = 512, 32, 4, 5
+    # well-separated clustered rows so bf16 rounding cannot swap ranks
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 10.0
+    corpus = centers[rng.integers(0, 8, n)] + rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    queries = corpus[rng.integers(0, n, b)] + 0.01 * rng.standard_normal(
+        (b, d)
+    ).astype(np.float32)
+    idx = ShardedBruteForce(mesh, d, DistanceMetric.COSINE,
+                            storage_mode=StorageMode.BF16)
+    idx.rebuild(corpus)
+    _, gidx = idx.search(queries, k)
+    ref_v, ref_i = _reference_topk(queries, corpus, k, DistanceMetric.COSINE)
+    # top-1 must match; full set may swap near-ties under bf16
+    assert np.array_equal(gidx[:, 0], ref_i[:, 0])
+
+
+def test_sharded_sq8_masked(rng):
+    from velesdb_tpu.ops import StorageMode
+
+    mesh = make_mesh(8)
+    n, d, k = 512, 32, 5
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((2, d)).astype(np.float32)
+    mask = rng.random(n) < 0.3
+    idx = ShardedBruteForce(mesh, d, DistanceMetric.COSINE,
+                            storage_mode=StorageMode.SQ8)
+    idx.rebuild(corpus)
+    _, gidx = idx.search(q, k, mask=mask)
+    assert mask[gidx[gidx >= 0]].all(), "masked-out rows must never surface"
+
+
+def test_sharded_sq8_lowers_at_north_star_scale():
+    """Capacity dryrun (VERDICT r2 #2): the SQ8 sharded program must lower
+    and compile at >=1M rows PER SHARD (8M x 768D total here; the 50M x 768D
+    north star is the same program at more scan steps — capacity math in
+    parallel/sharded.py docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from velesdb_tpu.parallel.sharded import _sharded_search_sq8
+
+    mesh = make_mesh(8)
+    n, d, b, k = 8 * 1_048_576, 768, 8, 10
+    sds = jax.ShapeDtypeStruct
+    lowered = _sharded_search_sq8.lower(
+        sds((b, d), jnp.float32),
+        sds((n, d), jnp.uint8),
+        sds((n,), jnp.float32),
+        sds((n,), jnp.float32),
+        sds((n,), jnp.float32),
+        sds((n,), bool),
+        None,
+        mesh=mesh,
+        k=k,
+        metric=DistanceMetric.COSINE,
+        chunk=65536,
+    )
+    assert lowered.compile() is not None

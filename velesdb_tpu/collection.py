@@ -103,6 +103,13 @@ class Collection:
             self.ann = GraphIndex(self.dim, self.metric)
         self.ivf = None  # IvfIndex, built on demand (planner-selected engine)
         self.index_kind = "auto"  # auto | exact | graph | ivf
+        # Quantized collections auto-engage the oversample+f32-rerank pass on
+        # plain search() (dual-precision default, ``native/dual_precision.rs``
+        # analog): SQ8 stand-alone recall ~0.94-0.95 at the flagship configs
+        # is below the quality profiles' bar; rerank lifts it to >=0.99 for a
+        # small host-side rescoring cost. Set False to serve raw quantized
+        # scores.
+        self.auto_rerank = True
         self._planner = None  # QueryPlanner (lazy)
         self.columns = ColumnStore()
         self._columns_built = False
@@ -512,6 +519,7 @@ class Collection:
         filter: dict | None = None,
         ef: int | None = None,
         quality: SearchQuality | str | None = None,
+        _raw: bool = False,
     ):
         """Batched search — the TPU-native primary path (one MXU pass for the
         whole batch; replaces the reference's rayon ``search_batch_parallel``,
@@ -520,7 +528,19 @@ class Collection:
         ``quality`` maps to ef via the reference's profiles
         (fast=64 / balanced=128 / accurate=256 / perfect=exact); explicit
         ``ef`` wins (the ``WITH (ef_search=..)`` override path).
+
+        Quantized collections (SQ8/binary) route through the dual-precision
+        rerank pass by default (:attr:`auto_rerank`); ``_raw=True`` is the
+        internal coarse-pass escape hatch.
         """
+        if (
+            not _raw
+            and self.auto_rerank
+            and self.storage_mode in (StorageMode.SQ8, StorageMode.BINARY)
+        ):
+            return self.search_batch_with_rerank(
+                queries, k, filter=filter, ef=ef, quality=quality
+            )
         self.refresh_device()
         q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         if q.shape[1] != self.dim:
@@ -643,11 +663,14 @@ class Collection:
         oversample: float = 4.0,
         filter: dict | None = None,
         ef: int | None = None,
+        quality: SearchQuality | str | None = None,
     ):
         self.refresh_device()
         q = np.atleast_2d(np.asarray(queries, np.float32))
         m = max(k, int(round(oversample * k)))
-        coarse = self.search_batch(q, m, filter=filter, ef=ef)
+        coarse = self.search_batch(
+            q, m, filter=filter, ef=ef, quality=quality, _raw=True
+        )
         # ONE vectorized hydration of every candidate (the per-id
         # ``retrieve`` loop cost ~B*m host lookups/copies per batch) and
         # host-numpy exact rescoring — zero extra device dispatches
