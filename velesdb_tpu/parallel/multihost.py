@@ -38,7 +38,14 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["init_distributed", "make_hybrid_mesh", "num_slices", "segment_for_host"]
+__all__ = [
+    "init_distributed",
+    "make_hybrid_mesh",
+    "num_slices",
+    "segment_for_host",
+    "dcn_sharded_search",
+    "make_global_rows",
+]
 
 _INITIALIZED = [False]
 
@@ -57,6 +64,15 @@ def init_distributed(
     """
     if _INITIALIZED[0]:
         return jax.process_count() > 1
+    try:  # a caller may have bootstrapped jax.distributed directly (it must
+        # run before ANY backend-initializing import) — detect and adopt it
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            _INITIALIZED[0] = True
+            return jax.process_count() > 1
+    except (ImportError, AttributeError):
+        pass
     coordinator_address = coordinator_address or os.environ.get(
         "VELESDB_COORD_ADDR"
     )
@@ -80,10 +96,14 @@ def init_distributed(
 
 
 def num_slices(devices=None) -> int:
-    """Number of DCN-connected slices (hosts/pods) among ``devices``."""
+    """Number of DCN-connected slices (hosts/pods) among ``devices``.
+
+    TPU devices carry ``slice_index``; CPU devices (the multi-process test
+    rig) don't — there the process boundary IS the DCN boundary."""
     devs = list(devices if devices is not None else jax.devices())
-    slice_ids = {getattr(d, "slice_index", 0) for d in devs}
-    return max(1, len(slice_ids))
+    slice_ids = {getattr(d, "slice_index", 0) or 0 for d in devs}
+    proc_ids = {d.process_index for d in devs}
+    return max(1, len(slice_ids), len(proc_ids))
 
 
 def make_hybrid_mesh(dp: int = 1, devices=None) -> Mesh:
@@ -101,16 +121,110 @@ def make_hybrid_mesh(dp: int = 1, devices=None) -> Mesh:
         raise ValueError(f"{n} devices not divisible by slices*dp={slices*dp}")
     rows = n // (slices * dp)
     if slices > 1:
-        from jax.experimental import mesh_utils
+        try:
+            from jax.experimental import mesh_utils
 
-        arr = mesh_utils.create_hybrid_device_mesh(
-            (1, dp, rows),
-            (slices, 1, 1),
-            devices=devs,
-        )
-        return Mesh(arr, ("dcn", "dp", "rows"))
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (1, dp, rows),
+                (slices, 1, 1),
+                devices=devs,
+            )
+            return Mesh(arr, ("dcn", "dp", "rows"))
+        except (ValueError, AttributeError):
+            # non-TPU devices (multi-process CPU rig): group by process so
+            # the outer axis crosses process/DCN boundaries, inner axes stay
+            # process-local
+            devs = sorted(devs, key=lambda d: (d.process_index, d.id))
+            arr = np.asarray(devs).reshape(slices, dp, rows)
+            return Mesh(arr, ("dcn", "dp", "rows"))
     arr = np.asarray(devs).reshape(1, dp, rows)
     return Mesh(arr, ("dcn", "dp", "rows"))
+
+
+def make_global_rows(mesh: Mesh, make_local, n: int, row_shape=(),
+                     dtype=np.float32):
+    """Build a global array row-sharded over ``(dcn, rows)`` from per-shard
+    host data. ``make_local(start, stop) -> np.ndarray`` produces the rows of
+    one shard — each process only materializes the segments it owns (there is
+    no cross-host shared memory; this is the DCN ingest path in array form).
+    ``n`` must divide evenly by ``dcn*rows`` (pad first)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(("dcn", "rows"), *([None] * len(row_shape)))
+    sharding = NamedSharding(mesh, spec)
+
+    def cb(index):
+        sl = index[0]
+        start = sl.start or 0
+        stop = sl.stop if sl.stop is not None else n
+        return np.asarray(make_local(start, stop), dtype)
+
+    return jax.make_array_from_callback((n, *row_shape), sharding, cb)
+
+
+def dcn_sharded_search(mesh: Mesh, queries, corpus, valid, cnorm, *, k: int,
+                       metric, chunk: int = 65536):
+    """Cross-host search over a ``(dcn, dp, rows)`` hybrid mesh (the §5.8
+    execution path, not just scaffolding).
+
+    ``corpus [N, D]`` row-shards over BOTH ``dcn`` (host segments) and
+    ``rows`` (intra-host ICI shards); ``queries [B, D]`` shard over ``dp``
+    and replicate across hosts (the fan-out). Each device runs the streamed
+    per-shard engine; the k-list merge all_gathers ``[B, k]`` partials over
+    ``rows`` (ICI) *and* ``dcn`` — the single cross-host collective per
+    batch, exactly the steady-state traffic budgeted in docs/SCALE_OUT.md.
+
+    Returns ``(values [B, k], global_row_indices [B, k])`` replicated.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from velesdb_tpu.ops.distance import DistanceMetric
+    from velesdb_tpu.ops.streamed import streamed_topk
+    from velesdb_tpu.ops.topk import top_k as _top_k
+
+    metric = DistanceMetric.parse(metric)
+    shards = mesh.shape["dcn"] * mesh.shape["rows"]
+    n = corpus.shape[0]
+    if n % shards:
+        raise ValueError(f"corpus rows {n} must divide by dcn*rows={shards}")
+    n_local = n // shards
+    k_eff = min(k, n_local)
+
+    import jax.numpy as jnp
+
+    def kernel(q, c, v, cn):
+        lv, li = streamed_topk(
+            q, c, valid=v, k=k_eff, metric=metric,
+            chunk=min(chunk, n_local), corpus_sqnorm=cn,
+        )
+        dcn_i = jax.lax.axis_index("dcn")
+        row_i = jax.lax.axis_index("rows")
+        shard = dcn_i * mesh.shape["rows"] + row_i
+        gi = jnp.where(li >= 0, li + shard * n_local, -1)
+        # ONE merge over ici+dcn: [S_total, B, k'] partials everywhere
+        av = jax.lax.all_gather(lv, ("dcn", "rows"))
+        ai = jax.lax.all_gather(gi, ("dcn", "rows"))
+        b = lv.shape[0]
+        av = jnp.moveaxis(av, 0, 1).reshape(b, -1)
+        ai = jnp.moveaxis(ai, 0, 1).reshape(b, -1)
+        mv, pos = _top_k(av, k, metric.higher_is_better, mask=ai >= 0)
+        return mv, jnp.take_along_axis(ai, pos, axis=-1)
+
+    fn = jax.jit(
+        jax.shard_map(
+            kernel,
+            mesh=mesh,
+            in_specs=(
+                P("dp", None),
+                P(("dcn", "rows"), None),
+                P(("dcn", "rows")),
+                P(("dcn", "rows")),
+            ),
+            out_specs=(P("dp", None), P("dp", None)),
+            check_vma=False,
+        )
+    )
+    return fn(queries, corpus, valid, cnorm)
 
 
 def segment_for_host(n_rows_total: int, host: int | None = None,
