@@ -355,6 +355,19 @@ def test_match_100k_bindings_stress(tmp_db_dir, rng):
     assert len(rows) == nl * nl
     assert dt < 30.0, f"hop join too slow: {dt:.1f}s"
 
+    # VERDICT round-2 #8: a PATH-RETURNING pattern (bound edge variable) at
+    # the same 100K-binding scale must stay within 2x of the fast path —
+    # paths ride a parent-pointer trie, not per-edge python lists
+    t0 = _t.perf_counter()
+    rows_p = c.execute_match(
+        "MATCH (a:L)-[r:FOLLOWS]->(b:R) RETURN a.i AS ai LIMIT 200000"
+    )
+    dt_p = _t.perf_counter() - t0
+    assert len(rows_p) == nl * nl
+    assert dt_p < 2.0 * max(dt, 1.0), (
+        f"path-returning join too slow: {dt_p:.1f}s vs fast path {dt:.1f}s"
+    )
+
 
 def test_match_array_join_respects_bound_tovar(social):
     """Cycle patterns re-bind an existing variable: (a)->(b)->(a)."""

@@ -186,102 +186,32 @@ def _expand(coll, stmt, bindings, *, edge_idx, from_idx, to_idx, reverse,
 
     # collect (frontier per unique source) once, then join back to bindings
     srcs = np.unique(np.asarray([b[from_var] for b in bindings], np.int64))
-    reach: dict[int, list[tuple[int, list[int]]]] = {int(s): [] for s in srcs}
 
     views = (
         [graph.edges.csr("out"), graph.edges.csr("in")]
         if direction == "both"
         else [graph.edges.csr(direction)]
     )
-    if edge_var is None:
-        # fast path: no edge variable requested -> no per-path python lists;
-        # BFS and the bindings join stay entirely in numpy (the per-row
-        # join was the scale ceiling at ~10K bindings, VERDICT round-1 #8)
-        return _expand_arrays(
-            bindings, srcs, views, edge, label_ids, from_var, to_var, cands
-        )
-    # BFS by depth, tracking (origin, current, path)
-    frontier_src = srcs.copy()
-    frontier_cur = srcs.copy()
-    paths: list[list[int]] = [[] for _ in srcs]
-    for depth in range(1, edge.max_hops + 1):
-        if frontier_cur.size == 0:
-            break
-        nxt_src_parts, nxt_cur_parts, nxt_paths = [], [], []
-        for view in views:
-            # expand UNIQUE frontier nodes, then fan results back out to
-            # every frontier position holding that node — fully vectorized
-            # (the per-row python join was the MATCH hot loop)
-            uniq, inv = np.unique(frontier_cur, return_inverse=True)
-            s, d, lab, eids = view.neighbors_of(uniq)
-            if label_ids is not None:
-                keep = np.isin(lab, list(label_ids))
-                s, d, eids = s[keep], d[keep], eids[keep]
-            if len(s) == 0:
-                continue
-            reps = np.searchsorted(uniq, s)  # s is sorted by uniq order
-            counts_u = np.bincount(reps, minlength=len(uniq))
-            starts_u = np.concatenate([[0], np.cumsum(counts_u)[:-1]])
-            cnt_fi = counts_u[inv]  # expansions per frontier position
-            total = int(cnt_fi.sum())
-            if total == 0:
-                continue
-            if total > MAX_BINDINGS:
-                raise MatchError("MATCH expansion exceeds guardrails")
-            fi_rep = np.repeat(np.arange(len(frontier_cur)), cnt_fi)
-            base = np.repeat(starts_u[inv], cnt_fi)
-            offs = np.arange(total) - np.repeat(
-                np.concatenate([[0], np.cumsum(cnt_fi)[:-1]]), cnt_fi
-            )
-            rows = base + offs
-            dsts = d[rows]
-            eid_rows = eids[rows]
-            origins = frontier_src[fi_rep]
-            new_paths = [
-                paths[fi] + [int(e)] for fi, e in zip(fi_rep, eid_rows)
-            ]
-            if depth >= edge.min_hops:
-                for o, dst, path in zip(origins, dsts, new_paths):
-                    reach[int(o)].append((int(dst), path))
-            nxt_src_parts.append(origins)
-            nxt_cur_parts.append(dsts.astype(np.int64))
-            nxt_paths.extend(new_paths)
-        if depth >= edge.max_hops or not nxt_cur_parts:
-            break
-        frontier_src = np.concatenate(nxt_src_parts)
-        frontier_cur = np.concatenate(nxt_cur_parts)
-        paths = nxt_paths
-        if len(frontier_cur) > MAX_BINDINGS:
-            raise MatchError("MATCH expansion exceeds guardrails")
-    if edge.min_hops == 0:
-        for s in srcs:
-            reach[int(s)].append((int(s), []))
-
-    out = []
-    for b in bindings:
-        for dst, path in reach.get(b[from_var], ()):  # join
-            if cands is not None and dst not in cands:
-                continue
-            if to_var in b and b[to_var] != dst:
-                continue
-            nb = dict(b)
-            nb[to_var] = dst
-            if edge_var:
-                nb[edge_var] = path
-            out.append(nb)
-            if len(out) > MAX_BINDINGS:
-                raise MatchError("MATCH bindings exceed guardrails")
-    return out
+    # BFS + join stay entirely in numpy either way (the per-row python join
+    # was the scale ceiling at ~10K bindings, VERDICT round-1 #8). With an
+    # edge variable, hop paths are tracked as a parent-pointer TRIE in
+    # parallel int arrays (VERDICT round-2 #8) — python path lists only
+    # materialize for the rows that survive the join.
+    return _expand_arrays(
+        bindings, srcs, views, edge, label_ids, from_var, to_var, cands,
+        edge_var=edge_var,
+    )
 
 
 def _expand_uniq(frontier_cur, frontier_src, view, label_ids):
     """Expand unique frontier nodes through one CSR view; returns
-    ``(origins, dsts)`` arrays (one row per traversed edge)."""
+    ``(origins, dsts, eids, frontier_index)`` arrays (one row per traversed
+    edge; ``frontier_index`` points back at the expanded frontier slot)."""
     uniq, inv = np.unique(frontier_cur, return_inverse=True)
-    s, d, lab, _eids = view.neighbors_of(uniq)
+    s, d, lab, eids = view.neighbors_of(uniq)
     if label_ids is not None:
         keep = np.isin(lab, list(label_ids))
-        s, d = s[keep], d[keep]
+        s, d, eids = s[keep], d[keep], eids[keep]
     if len(s) == 0:
         return None
     reps = np.searchsorted(uniq, s)
@@ -299,49 +229,81 @@ def _expand_uniq(frontier_cur, frontier_src, view, label_ids):
         np.concatenate([[0], np.cumsum(cnt_fi)[:-1]]), cnt_fi
     )
     rows = base + offs
-    return frontier_src[fi_rep], d[rows].astype(np.int64)
+    return (
+        frontier_src[fi_rep],
+        d[rows].astype(np.int64),
+        eids[rows].astype(np.int64),
+        fi_rep,
+    )
 
 
 def _expand_arrays(bindings, srcs, views, edge, label_ids, from_var, to_var,
-                   cands) -> list[dict]:
-    """Array-only hop expansion + join (no edge-variable/path tracking).
+                   cands, edge_var=None) -> list[dict]:
+    """Array-only hop expansion + join. With ``edge_var``, hop paths live in
+    a parent-pointer trie (per-depth ``eids``/``parent`` int arrays) and only
+    the rows surviving the join materialize python edge lists — the per-path
+    list building was the 100K-binding hot loop (VERDICT round-2 #8).
 
     Multi-path multiplicity is preserved: every traversed edge sequence
-    contributes one (origin, dst) row, exactly like the path-tracking
-    branch emits one binding per path.
+    contributes one (origin, dst) row.
     """
-    ro_parts, rd_parts = [], []  # reach: (origin, dst) rows
+    track = edge_var is not None
+    # reach rows: (origin, dst[, level, row-in-level])
+    ro_parts, rd_parts, rl_parts, ri_parts = [], [], [], []
+    # trie levels: eids_lvl[d][i] = edge taken into row i at depth d;
+    # parent_lvl[d][i] = row index at depth d-1 it extends
+    eids_lvl: list[np.ndarray] = [np.empty(0, np.int64)]
+    parent_lvl: list[np.ndarray] = [np.empty(0, np.int64)]
     frontier_src = srcs.copy()
     frontier_cur = srcs.copy()
     for depth in range(1, edge.max_hops + 1):
         if frontier_cur.size == 0:
             break
-        nxt_src, nxt_cur = [], []
+        nxt_src, nxt_cur, lvl_eids, lvl_parent = [], [], [], []
+        row_base = 0
         for view in views:
             got = _expand_uniq(frontier_cur, frontier_src, view, label_ids)
             if got is None:
                 continue
-            origins, dsts = got
+            origins, dsts, eids, fi_rep = got
             if depth >= edge.min_hops:
                 ro_parts.append(origins)
                 rd_parts.append(dsts)
+                if track:
+                    rl_parts.append(np.full(len(origins), depth, np.int64))
+                    ri_parts.append(row_base + np.arange(len(origins)))
             nxt_src.append(origins)
             nxt_cur.append(dsts)
-        if depth >= edge.max_hops or not nxt_cur:
+            if track:
+                lvl_eids.append(eids)
+                lvl_parent.append(fi_rep)
+                row_base += len(origins)
+        if not nxt_cur:
             break
         frontier_src = np.concatenate(nxt_src)
         frontier_cur = np.concatenate(nxt_cur)
+        if track:
+            eids_lvl.append(np.concatenate(lvl_eids))
+            parent_lvl.append(np.concatenate(lvl_parent))
+        if depth >= edge.max_hops:
+            break
         if len(frontier_cur) > MAX_BINDINGS:
             raise MatchError("MATCH expansion exceeds guardrails")
     if edge.min_hops == 0:
         ro_parts.append(srcs)
         rd_parts.append(srcs)
+        if track:
+            rl_parts.append(np.zeros(len(srcs), np.int64))
+            ri_parts.append(np.arange(len(srcs)))
     if not ro_parts:
         return []
     r_origin = np.concatenate(ro_parts)
     r_dst = np.concatenate(rd_parts)
     order = np.argsort(r_origin, kind="stable")
     r_origin, r_dst = r_origin[order], r_dst[order]
+    if track:
+        r_level = np.concatenate(rl_parts)[order]
+        r_idx = np.concatenate(ri_parts)[order]
 
     # join every binding to its source's reach rows — pure numpy
     b_src = np.fromiter(
@@ -358,7 +320,8 @@ def _expand_arrays(bindings, srcs, views, edge, label_ids, from_var, to_var,
     offs = np.arange(total) - np.repeat(
         np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt
     )
-    dst_out = r_dst[base + offs]
+    rows = base + offs
+    dst_out = r_dst[rows]
 
     keep = np.ones(total, bool)
     if cands is not None:
@@ -369,15 +332,44 @@ def _expand_arrays(bindings, srcs, views, edge, label_ids, from_var, to_var,
             (b.get(to_var, -1) for b in bindings), np.int64, len(bindings)
         )[brep]
         keep &= (bound < 0) | (bound == dst_out)
-    dst_out, brep = dst_out[keep], brep[keep]
+    dst_out, brep, rows = dst_out[keep], brep[keep], rows[keep]
     if len(brep) > MAX_BINDINGS:
         raise MatchError("MATCH bindings exceed guardrails")
+    paths = (
+        _materialize_paths(eids_lvl, parent_lvl, r_level[rows], r_idx[rows])
+        if track
+        else None
+    )
     out = []
-    for bi, dst in zip(brep.tolist(), dst_out.tolist()):
+    for j, (bi, dst) in enumerate(zip(brep.tolist(), dst_out.tolist())):
         nb = dict(bindings[bi])
         nb[to_var] = dst
+        if track:
+            nb[edge_var] = paths[j]
         out.append(nb)
     return out
+
+
+def _materialize_paths(eids_lvl, parent_lvl, level_arr, idx_arr):
+    """Python edge-id lists for the surviving join rows only: per depth
+    class, backtrack parent pointers with numpy gathers (``d`` gathers for
+    depth-``d`` rows), then one ``.tolist()``."""
+    paths: list[list[int] | None] = [None] * len(level_arr)
+    for d in np.unique(level_arr):
+        sel = np.flatnonzero(level_arr == d)
+        if d == 0:
+            for slot in sel:
+                paths[slot] = []
+            continue
+        cur = idx_arr[sel]
+        cols = []
+        for dd in range(int(d), 0, -1):
+            cols.append(eids_lvl[dd][cur])
+            cur = parent_lvl[dd][cur]
+        mat = np.stack(cols[::-1], axis=1)  # [n_d, d] edge ids, hop order
+        for slot, p in zip(sel, mat.tolist()):
+            paths[slot] = p
+    return paths
 
 
 def _apply_where(coll, stmt, bindings, params) -> list[dict]:
