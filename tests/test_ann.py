@@ -144,3 +144,30 @@ def test_chunked_exclude_self(rng):
     _, idx = brute_force_topk(corpus, corpus, 3, DistanceMetric.EUCLIDEAN, exclude_self=True)
     for i in range(500):
         assert i not in idx[i]
+
+
+@pytest.mark.parametrize("metric", [DistanceMetric.COSINE, DistanceMetric.EUCLIDEAN])
+def test_quantized_traversal_matches_f32(corpus_and_truth, metric):
+    """Dual-precision beam (VERDICT r2 #4): SQ8 gathers + f32 final rerank
+    must hold the same recall bar as the f32 beam."""
+    corpus, queries, valid, truth = corpus_and_truth
+    gi = GraphIndex(
+        64, metric,
+        GraphParams(degree=32, knn_k=16, quantized_traversal=True),
+    )
+    gi.build(corpus, valid)
+    assert gi._sq8trav is not None
+    vals, idx = gi.search(queries, 10, quality=SearchQuality.BALANCED)
+    r = recall_at_k(np.asarray(idx), truth[metric], 10)
+    assert r >= 0.95, f"quantized-traversal recall {r:.3f}"
+    # and the returned scores are f32-exact (rerank pass), not quantized:
+    # rescore the top hit exactly and compare
+    top = np.asarray(idx)[:, 0]
+    q = queries
+    if metric is DistanceMetric.EUCLIDEAN:
+        exact = np.linalg.norm(corpus[top] - q, axis=1)
+    else:
+        num = np.sum(corpus[top] * q, axis=1)
+        den = np.linalg.norm(corpus[top], axis=1) * np.linalg.norm(q, axis=1)
+        exact = 1.0 - (1.0 - num / den)  # cosine similarity
+    np.testing.assert_allclose(np.asarray(vals)[:, 0], exact, rtol=2e-3, atol=2e-3)

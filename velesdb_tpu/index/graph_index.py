@@ -69,6 +69,7 @@ class GraphIndex:
         self._sqnorm = None  # [N_pad] f32 squared norms (euclidean/cosine)
         self._valid = None  # [N_pad] bool
         self._seed_ids = None  # [S] int32 routing sample
+        self._sq8trav = None  # SQ8Vectors shadow (quantized traversal)
         self._dirty = True
 
     # ------------------------------------------------------------------
@@ -170,6 +171,13 @@ class GraphIndex:
         self._adj = jax.device_put(jnp.asarray(adj_p))
         self._valid = jax.device_put(jnp.asarray(valid_p))
         self._sqnorm = jnp.sum(self._corpus * self._corpus, axis=-1)
+        # dual-precision shadow copy: SQ8 codes for beam gathers (1/4 HBM
+        # bytes per step); the f32 corpus is retained for the final rerank
+        self._sq8trav = None
+        if self.params.quantized_traversal:
+            from velesdb_tpu.ops.quantization import sq8_quantize
+
+            self._sq8trav = jax.device_put(sq8_quantize(self._corpus))
         # routing sample: strided over valid rows, padded by repetition
         s = min(self.params.seed_sample, max(1, n))
         valid_rows = np.flatnonzero(valid_p[:n])
@@ -214,14 +222,16 @@ class GraphIndex:
         b = q.shape[0]
         b_pad = _pad_pow2(b)
         qp = jnp.asarray(np.pad(q, ((0, b_pad - b), (0, 0))))
+        quant = getattr(self, "_sq8trav", None)
         vals, idx = _beam_search(
             qp,
-            self._corpus,
+            quant if quant is not None else self._corpus,
             self._adj,
             self._sqnorm,
             self._valid,
             self._seed_ids,
             mask,
+            self._corpus if quant is not None else None,
             k=min(k, beam),
             beam=beam,
             expansions=expansions,
@@ -268,6 +278,8 @@ class GraphIndex:
             knn_k=int(data["knn_k"]),
             alpha=float(data["alpha"]),
             entry_points=int(data["entry_points"]),
+            # runtime knob, not a graph property: keep the caller's setting
+            quantized_traversal=self.params.quantized_traversal,
         )
         self.n = corpus.shape[0]
         self._upload(corpus, valid, data["adj"])
@@ -383,12 +395,13 @@ def _assemble_adjacency(fwd: np.ndarray, n: int, degree: int) -> np.ndarray:
 
 def beam_search_impl(
     queries,  # [B, D] f32
-    corpus,  # [N_pad, D] f32
+    corpus,  # [N_pad, D] f32 — or SQ8Vectors (quantized traversal)
     adj,  # [N_pad, degree] int32
     sqnorm,  # [N_pad] f32
     valid,  # [N_pad] bool
     seed_ids,  # [S] int32 routing sample
     mask,  # [N_pad] bool or None — result filter
+    rerank_corpus=None,  # [N_pad, D] f32 — f32-rescore the final pool
     *,
     k: int,
     beam: int,
@@ -404,8 +417,17 @@ def beam_search_impl(
     MXU matmul) pick per-query entry points (upper-layer descent analog).
     Stage 2 — beam: iterative expand/gather/score/merge at fixed shapes.
 
+    Dual precision (``native/dual_precision.rs:33`` analog): with ``corpus``
+    an :class:`SQ8Vectors`, every beam gather reads uint8 codes (1/4 the HBM
+    bytes — the gather is the per-step cost) and scores via the rank-1 affine
+    identity; ``rerank_corpus`` then rescores the final beam pool in f32
+    before selection, recovering the quantization loss.
+
     Internal distances are lower-is-better: L2^2, ``1-cos``, ``-dot``.
     """
+    from velesdb_tpu.ops.quantization import SQ8Vectors
+
+    quant = isinstance(corpus, SQ8Vectors)
     b, d = queries.shape
     if metric is DistanceMetric.COSINE:
         qn = queries / jnp.maximum(
@@ -413,13 +435,27 @@ def beam_search_impl(
         )
     else:
         qn = queries
+    if quant:
+        qsum = jnp.sum(qn, axis=-1, keepdims=True)  # [B, 1]
+        qb = qn.astype(jnp.bfloat16)
+
+    def gathered_dots(node_ids):
+        """``q . deq(c)`` for each query's own gathered nodes [B, M]."""
+        safe = jnp.maximum(node_ids, 0)
+        if quant:
+            cvecs = corpus.codes[safe].astype(jnp.bfloat16)  # ints <=255 exact
+            cd = jnp.einsum(
+                "bd,bmd->bm", qb, cvecs, preferred_element_type=jnp.float32
+            )
+            return cd * corpus.scale[safe] + qsum * corpus.minv[safe]
+        vecs = corpus[safe]  # [B, M, D]
+        return jnp.einsum(
+            "bd,bmd->bm", qn, vecs, preferred_element_type=jnp.float32
+        )
 
     def q_dist(node_ids):
         """Distances from each query to its own gathered nodes [B, M]."""
-        vecs = corpus[jnp.maximum(node_ids, 0)]  # [B, M, D]
-        dots = jnp.einsum(
-            "bd,bmd->bm", qn, vecs, preferred_element_type=jnp.float32
-        )
+        dots = gathered_dots(node_ids)
         if metric is DistanceMetric.EUCLIDEAN:
             qq = jnp.sum(qn * qn, axis=-1, keepdims=True)
             return qq + sqnorm[jnp.maximum(node_ids, 0)] - 2.0 * dots
@@ -429,7 +465,14 @@ def beam_search_impl(
         return -dots
 
     # ---- stage 1: dense seed scan -> per-query entry points ----
-    seed_vecs = corpus[seed_ids]  # [S, D]
+    if quant:
+        seed_vecs = (
+            corpus.codes[seed_ids].astype(jnp.float32)
+            * corpus.scale[seed_ids][:, None]
+            + corpus.minv[seed_ids][:, None]
+        )  # [S, D] dequantized (seed sample is small)
+    else:
+        seed_vecs = corpus[seed_ids]  # [S, D]
     seed_dots = jax.lax.dot_general(
         qn, seed_vecs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [B, S]
@@ -512,6 +555,25 @@ def beam_search_impl(
 
     steps = max(2, -(-expansions // ew))
     ids, dist, _ = jax.lax.fori_loop(0, steps, body, (ids0, d0, vis0))
+
+    # ---- f32 rerank of the final pool (dual-precision second pass) ----
+    if rerank_corpus is not None:
+        rvecs = rerank_corpus[jnp.maximum(ids, 0)]  # [B, beam, D]
+        rdots = jnp.einsum(
+            "bd,bmd->bm", qn, rvecs, preferred_element_type=jnp.float32
+        )
+        if metric is DistanceMetric.EUCLIDEAN:
+            qq = jnp.sum(qn * qn, axis=-1, keepdims=True)
+            rsq = jnp.sum(rvecs * rvecs, axis=-1)
+            exact = qq + rsq - 2.0 * rdots
+        elif metric is DistanceMetric.COSINE:
+            rn = jnp.sqrt(
+                jnp.maximum(jnp.sum(rvecs * rvecs, axis=-1), 1e-30)
+            )
+            exact = 1.0 - rdots / rn
+        else:
+            exact = -rdots
+        dist = jnp.where(jnp.isinf(dist) | (ids < 0), dist, exact)
 
     # ---- final selection (apply result filter here) ----
     if mask is not None:

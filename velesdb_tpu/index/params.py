@@ -51,6 +51,9 @@ class GraphParams:
     alpha: float = 1.2  # VAMANA-style diversification factor (prune pass)
     entry_points: int = 16  # per-query beam seeds taken from the seed scan
     seed_sample: int = 2048  # routing-set size for the dense seed scan
+    quantized_traversal: bool = False  # dual-precision beam: score gathers
+    # against an SQ8 shadow copy (1/4 the gather bytes), f32-rerank the
+    # final pool (``native/dual_precision.rs:33`` analog)
     build_nprobe: int = 8  # partitions probed per row in the approx-kNN build
     build_passes: int = 1  # decorrelated IVF clusterings unioned in the build
     refine_rounds: int = 0  # NN-descent rounds on the approx kNN. Lifts
