@@ -32,6 +32,17 @@ class SearchQuality(str, enum.Enum):
             SearchQuality.PERFECT: 2048,
         }[self]
 
+    @property
+    def min_recall(self) -> float:
+        """Recall bar the profile promises — ANN engines measuring below it
+        (post-build calibration probe) are demoted to exact."""
+        return {
+            SearchQuality.FAST: 0.88,
+            SearchQuality.BALANCED: 0.95,
+            SearchQuality.ACCURATE: 0.97,
+            SearchQuality.PERFECT: 1.0,
+        }[self]
+
     @classmethod
     def parse(cls, v) -> "SearchQuality":
         return v if isinstance(v, cls) else cls(str(v).strip().lower())
