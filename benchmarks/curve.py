@@ -3,15 +3,22 @@
 Counterpart of the reference's `benchmarks/benchmark_recall.py` + criterion
 recall suites: for each engine (exact-bucket / exact-streamed / SQ8 / IVF
 nprobe sweep / graph ef sweep) measure recall@10 vs device-side QPS and
-write ``BENCH_curve.json`` at the repo root (VERDICT round-1 #6 artifact).
+write ``BENCH_curve.json`` at the repo root.
 
-Measurement protocol (CLAUDE.md): every timed sample is one dispatch of a
-jitted ``lax.scan`` over 32 UNIQUE query batches with a forced readback —
-the tunnel round trip amortizes to <10% and repeated-input shortcuts cannot
-fire. min of 3 samples. Device arrays pass as jit ARGUMENTS (closure
-capture embeds them in the remote-compile payload -> HTTP 413).
+Measurement protocol v2 (CLAUDE.md + VERDICT r2 #9): every timed sample is
+one dispatch of a jitted ``lax.scan`` over 64 UNIQUE query batches with a
+forced readback — the tunnel round trip amortizes to <10% and
+repeated-input shortcuts cannot fire. >=3 samples; each point records
+``qps`` (min time) AND ``qps_med`` (median) so the artifact carries its own
+weather spread. Device arrays pass as jit ARGUMENTS (closure capture embeds
+them in the remote-compile payload -> HTTP 413).
 
-Run: python benchmarks/curve.py                     (real TPU; ~10 min)
+Small-batch serving points (VERDICT r2 #1/#7): the flagship engines are
+also measured at ``batch=16`` (scan protocol) and ``batch=1`` per-call
+latency p50/p99 — host-observed through the tunnel, so the artifact also
+records the device-side scan floor at batch=1.
+
+Run: python benchmarks/curve.py                     (real TPU; ~15 min)
      CURVE_CONFIG=sift python benchmarks/curve.py   (1M x 128D L2 only)
      CURVE_CONFIG=cos  python benchmarks/curve.py   (100K x 768D cos only)
 """
@@ -28,13 +35,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-ITERS = 32
+ITERS = 64
 K = 10
+SAMPLES = int(os.environ.get("CURVE_SAMPLES", 3))
 
 
-def scan_qps(fn, arrays, queries, batch, d):
-    """Device-side QPS of ``fn(q, *arrays)``: one jitted scan over ITERS
-    unique batches; big operands ride as jit arguments."""
+def scan_stats(fn, arrays, queries, batch, d):
+    """Device-side timing of ``fn(q, *ops)``: one jitted scan over ITERS
+    unique batches; big operands ride as jit arguments. Returns
+    ``(qps_min, qps_med)``."""
     import jax
     import jax.numpy as jnp
 
@@ -55,13 +64,34 @@ def scan_qps(fn, arrays, queries, batch, d):
 
     jax.block_until_ready(run_many(qs, *arrays))
     samples = []
-    for s in range(3):
+    for s in range(SAMPLES):
         qs_s = jax.block_until_ready(jnp.roll(qs, 1 + 7 * s, axis=0))
         t0 = time.perf_counter()
         outs = run_many(qs_s, *arrays)
         np.asarray(outs[0])
         samples.append(time.perf_counter() - t0)
-    return ITERS * batch / float(np.min(samples))
+    n = ITERS * batch
+    return n / float(np.min(samples)), n / float(np.median(samples))
+
+
+def latency_probe(fn, arrays, queries, d, calls=40):
+    """Per-call batch=1 latency, host-observed THROUGH the tunnel (each call
+    is one dispatch + readback — the reference's p50 table analog,
+    docs/BENCHMARKS.md:58). Returns (p50_ms, p99_ms)."""
+    import jax
+    import jax.numpy as jnp
+
+    q0 = jnp.asarray(queries[:1])
+    jax.block_until_ready(fn(q0, *arrays)[0])  # compile at batch 1
+    times = []
+    for i in range(calls):
+        q = jnp.asarray(queries[i % len(queries)][None, :] + np.float32(1e-4 * i))
+        jax.block_until_ready(q)
+        t0 = time.perf_counter()
+        _, idx = fn(q, *arrays)
+        np.asarray(idx[0, 0])
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.percentile(times, 50)), float(np.percentile(times, 99))
 
 
 def run_config(name, n, d, metric_name, batch=256):
@@ -119,16 +149,25 @@ def run_config(name, n, d, metric_name, batch=256):
 
     points = []
 
-    def measure(engine, knob, fn, arrays):
+    def measure(engine, knob, fn, arrays, batches=(batch,), latency=False):
         _, idx = fn(gt_q, *arrays)
         idx = np.asarray(idx)
         r = float(
             np.mean([len(set(idx[i]) & set(gt[i])) / K for i in range(batch)])
         )
-        q = scan_qps(fn, arrays, queries, batch, d)
-        pt = {"engine": engine, "knob": knob, "recall": round(r, 4), "qps": round(q)}
-        points.append(pt)
-        print(name, pt, flush=True)
+        for b in batches:
+            q_min, q_med = scan_stats(fn, arrays, queries, b, d)
+            pt = {
+                "engine": engine, "knob": knob, "batch": b,
+                "recall": round(r, 4), "qps": round(q_min),
+                "qps_med": round(q_med),
+            }
+            if latency and b == min(batches):
+                p50, p99 = latency_probe(fn, arrays, queries, d)
+                pt["b1_p50_ms"] = round(p50, 2)
+                pt["b1_p99_ms"] = round(p99, 2)
+            points.append(pt)
+            print(name, pt, flush=True)
 
     interp = not use_pallas()
     chunk = min(bucket_chunk_for(batch, ((d + 127) // 128) * 128), n_pad)
@@ -139,6 +178,8 @@ def run_config(name, n, d, metric_name, batch=256):
             interpret=interp, prenormalized=True,
         ),
         (norm_dev, pen),
+        batches=(batch, 16),
+        latency=True,
     )
     measure(
         "exact-streamed", "chunk=65536",
@@ -147,6 +188,8 @@ def run_config(name, n, d, metric_name, batch=256):
             approx=True, recall_target=0.95,
         ),
         (norm_dev, valid, sqn),
+        batches=(batch, 16),
+        latency=True,
     )
 
     sq8 = sq8_quantize(norm_dev)
@@ -173,6 +216,8 @@ def run_config(name, n, d, metric_name, batch=256):
             interpret=interp,
         ),
         (words, s2.astype(jnp.float32), m2.astype(jnp.float32), sq8_pen),
+        batches=(batch, 16),
+        latency=True,
     )
 
     ivf = IvfIndex(d, metric)
@@ -182,7 +227,8 @@ def run_config(name, n, d, metric_name, batch=256):
     _ivf = functools.partial(
         _jax.jit, static_argnames=("k", "nprobe", "metric")
     )(ivf_search_impl)
-    for nprobe in (4, 8, 16, 32):
+    nprobes = (4, 8, 16, 32, 64, 128) if n >= 500_000 else (4, 8, 16, 32)
+    for nprobe in nprobes:
         measure(
             "ivf", f"nprobe={nprobe}",
             functools.partial(
@@ -193,6 +239,8 @@ def run_config(name, n, d, metric_name, batch=256):
             ),
             (ivf._centroids, ivf._cent_sq, ivf._parts, ivf._part_rows,
              ivf._part_sq),
+            batches=(batch, 16) if nprobe in (32, 64) else (batch,),
+            latency=(nprobe == 64),
         )
 
     gi = GraphIndex(d, metric, GraphParams.auto(d, n))
@@ -209,7 +257,7 @@ def run_config(name, n, d, metric_name, batch=256):
             "graph", f"ef={ef}",
             functools.partial(
                 lambda q, corp, adj, sn, vd, seeds, _b, _e: _beam(
-                    q, corp, adj, sn, vd, seeds, None, k=K, beam=_b,
+                    q, corp, adj, sn, vd, seeds, None, None, k=K, beam=_b,
                     expansions=_e, degree=adj.shape[1],
                     entry_points=min(gi.params.entry_points, _b),
                     metric=metric,
@@ -217,22 +265,51 @@ def run_config(name, n, d, metric_name, batch=256):
                 _b=beam, _e=expansions,
             ),
             (gi._corpus, gi._adj, gi._sqnorm, gi._valid, gi._seed_ids),
+            batches=(batch, 16) if ef == 128 else (batch,),
+            latency=(ef == 128),
+        )
+
+    # dual-precision beam: SQ8 gathers + f32 final rerank (round-3)
+    from velesdb_tpu.ops.quantization import SQ8Vectors
+
+    sqt = sq8_quantize(gi._corpus)
+    for ef in (128,):
+        beam, expansions = gi.params.beam_for_ef(ef, K)
+        measure(
+            "graph-sq8", f"ef={ef}",
+            functools.partial(
+                lambda q, cd, sc, mn, corp, adj, sn, vd, seeds, _b, _e: _beam(
+                    q, SQ8Vectors(cd, sc, mn), adj, sn, vd, seeds, None, corp,
+                    k=K, beam=_b, expansions=_e, degree=adj.shape[1],
+                    entry_points=min(gi.params.entry_points, _b),
+                    metric=metric,
+                ),
+                _b=beam, _e=expansions,
+            ),
+            (sqt.codes, sqt.scale, sqt.minv, gi._corpus, gi._adj, gi._sqnorm,
+             gi._valid, gi._seed_ids),
+            batches=(batch, 16),
+            latency=True,
         )
 
     return {"config": name, "n": n, "d": d, "metric": metric.value,
-            "batch": batch, "k": K, "points": points}
+            "batch": batch, "k": K, "iters_per_dispatch": ITERS,
+            "samples": SAMPLES, "points": points}
 
 
 def main():
     which = os.environ.get("CURVE_CONFIG", "both")
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "BENCH_curve.json")
-    out = {"protocol": "scan-batched device-side, 32 unique batches/dispatch, "
-                       "min of 3 samples, forced readback", "configs": []}
+    out = {"protocol": "scan-batched device-side, 64 unique batches/dispatch, "
+                       "min+median of >=3 samples, forced readback; b1_p50/p99 "
+                       "are per-call host-observed through the tunnel",
+           "configs": []}
     if os.path.exists(path):  # merge: single-config runs update in place
         try:
             with open(path) as f:
-                out = json.load(f)
+                prev = json.load(f)
+            out["configs"] = prev.get("configs", [])
         except ValueError:
             pass
     fresh = []
