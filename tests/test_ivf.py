@@ -86,3 +86,61 @@ def test_ivf_save_load(tmp_path, rng):
     v2, r2 = idx2.search(corpus[:4], 5, nprobe=8)
     assert np.array_equal(np.asarray(r1), np.asarray(r2))
     assert not idx2.load(path, corpus, np.ones(n, bool), version=4)  # stale
+
+
+def test_spill_assignment_lifts_recall_per_probe(rng):
+    """spill=2 (rows duplicated into their top-2 partitions) must dominate
+    spill=1 recall at equal nprobe, with no duplicate rows in results."""
+    from velesdb_tpu.index.ivf import IvfIndex
+    from velesdb_tpu.ops import DistanceMetric
+    from velesdb_tpu.ops.chunked import brute_force_topk
+
+    n, d, k = 20_000, 32, 10
+    centers = rng.standard_normal((16, d)).astype(np.float32) * 2.0
+    corpus = centers[rng.integers(0, 16, n)] + rng.standard_normal(
+        (n, d)
+    ).astype(np.float32) * 0.7
+    queries = centers[rng.integers(0, 16, 64)] + rng.standard_normal(
+        (64, d)
+    ).astype(np.float32) * 0.7
+    _, gt = brute_force_topk(queries, corpus, k, DistanceMetric.EUCLIDEAN)
+    gt = np.asarray(gt)
+
+    def recall(ivf, nprobe):
+        _, idx = ivf.search(queries, k, nprobe=nprobe)
+        idx = np.asarray(idx)
+        # no duplicate ids within a row
+        for row in idx:
+            live = row[row >= 0]
+            assert len(set(live.tolist())) == len(live)
+        return np.mean(
+            [len(set(idx[i]) & set(gt[i])) / k for i in range(len(gt))]
+        )
+
+    i1 = IvfIndex(d, DistanceMetric.EUCLIDEAN)
+    i1.build(corpus)
+    i2 = IvfIndex(d, DistanceMetric.EUCLIDEAN, spill=2)
+    i2.build(corpus)
+    r1 = recall(i1, 4)
+    r2 = recall(i2, 4)
+    assert r2 >= r1, (r1, r2)
+    assert r2 >= min(0.9, r1 + 0.02) or r1 > 0.97, (r1, r2)
+
+
+def test_spill_save_load_roundtrip(tmp_path, rng):
+    from velesdb_tpu.index.ivf import IvfIndex
+    from velesdb_tpu.ops import DistanceMetric
+
+    n, d = 2000, 16
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    ivf = IvfIndex(d, DistanceMetric.COSINE, spill=2)
+    ivf.build(corpus)
+    p = str(tmp_path / "ivf.npz")
+    ivf.save(p, version=3)
+    ivf2 = IvfIndex(d, DistanceMetric.COSINE)
+    assert ivf2.load(p, corpus, np.ones(n, bool), version=3)
+    assert ivf2.spill == 2
+    q = corpus[:4] + 0.001
+    _, i1 = ivf.search(q, 5, nprobe=8)
+    _, i2 = ivf2.search(q, 5, nprobe=8)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))

@@ -665,7 +665,12 @@ class Collection:
         from velesdb_tpu.index.ivf import IvfIndex
 
         if self.ivf is None:
-            self.ivf = IvfIndex(self.dim, self.metric)
+            # spill=2 when the doubled partition memory fits comfortably in
+            # one chip's HBM (<4GB): half the sequential probe steps at
+            # equal rows read, much higher recall per probe
+            used = max(self.vectors.used_slots, 1)
+            spill = 2 if used * self.dim * 4 * 2 < 4 << 30 else 1
+            self.ivf = IvfIndex(self.dim, self.metric, spill=spill)
         if self.ivf.dirty:
             used = self.vectors.used_slots
             slots = np.array(self.vectors.slot_view()[:used])

@@ -129,6 +129,32 @@ def kmeans(
     return cents, assign[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("s", "chunk"))
+def _assign_topk_chunked(xc, cents, *, s, chunk):
+    cc = jnp.sum(cents * cents, axis=1)
+
+    def body(_, blk):
+        d = blk @ cents.T - 0.5 * cc[None, :]
+        _, i = jax.lax.top_k(d, s)
+        return None, i
+
+    _, idx = jax.lax.scan(body, None, xc)
+    return idx.reshape(-1, s)
+
+
+def _assign_topk(x, cents, *, s):
+    """Top-``s`` nearest centroids per row (spill assignment)."""
+    n, d = x.shape
+    chunk = min(_KM_CHUNK, _round_up(n, 8))
+    n_pad = _round_up(n, chunk)
+    if n_pad != n:
+        x = jnp.concatenate([x, jnp.broadcast_to(x[0], (n_pad - n, d))])
+    out = _assign_topk_chunked(
+        x.reshape(-1, chunk, d), cents, s=s, chunk=chunk
+    )
+    return out[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _assign_full(xc, cents, *, k):
     cc = jnp.sum(cents * cents, axis=1)
@@ -182,6 +208,7 @@ class IvfIndex:
         n_clusters: int | None = None,
         kmeans_iters: int = 8,
         kmeans_seed: int = 0,
+        spill: int = 1,
     ):
         self.dim = dim
         self.metric = DistanceMetric.parse(metric)
@@ -194,6 +221,11 @@ class IvfIndex:
         self.n_clusters = n_clusters
         self.kmeans_iters = kmeans_iters
         self.kmeans_seed = kmeans_seed
+        # spill assignment: each row lands in its ``spill`` nearest
+        # partitions (2 = double memory, much higher recall per probe —
+        # kmeans cell boundaries cutting true neighborhoods are THE recall
+        # limiter on this probing scheme). Search dedups duplicates.
+        self.spill = max(1, int(spill))
         self.n = 0
         self.c = 0
         self.part_len = 0
@@ -233,6 +265,14 @@ class IvfIndex:
         else:
             km_input = live_dev
         cents, assign = kmeans(km_input, c, iters=self.kmeans_iters, seed=self.kmeans_seed)
+        if self.spill > 1:
+            # duplicate each row into its top-``spill`` clusters: one more
+            # assignment matmul, 2x partition memory, recall/probe jumps
+            s = min(self.spill, c)
+            top = _assign_topk(km_input, cents, s=s)  # [n_live, s]
+            live_dev = jnp.tile(live_dev, (s, 1))
+            rows = np.tile(rows, s)
+            assign = jnp.concatenate([top[:, j] for j in range(s)])
 
         # group rows by cluster into uniform padded partitions, ENTIRELY ON
         # DEVICE (the [n_parts, L, D] tensor never exists on the host — at
@@ -293,6 +333,13 @@ class IvfIndex:
             m = np.asarray(mask, bool)
             m = np.pad(m, (0, max(0, self.n - m.shape[0])))
             mask_dev = jnp.asarray(m)
+        # spilled rows can surface from two probed partitions: over-fetch a
+        # little, dedup (duplicates carry bit-identical scores), re-trim
+        # worst case every top-k row surfaces from ``spill`` partitions
+        k_fetch = min(
+            self.spill * k + 8 if self.spill > 1 else k,
+            nprobe * self.part_len,
+        )
         vals, idx = _ivf_search(
             qd,
             self._centroids,
@@ -301,10 +348,26 @@ class IvfIndex:
             self._part_rows,
             self._part_sq,
             mask_dev,
-            k=min(k, nprobe * self.part_len),
+            k=k_fetch,
             nprobe=nprobe,
             metric=self.metric,
         )
+        if self.spill > 1:
+            v = np.asarray(vals)[:b]
+            i = np.asarray(idx)[:b]
+            eq = (i[:, :, None] == i[:, None, :]) & (i[:, :, None] >= 0)
+            dup = np.tril(eq, -1).any(axis=2)
+            worst = -np.inf if self.metric.higher_is_better else np.inf
+            v = np.where(dup, worst, v)
+            i = np.where(dup, -1, i)
+            order = np.argsort(
+                -v if self.metric.higher_is_better else v, axis=1,
+                kind="stable",
+            )[:, :k]
+            return (
+                np.take_along_axis(v, order, axis=1),
+                np.take_along_axis(i, order, axis=1),
+            )
         return vals[:b], idx[:b]
 
     # -- persistence -------------------------------------------------------------
@@ -319,6 +382,7 @@ class IvfIndex:
             n=self.n,
             metric=self.metric.value,
             version=version,
+            spill=self.spill,
         )
 
     def load(self, path: str, corpus: np.ndarray, valid: np.ndarray,
@@ -336,6 +400,7 @@ class IvfIndex:
         c, L = part_rows.shape
         self.c, self.part_len = c, L
         self.n = corpus.shape[0]
+        self.spill = int(data["spill"]) if "spill" in data else 1
         parts = np.zeros((c, L, self.dim), np.float32)
         ok = part_rows >= 0
         parts[ok] = corpus[part_rows[ok]]
