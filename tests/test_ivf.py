@@ -144,3 +144,22 @@ def test_spill_save_load_roundtrip(tmp_path, rng):
     _, i1 = ivf.search(q, 5, nprobe=8)
     _, i2 = ivf2.search(q, 5, nprobe=8)
     assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_nprobe_for_coverage_calibration():
+    """nprobe maps ef to ~coverage: balanced (ef=128) ~3.5% of rows at any
+    scale (the measured 0.95-recall operating point, r3)."""
+    from velesdb_tpu.index.ivf import IvfIndex
+    from velesdb_tpu.ops import DistanceMetric
+
+    ivf = IvfIndex(32, DistanceMetric.EUCLIDEAN)
+    ivf.n, ivf.part_len, ivf.c = 1_000_000, 520, 5800
+    np64 = ivf.nprobe_for(128)
+    assert 55 <= np64 <= 75, np64  # ~64 probes = 3.3% coverage
+    assert ivf.nprobe_for(256) > np64 > ivf.nprobe_for(64)
+    ivf.n, ivf.part_len, ivf.c = 100_000, 512, 586
+    np_small = ivf.nprobe_for(128)
+    assert 5 <= np_small <= 9, np_small  # ~7 probes = 3.5%
+    # spill halves the probes needed for the same coverage
+    ivf.spill = 2
+    assert ivf.nprobe_for(128) <= -(-np_small // 2) + 1

@@ -665,11 +665,13 @@ class Collection:
         from velesdb_tpu.index.ivf import IvfIndex
 
         if self.ivf is None:
-            # spill=2 when the doubled partition memory fits comfortably in
-            # one chip's HBM (<4GB): half the sequential probe steps at
-            # equal rows read, much higher recall per probe
+            # Measured (r3): spill=2 dominates the recall/QPS frontier at
+            # ~100-200K rows (recall@nprobe=8 0.85 -> 0.97) but washes out
+            # by 1M (spill=1 + more probes wins per byte AND per second) —
+            # and it doubles partition memory. Use it only in the regime
+            # where it measured ahead.
             used = max(self.vectors.used_slots, 1)
-            spill = 2 if used * self.dim * 4 * 2 < 4 << 30 else 1
+            spill = 2 if used <= 512_000 else 1
             self.ivf = IvfIndex(self.dim, self.metric, spill=spill)
         if self.ivf.dirty:
             used = self.vectors.used_slots

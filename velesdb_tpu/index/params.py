@@ -85,10 +85,13 @@ class GraphParams:
         nprobe = 8
         if n >= 1_000_000:
             degree, knn_k = 64, 32
-            # approx-kNN quality is the 1M-scale recall limiter: nprobe 8
-            # gave graph recall 0.78 @ef=128, 16 gives 0.84 (measured
-            # 1M x 128D); build cost scales ~linearly with nprobe x passes
-            nprobe = 16
+            # approx-kNN quality is the 1M-scale recall limiter: measured
+            # true-10NN containment in the adjacency (1M x 128D, r3) is
+            # 0.73 at build nprobe=16 vs 0.95 at nprobe=32 (beam recall
+            # 0.887 -> 0.90 @ef=128, 0.936 -> 0.94 @ef=256; the residual
+            # gap is beam navigation, not the build). Build cost scales
+            # ~linearly with nprobe x passes.
+            nprobe = 32
         elif n >= 100_000:
             degree, knn_k = 48, 24
         else:
