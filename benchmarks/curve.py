@@ -251,20 +251,26 @@ def run_config(name, n, d, metric_name, batch=256):
             "k", "beam", "expansions", "degree", "entry_points", "metric"
         ),
     )(beam_search_impl)
+    has_router = gi._route_cents is not None
+    router_args = (
+        (gi._route_cents, gi._route_csq, gi._route_rows) if has_router else ()
+    )
+
+    def beam_fn(q, corp, adj, sn, vd, seeds, *rest, _b, _e):
+        router = tuple(rest[:3]) if has_router else None
+        return _beam(
+            q, corp, adj, sn, vd, seeds, None, None, router, k=K, beam=_b,
+            expansions=_e, degree=adj.shape[1],
+            entry_points=min(gi.params.entry_points, _b), metric=metric,
+        )
+
     for ef in (64, 128, 256):
         beam, expansions = gi.params.beam_for_ef(ef, K)
         measure(
             "graph", f"ef={ef}",
-            functools.partial(
-                lambda q, corp, adj, sn, vd, seeds, _b, _e: _beam(
-                    q, corp, adj, sn, vd, seeds, None, None, k=K, beam=_b,
-                    expansions=_e, degree=adj.shape[1],
-                    entry_points=min(gi.params.entry_points, _b),
-                    metric=metric,
-                ),
-                _b=beam, _e=expansions,
-            ),
-            (gi._corpus, gi._adj, gi._sqnorm, gi._valid, gi._seed_ids),
+            functools.partial(beam_fn, _b=beam, _e=expansions),
+            (gi._corpus, gi._adj, gi._sqnorm, gi._valid, gi._seed_ids)
+            + router_args,
             batches=(batch, 16) if ef == 128 else (batch,),
             latency=(ef == 128),
         )
@@ -273,21 +279,22 @@ def run_config(name, n, d, metric_name, batch=256):
     from velesdb_tpu.ops.quantization import SQ8Vectors
 
     sqt = sq8_quantize(gi._corpus)
+
+    def beam_sq8_fn(q, cd, sc, mn, corp, adj, sn, vd, seeds, *rest, _b, _e):
+        router = tuple(rest[:3]) if has_router else None
+        return _beam(
+            q, SQ8Vectors(cd, sc, mn), adj, sn, vd, seeds, None, corp, router,
+            k=K, beam=_b, expansions=_e, degree=adj.shape[1],
+            entry_points=min(gi.params.entry_points, _b), metric=metric,
+        )
+
     for ef in (128,):
         beam, expansions = gi.params.beam_for_ef(ef, K)
         measure(
             "graph-sq8", f"ef={ef}",
-            functools.partial(
-                lambda q, cd, sc, mn, corp, adj, sn, vd, seeds, _b, _e: _beam(
-                    q, SQ8Vectors(cd, sc, mn), adj, sn, vd, seeds, None, corp,
-                    k=K, beam=_b, expansions=_e, degree=adj.shape[1],
-                    entry_points=min(gi.params.entry_points, _b),
-                    metric=metric,
-                ),
-                _b=beam, _e=expansions,
-            ),
+            functools.partial(beam_sq8_fn, _b=beam, _e=expansions),
             (sqt.codes, sqt.scale, sqt.minv, gi._corpus, gi._adj, gi._sqnorm,
-             gi._valid, gi._seed_ids),
+             gi._valid, gi._seed_ids) + router_args,
             batches=(batch, 16),
             latency=True,
         )

