@@ -163,7 +163,62 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
     qps = _time_entry(
         search_fn, corpus_dev, pen_dev, queries, batch, k, metric, chunk, interp
     )
-    return {"qps": qps, "recall": recall, "build_rate": build_rate}
+    out = {"qps": qps, "recall": recall, "build_rate": build_rate}
+
+    if device_corpus and not os.environ.get("BENCH_SKIP_IVF"):
+        # small-batch engine evidence (VERDICT r2 #1): IVF at the measured
+        # 0.95-recall operating point (~3.5% coverage), batch=16
+        import functools
+
+        from velesdb_tpu.index.ivf import IvfIndex, ivf_search_impl
+
+        ivf = IvfIndex(d, metric)
+        ivf.build(corpus_dev[:n], np.ones(n, bool))
+        nprobe = ivf.nprobe_for(128)
+        _ivf = functools.partial(
+            jax.jit, static_argnames=("k", "nprobe", "metric")
+        )(ivf_search_impl)
+
+        def ivf_fn(q, *arrays):
+            return _ivf(q, *arrays, None, k=k, nprobe=nprobe, metric=metric)
+
+        arrays = (ivf._centroids, ivf._cent_sq, ivf._parts, ivf._part_rows,
+                  ivf._part_sq)
+        hits = 0
+        for i in range(nb):
+            _, gt = chunked_topk(
+                qs[i], corpus_dev, valid_dev, k, metric, chunk=min(65536, n_pad)
+            )
+            _, got = ivf_fn(qs[i], *arrays)
+            eq = (got[:, :, None] == gt[:, None, :]) & (gt[:, None, :] >= 0)
+            hits += int(jnp.sum(jnp.any(eq, axis=1)))
+        iters, b16 = 32, 16
+        big = np.resize(queries, (iters * b16, d)) + np.random.default_rng(
+            3
+        ).standard_normal((iters * b16, d)).astype(np.float32) * 0.01
+        qs16 = jnp.asarray(big.reshape(iters, b16, d))
+
+        @jax.jit
+        def run_many(qs_, *ops):
+            def body(_, q):
+                v, i = ivf_fn(q, *ops)
+                return None, (v[0, 0], i[0, 0])
+
+            _, outs = jax.lax.scan(body, None, qs_)
+            return outs
+
+        jax.block_until_ready(run_many(qs16, *arrays))
+        samples = []
+        for s in range(3):
+            qs_s = jax.block_until_ready(jnp.roll(qs16, 1 + 7 * s, axis=0))
+            t0 = time.perf_counter()
+            outs = run_many(qs_s, *arrays)
+            np.asarray(outs[0])
+            samples.append(time.perf_counter() - t0)
+        out["ivf_recall"] = hits / (nb * batch * k)
+        out["ivf_qps_b16"] = iters * b16 / float(np.min(samples))
+        out["ivf_nprobe"] = nprobe
+    return out
 
 
 def bench_ingest(n=1_000_000, d=128):
@@ -295,6 +350,12 @@ def main():
                 f"; SIFT-1M-class 1Mx128D L2: {sift['qps']:,.0f} QPS "
                 f"@ recall@10={sift['recall']:.4f}"
             )
+            if "ivf_qps_b16" in sift:
+                sift_txt += (
+                    f"; small-batch IVF nprobe={sift['ivf_nprobe']}: "
+                    f"{sift['ivf_qps_b16']:,.0f} QPS @ batch=16, "
+                    f"recall {sift['ivf_recall']:.4f}"
+                )
         except _Timeout:
             sift_txt = "; SIFT-1M config skipped (tunnel wedge)"
         except Exception as e:  # tunnel weather: keep the headline
