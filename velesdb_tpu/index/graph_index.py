@@ -618,9 +618,15 @@ def beam_search_impl(
     steps = max(2, -(-expansions // ew))
     ids, dist, _ = jax.lax.fori_loop(0, steps, body, (ids0, d0, vis0))
 
-    # ---- f32 rerank of the final pool (dual-precision second pass) ----
+    # ---- f32 rerank of the head of the pool (dual-precision 2nd pass) ----
     if rerank_corpus is not None:
-        rvecs = rerank_corpus[jnp.maximum(ids, 0)]  # [B, beam, D]
+        # the pool is quantized-distance-ordered; rescoring its top 4k (>=32)
+        # slice recovers the quantization loss at a fraction of the gather
+        # bytes a full-beam rerank would cost (at 768D the full rerank
+        # erased the quantized-traversal win)
+        r_width = min(beam, max(32, 4 * k))
+        rids = ids[:, :r_width]
+        rvecs = rerank_corpus[jnp.maximum(rids, 0)]  # [B, R, D]
         rdots = jnp.einsum(
             "bd,bmd->bm", qn, rvecs, preferred_element_type=jnp.float32
         )
@@ -635,7 +641,12 @@ def beam_search_impl(
             exact = 1.0 - rdots / rn
         else:
             exact = -rdots
-        dist = jnp.where(jnp.isinf(dist) | (ids < 0), dist, exact)
+        head = jnp.where(
+            jnp.isinf(dist[:, :r_width]) | (rids < 0),
+            dist[:, :r_width],
+            exact,
+        )
+        dist = jnp.concatenate([head, dist[:, r_width:]], axis=1)
 
     # ---- final selection (apply result filter here) ----
     if mask is not None:
