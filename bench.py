@@ -140,11 +140,23 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
     interp = not use_pallas()
     chunk = min(bucket_chunk_for(batch, ((d + 127) // 128) * 128), n_pad)
 
-    def search_fn(q, corpus_a, pen_a):
-        return bucket_topk_entry(
-            q, corpus_a, pen_a, k=k, metric=metric, chunk=chunk,
-            interpret=interp, prenormalized=True,
-        )
+    # the serve-path engine split (index/brute.py:_search_streaming):
+    # scan+PartialReduce at high D, bucket-max Pallas kernel at low D
+    if d >= 512:
+        from velesdb_tpu.ops.streamed import _streamed_entry
+
+        def search_fn(q, corpus_a, pen_a):
+            del pen_a
+            return _streamed_entry(
+                q, corpus_a, valid_dev, sqn, k=k, metric=metric,
+                chunk=min(65536, n_pad), approx=True, recall_target=0.95,
+            )
+    else:
+        def search_fn(q, corpus_a, pen_a):
+            return bucket_topk_entry(
+                q, corpus_a, pen_a, k=k, metric=metric, chunk=chunk,
+                interpret=interp, prenormalized=True,
+            )
 
     # recall vs the independent chunked-XLA exact oracle, all on device
     nb = min(8, n_queries // batch)

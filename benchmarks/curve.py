@@ -243,6 +243,34 @@ def run_config(name, n, d, metric_name, batch=256):
             latency=(nprobe == 64),
         )
 
+    if n >= 500_000:
+        # spill=2: the >=0.95-recall small-batch operating point at 1M
+        # (plain probing ceilings at ~0.949 regardless of nprobe)
+        ivf2 = IvfIndex(d, metric, spill=2)
+        ivf2.build(corpus_dev[:n], np.ones(n, bool))
+
+        from velesdb_tpu.ops.topk import top_k as _topk
+
+        def ivf2_fn(q, c, cs, p, pr, ps, _np):
+            kf = min(2 * K + 8, _np * ivf2.part_len)
+            v, i = _ivf(q, c, cs, p, pr, ps, None, k=kf, nprobe=_np,
+                        metric=metric)
+            # spilled rows surface twice (bit-identical scores): dedup
+            eq = (i[:, :, None] == i[:, None, :]) & (i[:, :, None] >= 0)
+            dup = jnp.tril(eq, -1).any(axis=2)
+            vv, pos = _topk(v, K, metric.higher_is_better, mask=~dup & (i >= 0))
+            return vv, jnp.take_along_axis(i, pos, axis=1)
+
+        for nprobe in (32, 64, 96):
+            measure(
+                "ivf-spill2", f"nprobe={nprobe}",
+                functools.partial(ivf2_fn, _np=nprobe),
+                (ivf2._centroids, ivf2._cent_sq, ivf2._parts,
+                 ivf2._part_rows, ivf2._part_sq),
+                batches=(batch, 16) if nprobe == 64 else (batch,),
+                latency=(nprobe == 64),
+            )
+
     gi = GraphIndex(d, metric, GraphParams.auto(d, n))
     gi.build(corpus, np.ones(n, bool), corpus_dev=norm_dev[:n])
     _beam = functools.partial(

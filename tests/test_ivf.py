@@ -160,6 +160,8 @@ def test_nprobe_for_coverage_calibration():
     ivf.n, ivf.part_len, ivf.c = 100_000, 512, 586
     np_small = ivf.nprobe_for(128)
     assert 5 <= np_small <= 9, np_small  # ~7 probes = 3.5%
-    # spill halves the probes needed for the same coverage
+    # spilled builds double part_len AND hold 2x row-copies: at the same
+    # coverage the probe count stays ~constant (L/spill unique rows/probe)
     ivf.spill = 2
-    assert ivf.nprobe_for(128) <= -(-np_small // 2) + 1
+    ivf.part_len = 1024  # what a spill=2 build of the same corpus produces
+    assert abs(ivf.nprobe_for(128) - np_small) <= 2

@@ -665,13 +665,13 @@ class Collection:
         from velesdb_tpu.index.ivf import IvfIndex
 
         if self.ivf is None:
-            # Measured (r3): spill=2 dominates the recall/QPS frontier at
-            # ~100-200K rows (recall@nprobe=8 0.85 -> 0.97) but washes out
-            # by 1M (spill=1 + more probes wins per byte AND per second) —
-            # and it doubles partition memory. Use it only in the regime
-            # where it measured ahead.
+            # Measured (r3, 1Mx128D): plain probing ceilings at ~0.949
+            # recall regardless of nprobe (boundary neighbors live in
+            # partitions whose centroid never ranks), while spill=2 clears
+            # 0.95 (0.954 @ nprobe=64, 5.8K QPS b16). Default to spill=2
+            # whenever the doubled partition memory fits the HBM budget.
             used = max(self.vectors.used_slots, 1)
-            spill = 2 if used <= 512_000 else 1
+            spill = 2 if used * self.dim * 4 * 2 < 8 << 30 else 1
             self.ivf = IvfIndex(self.dim, self.metric, spill=spill)
         if self.ivf.dirty:
             used = self.vectors.used_slots

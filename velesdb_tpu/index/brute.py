@@ -324,7 +324,17 @@ class BruteForceIndex:
             self.n_pad,
         )
         mask_dev = None if mask is None else _pad_to(mask, self.n_pad)
-        if _PALLAS_OK[0] and _bucket_safe(self.n_pad, chunk, k):
+        # engine split measured r3 (64-batch protocol, v5e): the bucket
+        # kernel wins at low D (1Mx128D: 217K vs 190K QPS) where selection
+        # dominates; the scan+PartialReduce path wins at high D (100Kx768D:
+        # 338K vs 252K) where the MXU matmul dominates and XLA's pipelining
+        # beats the hand-tiled kernel
+        prefer_streamed = self.dim >= 512
+        if (
+            not prefer_streamed
+            and _PALLAS_OK[0]
+            and _bucket_safe(self.n_pad, chunk, k)
+        ):
             try:
                 return bucket_topk_entry(
                     queries,

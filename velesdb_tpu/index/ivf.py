@@ -322,7 +322,9 @@ class IvfIndex:
         ef = ef or 128
         n_live = max(self.n, 1)
         cov = ef / 3700.0  # ef=128 -> 3.46% coverage
-        want = -(-int(cov * n_live) // max(self.part_len * self.spill, 1))
+        # spilled builds hold spill*N row-copies across partitions; unique
+        # coverage per probe is ~L/spill, so the probe count scales by spill
+        want = -(-int(cov * n_live * self.spill) // max(self.part_len, 1))
         return int(min(max(want, 2), self.c))
 
     # -- search ----------------------------------------------------------------
