@@ -320,14 +320,24 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 256))
     budget = int(os.environ.get("BENCH_TIMEOUT_S", 420))
 
-    try:
-        head = _with_deadline(budget, run_config, n, d, "cosine", batch, n_queries)
-    except _Timeout:
+    head = None
+    # wedge phases last minutes and PASS (measured r3: 10-40 min windows
+    # between long clear stretches): retry the headline config across up
+    # to three deadline windows before giving up
+    for attempt in range(3):
+        try:
+            head = _with_deadline(
+                budget, run_config, n, d, "cosine", batch, n_queries
+            )
+            break
+        except _Timeout:
+            time.sleep(30)
+    if head is None:
         print(
             json.dumps(
                 {
                     "metric": "bench aborted: TPU tunnel wedge (no sample "
-                              f"within {budget}s)",
+                              f"within 3x{budget}s)",
                     "value": 0.0,
                     "unit": "qps",
                     "vs_baseline": 0.0,

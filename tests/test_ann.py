@@ -199,3 +199,32 @@ def test_approx_build_with_routed_entries(tmp_path, monkeypatch):
     assert gi2._route_cents is not None, "router must survive save/load"
     _, got2 = gi2.search(queries, 10, quality=SearchQuality.BALANCED)
     assert np.array_equal(np.asarray(got), np.asarray(got2))
+
+
+def test_quantized_traversal_capacity_mode(corpus_and_truth):
+    """traversal_rerank=False drops the f32 corpus entirely (true 4x graph
+    capacity); recall holds a slightly lower bar without the head rerank."""
+    corpus, queries, valid, truth = corpus_and_truth
+    metric = DistanceMetric.EUCLIDEAN
+    gi = GraphIndex(
+        64, metric,
+        GraphParams(degree=32, knn_k=16, quantized_traversal=True,
+                    traversal_rerank=False),
+    )
+    gi.build(corpus, valid)
+    assert gi._corpus is None and gi._sq8trav is not None
+    # without the f32 head rerank, raw SQ8 ordering costs real recall —
+    # that price is the reason dual-precision reranks; capacity mode trades
+    # it for 4x rows and recovers via a host-side oversample+rerank pass
+    _, idx = gi.search(queries, 40, quality=SearchQuality.BALANCED)
+    idx = np.asarray(idx)
+    r_raw = recall_at_k(idx, truth[metric], 10)
+    assert r_raw >= 0.7, f"capacity-mode coarse recall {r_raw:.3f}"
+    # emulate Collection.search_with_rerank: f32-rescore the 4x pool
+    reranked = []
+    for qi in range(len(queries)):
+        cand = idx[qi][idx[qi] >= 0]
+        d = np.linalg.norm(corpus[cand] - queries[qi], axis=1)
+        reranked.append(cand[np.argsort(d)][:10])
+    r = recall_at_k(np.asarray(reranked), truth[metric], 10)
+    assert r >= 0.93, f"capacity-mode reranked recall {r:.3f}"

@@ -186,6 +186,10 @@ class GraphIndex:
             from velesdb_tpu.ops.quantization import sq8_quantize
 
             self._sq8trav = jax.device_put(sq8_quantize(self._corpus))
+            if not self.params.traversal_rerank:
+                # capacity mode: codes+affine only resident (true 4x);
+                # final head-rerank is skipped
+                self._corpus = None
         if router is not None:
             cents, rows = router
             self._route_cents = jax.device_put(jnp.asarray(cents, jnp.float32))
@@ -308,8 +312,9 @@ class GraphIndex:
             knn_k=int(data["knn_k"]),
             alpha=float(data["alpha"]),
             entry_points=int(data["entry_points"]),
-            # runtime knob, not a graph property: keep the caller's setting
+            # runtime knobs, not graph properties: keep the caller's settings
             quantized_traversal=self.params.quantized_traversal,
+            traversal_rerank=self.params.traversal_rerank,
         )
         self.n = corpus.shape[0]
         router = None

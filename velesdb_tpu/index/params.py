@@ -64,7 +64,11 @@ class GraphParams:
     seed_sample: int = 2048  # routing-set size for the dense seed scan
     quantized_traversal: bool = False  # dual-precision beam: score gathers
     # against an SQ8 shadow copy (1/4 the gather bytes), f32-rerank the
-    # final pool (``native/dual_precision.rs:33`` analog)
+    # final pool (``native/dual_precision.rs:33`` analog). Measured r3:
+    # capacity play, not a speedup — beam steps are latency-bound.
+    traversal_rerank: bool = True  # False = drop the f32 corpus entirely
+    # after quantizing (TRUE 4x graph capacity; head rerank skipped, small
+    # recall cost recoverable via Collection.search_with_rerank host-side)
     build_nprobe: int = 8  # partitions probed per row in the approx-kNN build
     build_passes: int = 1  # decorrelated IVF clusterings unioned in the build
     refine_rounds: int = 0  # NN-descent rounds on the approx kNN. Lifts
