@@ -217,3 +217,35 @@ def test_sharded_sq8_lowers_at_north_star_scale():
         chunk=65536,
     )
     assert lowered.compile() is not None
+
+
+def test_sharded_sq8_matches_single_device_100k(rng):
+    """Equivalence at a non-toy shard size (12.5K rows/shard): sharded SQ8
+    must agree with single-device SQ8 row-for-row."""
+    from velesdb_tpu.ops import StorageMode
+    from velesdb_tpu.ops.quantization import SQ8Vectors
+    from velesdb_tpu.ops.streamed import sq8_streamed_topk
+    from velesdb_tpu.parallel.sharded import _sq8_quantize_host
+
+    import jax.numpy as jnp
+
+    mesh = make_mesh(8)
+    n, d, b, k = 100_000, 64, 16, 10
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((b, d)).astype(np.float32)
+    from velesdb_tpu.ops import StorageMode
+
+    idx = ShardedBruteForce(mesh, d, DistanceMetric.COSINE,
+                            storage_mode=StorageMode.SQ8)
+    idx.rebuild(corpus)
+    vals, rows = idx.search(queries, k, chunk=8192)
+
+    codes, scale, minv = _sq8_quantize_host(corpus)
+    deq = codes.astype(np.float32) * scale[:, None] + minv[:, None]
+    cn = np.sqrt(np.sum(deq * deq, axis=1)).astype(np.float32)
+    sv, si = sq8_streamed_topk(
+        queries,
+        SQ8Vectors(jnp.asarray(codes), jnp.asarray(scale), jnp.asarray(minv)),
+        cnorm=jnp.asarray(cn), k=k, metric=DistanceMetric.COSINE, chunk=8192,
+    )
+    assert np.array_equal(np.sort(rows, 1), np.sort(np.asarray(si), 1))
