@@ -23,6 +23,11 @@ import os
 import sys
 import time
 
+
+def _note(msg: str) -> None:
+    """Progress to STDERR (the driver consumes exactly one stdout line)."""
+    print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
 import numpy as np
 
 # persistent compile cache: kernel compiles through the remote tunnel cost
@@ -95,6 +100,7 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
     from velesdb_tpu.ops.streamed import streamed_topk
 
     metric = DistanceMetric.parse(metric_name)
+    _note(f"run_config n={n} d={d} {metric_name} start")
     rng = np.random.default_rng(42)
     build_rate = None
 
@@ -103,13 +109,19 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
         # tunnel costs more than the whole benchmark)
         @jax.jit
         def gen(seed):
-            k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
+            k1, k2, k3, k4, k5 = jax.random.split(jax.random.key(seed), 5)
             centers = jax.random.normal(k1, (64, d), jnp.float32) * 2.0
             assign = jax.random.randint(k2, (n,), 0, 64)
-            return centers[assign] + jax.random.normal(k3, (n, d)) * 0.7
+            corpus = centers[assign] + jax.random.normal(k3, (n, d)) * 0.7
+            # queries MUST share the corpus's centers: mismatched
+            # distributions depress ANN (coverage-driven) recall while
+            # leaving exact recall unaffected — a silent skew
+            qassign = jax.random.randint(k4, (n_queries,), 0, 64)
+            qs = centers[qassign] + jax.random.normal(k5, (n_queries, d)) * 0.7
+            return corpus, qs
 
         n_pad = 1 << (n - 1).bit_length()
-        corpus_dev = gen(0)
+        corpus_dev, queries_dev = gen(0)
         if metric is DistanceMetric.COSINE:
             sq = jnp.sum(corpus_dev * corpus_dev, axis=1, keepdims=True)
             corpus_dev = corpus_dev * jax.lax.rsqrt(jnp.maximum(sq, 1e-30))
@@ -119,7 +131,7 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
         pen_dev = jnp.where(jnp.arange(n_pad) < n, base, jnp.inf)
         valid_dev = jnp.arange(n_pad) < n
         jax.block_until_ready(corpus_dev)
-        queries = make_clustered(rng, n_queries, d)
+        queries = np.asarray(queries_dev)
     else:
         corpus = make_clustered(rng, n, d)
         queries = make_clustered(rng, n_queries, d)
@@ -158,6 +170,7 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
                 interpret=interp, prenormalized=True,
             )
 
+    _note("corpus resident; measuring recall oracle")
     # recall vs the independent chunked-XLA exact oracle, all on device
     nb = min(8, n_queries // batch)
     qs = jnp.asarray(queries[: nb * batch].reshape(nb, batch, d))
@@ -172,9 +185,11 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
         hits += int(jnp.sum(jnp.any(eq, axis=1)))
     recall = hits / (nb * batch * k)
 
+    _note(f"recall={recall:.4f}; timing")
     qps = _time_entry(
         search_fn, corpus_dev, pen_dev, queries, batch, k, metric, chunk, interp
     )
+    _note(f"qps={qps:,.0f}")
     out = {"qps": qps, "recall": recall, "build_rate": build_rate}
 
     if device_corpus and not os.environ.get("BENCH_SKIP_IVF"):
@@ -184,6 +199,7 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
 
         from velesdb_tpu.index.ivf import IvfIndex, ivf_search_impl
 
+        _note("building IVF for the small-batch point")
         ivf = IvfIndex(d, metric)
         ivf.build(corpus_dev[:n], np.ones(n, bool))
         nprobe = ivf.nprobe_for(128)
@@ -388,7 +404,7 @@ def main():
             {
                 "metric": (
                     f"search QPS/chip at recall@10={head['recall']:.4f} "
-                    f"({n}x{d}D cosine, k=10, bucket-max kernel; "
+                    f"({n}x{d}D cosine, k=10, serve-path engine; "
                     f"{ingest_txt}, device refresh "
                     f"{head['build_rate']:,.0f} vec/s{builds_txt}{sift_txt})"
                 ),
