@@ -195,6 +195,14 @@ class VelesServer:
             "ivf_built": col.ivf is not None and not col.ivf.dirty,
             "delta_rows": {k: len(v) for k, v in col._stale.items()},
             "reindex_events": col.reindex_events[-10:],
+            # post-build calibration probes (r3 honesty gate): measured
+            # recall@10 vs the exact oracle; engines below the active
+            # quality profile's bar are demoted to exact
+            "calibrated_recall": {
+                e: col.planner.engine_recall(e)
+                for e in ("graph", "ivf")
+                if col.planner.engine_recall(e) is not None
+            },
         }
 
     def configure_index(self, name, body, **_):
