@@ -1,8 +1,8 @@
 """Headline benchmark: search QPS/chip at recall@10 >= 0.95.
 
-Round 2: the serving path is the bucket-max Pallas kernel + PartialReduce
-selection (`ops/bucket_kernel.py`) — the engine `Collection.search` uses on
-TPU at >=128K padded rows. Two configs are measured:
+Round 3: the serving path is dimension-split (`index/brute.py`) — the
+scan+PartialReduce streamed engine at D>=512, the bucket-max Pallas kernel
+below. Two configs are measured, plus the small-batch IVF operating point:
 
 - 100K x 768D cosine (the round-1 headline config; reference bar 9.2K QPS
   at recall 0.988, `docs/BENCHMARKS.md:58`)

@@ -38,12 +38,13 @@ def run(window_ms: float, db_path: str, queries: np.ndarray) -> dict:
     t.start()
     url = f"http://127.0.0.1:{port}/collections/bench/search"
 
-    # warm (compile at the coalesced batch shape)
+    # warm: the FIRST request triggers device refresh (H2D of the whole
+    # corpus) + the batch-1 compile — minutes through the tunnel
     for _ in range(3):
         body = json.dumps({"vector": queries[0].tolist(), "k": 10}).encode()
         urllib.request.urlopen(
             urllib.request.Request(url, body, {"Content-Type": "application/json"}),
-            timeout=120,
+            timeout=900,
         ).read()
 
     lat: list[list[float]] = [[] for _ in range(CLIENTS)]
@@ -55,7 +56,7 @@ def run(window_ms: float, db_path: str, queries: np.ndarray) -> dict:
         body = json.dumps({"vector": queries[ci].tolist(), "k": 10}).encode()
         urllib.request.urlopen(
             urllib.request.Request(url, body, {"Content-Type": "application/json"}),
-            timeout=300,
+            timeout=900,
         ).read()
         barrier.wait()
         for j in range(CALLS):
