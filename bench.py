@@ -46,10 +46,11 @@ def make_clustered(rng, n, d, n_clusters=64):
     return centers[assign] + rng.standard_normal((n, d)).astype(np.float32) * 0.7
 
 
-def _time_entry(search_fn, corpus_dev, pen_dev, queries, batch, k, metric,
-                chunk, interp):
+def _time_entry(search_fn, arrays, queries, batch):
     """Scan-batched device-side timing with the repo measurement protocol:
-    UNIQUE inputs per timed sample + forced np.asarray readback."""
+    UNIQUE inputs per timed sample + forced np.asarray readback. Every
+    device operand rides in ``arrays`` as a jit ARGUMENT (closure capture
+    embeds arrays in the remote compile payload — CLAUDE.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -66,20 +67,20 @@ def _time_entry(search_fn, corpus_dev, pen_dev, queries, batch, k, metric,
     qs = jnp.asarray(big.reshape(iters, batch, d))
 
     @jax.jit
-    def run_many(qs, corpus_a, pen_a):
+    def run_many(qs, *ops):
         def body(_, q):
-            v, i = search_fn(q, corpus_a, pen_a)
+            v, i = search_fn(q, *ops)
             return None, (v[0, 0], i[0, 0])  # tiny carry-out defeats DCE
 
         _, outs = jax.lax.scan(body, None, qs)
         return outs
 
-    jax.block_until_ready(run_many(qs, corpus_dev, pen_dev))  # compile+warm
+    jax.block_until_ready(run_many(qs, *arrays))  # compile+warm
     samples = []
     for s in range(4):
         qs_s = jax.block_until_ready(jnp.roll(qs, 1 + 7 * s, axis=0))
         t0 = time.perf_counter()
-        outs = run_many(qs_s, corpus_dev, pen_dev)
+        outs = run_many(qs_s, *arrays)
         np.asarray(outs[0])  # force D2H completion
         samples.append(time.perf_counter() - t0)
     return iters * batch / float(np.min(samples))
@@ -153,22 +154,26 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
     chunk = min(bucket_chunk_for(batch, ((d + 127) // 128) * 128), n_pad)
 
     # the serve-path engine split (index/brute.py:_search_streaming):
-    # scan+PartialReduce at high D, bucket-max Pallas kernel at low D
+    # scan+PartialReduce at high D, bucket-max Pallas kernel at low D.
+    # Every device operand is a jit ARGUMENT (no closure capture).
     if d >= 512:
         from velesdb_tpu.ops.streamed import _streamed_entry
 
-        def search_fn(q, corpus_a, pen_a):
-            del pen_a
+        def search_fn(q, corpus_a, valid_a, sqn_a):
             return _streamed_entry(
-                q, corpus_a, valid_dev, sqn, k=k, metric=metric,
+                q, corpus_a, valid_a, sqn_a, k=k, metric=metric,
                 chunk=min(65536, n_pad), approx=True, recall_target=0.95,
             )
+
+        engine_arrays = (corpus_dev, valid_dev, sqn)
     else:
         def search_fn(q, corpus_a, pen_a):
             return bucket_topk_entry(
                 q, corpus_a, pen_a, k=k, metric=metric, chunk=chunk,
                 interpret=interp, prenormalized=True,
             )
+
+        engine_arrays = (corpus_dev, pen_dev)
 
     _note("corpus resident; measuring recall oracle")
     # recall vs the independent chunked-XLA exact oracle, all on device
@@ -180,15 +185,13 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
             qs[i], corpus_dev, valid_dev, k, metric,
             chunk=min(65536, n_pad),
         )
-        _, got = search_fn(qs[i], corpus_dev, pen_dev)
+        _, got = search_fn(qs[i], *engine_arrays)
         eq = (got[:, :, None] == gt[:, None, :]) & (gt[:, None, :] >= 0)
         hits += int(jnp.sum(jnp.any(eq, axis=1)))
     recall = hits / (nb * batch * k)
 
     _note(f"recall={recall:.4f}; timing")
-    qps = _time_entry(
-        search_fn, corpus_dev, pen_dev, queries, batch, k, metric, chunk, interp
-    )
+    qps = _time_entry(search_fn, engine_arrays, queries, batch)
     _note(f"qps={qps:,.0f}")
     out = {"qps": qps, "recall": recall, "build_rate": build_rate}
 

@@ -139,6 +139,7 @@ class Collection:
         # set a dirty flag; the file flushes once per flush()/close()/
         # expire_rows()/bulk op.
         self._ttl_dirty = False
+        self._last_ttl_flush = 0.0
         self._auto_vacuum: dict | None = None
         self._last_auto_vacuum = 0.0
 
@@ -166,10 +167,21 @@ class Collection:
         except (OSError, ValueError):
             return {}
 
-    def _flush_ttl(self) -> None:
-        if self._ttl_dirty:
-            self._save_ttl()
-            self._ttl_dirty = False
+    _TTL_FLUSH_DEBOUNCE_S = 2.0
+
+    def _flush_ttl(self, debounce: bool = False) -> None:
+        """``debounce=True`` (single-row mutation path) flushes at most once
+        per debounce window — bounds the crash-durability gap to ~2s without
+        reintroducing the O(N^2) per-row full-file rewrite."""
+        if not self._ttl_dirty:
+            return
+        if debounce and (
+            time.monotonic() - self._last_ttl_flush < self._TTL_FLUSH_DEBOUNCE_S
+        ):
+            return
+        self._save_ttl()
+        self._ttl_dirty = False
+        self._last_ttl_flush = time.monotonic()
 
     def _save_ttl(self) -> None:
         p = os.path.join(self.path, "ttl.json")
@@ -224,6 +236,7 @@ class Collection:
                 self._ttl_dirty = True
             elif self._ttl.pop(int(vid), None) is not None:
                 self._ttl_dirty = True
+            self._flush_ttl(debounce=True)
             self._on_mutation([int(vid)], slots=[slot])
 
     def upsert_bulk(
@@ -491,31 +504,54 @@ class Collection:
         return True
 
     def _calibrate_engine(self, engine: str, sample: int = 128) -> None:
-        """Measured recall probe after an index build: search ``sample``
-        stored rows through the fresh index and through the exact oracle,
-        record recall@10 with the planner. The planner's honesty gate
-        (``choose(min_recall=...)``) demotes engines that measure below the
-        active quality profile's bar — however cheap the cost model thinks
-        they are (VERDICT r2 weak #2)."""
+        """Measured recall probe after an index build, recorded per quality
+        profile's ef. The planner's honesty gate (``choose(min_recall=...)``)
+        demotes engines that measure below the active profile's bar —
+        however cheap the cost model thinks they are (VERDICT r2 weak #2).
+
+        Probe queries are sampled stored rows PERTURBED by one NN-distance
+        of gaussian noise — raw stored rows would measure self-retrieval
+        recall (the query is a graph node / sits in its own partition),
+        which systematically overestimates real-query recall."""
         used = self.vectors.used_slots
         if used < 32:
             return
         take = min(sample, used)
         slots = np.linspace(0, used - 1, take).astype(np.int64)
-        q = np.array(self.vectors.slot_view()[slots])
+        base = np.array(self.vectors.slot_view()[slots])
         k = 10
         try:
-            ev, ei = self._brute.search(q, k)
-            if engine == "ivf":
-                av, ai = self.ivf.search(q, k, ef=SearchQuality.BALANCED.ef)
-            else:
-                av, ai = self.ann.search(q, k, ef=SearchQuality.BALANCED.ef)
-            ei, ai = np.asarray(ei), np.asarray(ai)
-            hits = sum(
-                len(set(ai[i][ai[i] >= 0]) & set(ei[i][ei[i] >= 0]))
-                for i in range(take)
-            )
-            self.planner.record_recall(engine, hits / float(take * k))
+            # distance of each sampled row to its nearest OTHER row sets a
+            # realistic query offset (metric-agnostic: euclidean in vector
+            # space is how "a new query near the corpus" is generated)
+            _, nn = self._brute.search(base, 2)
+            nn = np.asarray(nn)
+            other = np.where(nn[:, 1] >= 0, nn[:, 1], np.maximum(nn[:, 0], 0))
+            nn_vecs = np.array(self.vectors.slot_view()[other])
+            d1 = np.linalg.norm(base - nn_vecs, axis=1, keepdims=True)
+            rngc = np.random.default_rng(0)
+            noise = rngc.standard_normal(base.shape).astype(np.float32)
+            noise /= np.maximum(np.linalg.norm(noise, axis=1, keepdims=True), 1e-9)
+            q = base + noise * d1
+            _, ei = self._brute.search(q, k)
+            ei = np.asarray(ei)
+            for quality in (
+                SearchQuality.FAST,
+                SearchQuality.BALANCED,
+                SearchQuality.ACCURATE,
+            ):
+                if engine == "ivf":
+                    _, ai = self.ivf.search(q, k, ef=quality.ef)
+                else:
+                    _, ai = self.ann.search(q, k, ef=quality.ef)
+                ai = np.asarray(ai)
+                hits = sum(
+                    len(set(ai[i][ai[i] >= 0]) & set(ei[i][ei[i] >= 0]))
+                    for i in range(take)
+                )
+                self.planner.record_recall(
+                    engine, hits / float(take * k), ef=quality.ef
+                )
         except Exception:
             pass  # calibration is advisory; the engine still serves
 
@@ -580,11 +616,11 @@ class Collection:
         quality = SearchQuality.parse(quality) if quality is not None else None
         mask = self._filter_mask(filter)
         exact = quality is SearchQuality.PERFECT or self.index_kind == "exact"
-        engine = "exact"
-        if not exact and self.metric in _ANN_METRICS:
-            engine = self._choose_engine(q.shape[0], quality)
         if ef is None:
             ef = (quality or SearchQuality.BALANCED).ef
+        engine = "exact"
+        if not exact and self.metric in _ANN_METRICS:
+            engine = self._choose_engine(q.shape[0], quality, ef)
         k_fetch = max(min(4 * k, ef), k) if mask is not None else k
         # index builds happen BEFORE timing starts: a first-call build would
         # otherwise poison the planner's latency EMA for that engine
@@ -598,7 +634,7 @@ class Collection:
         # pinned the engine via index_kind
         if engine in ("ivf", "graph") and self.index_kind != engine:
             bar = (quality or SearchQuality.BALANCED).min_recall
-            r = self.planner.engine_recall(engine)
+            r = self.planner.engine_recall(engine, ef)
             if r is not None and r < bar:
                 engine = "exact"
         t0 = time.perf_counter()
@@ -618,7 +654,7 @@ class Collection:
             self._planner = QueryPlanner()
         return self._planner
 
-    def _choose_engine(self, batch: int, quality=None) -> str:
+    def _choose_engine(self, batch: int, quality=None, ef: int | None = None) -> str:
         """Cost-based engine pick (``query_cost/cost_model.rs`` analog):
         explicit ``index_kind`` wins; otherwise the planner compares exact
         streaming vs IVF probing vs graph beam search at this batch size.
@@ -655,6 +691,7 @@ class Collection:
                 if quality is not None
                 else SearchQuality.BALANCED.min_recall
             ),
+            ef=ef,
         )
         return choice.engine
 

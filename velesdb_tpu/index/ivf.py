@@ -362,20 +362,12 @@ class IvfIndex:
             metric=self.metric,
         )
         if self.spill > 1:
-            v = np.asarray(vals)[:b]
-            i = np.asarray(idx)[:b]
-            eq = (i[:, :, None] == i[:, None, :]) & (i[:, :, None] >= 0)
-            dup = np.tril(eq, -1).any(axis=2)
-            worst = -np.inf if self.metric.higher_is_better else np.inf
-            v = np.where(dup, worst, v)
-            i = np.where(dup, -1, i)
-            order = np.argsort(
-                -v if self.metric.higher_is_better else v, axis=1,
-                kind="stable",
-            )[:, :k]
-            return (
-                np.take_along_axis(v, order, axis=1),
-                np.take_along_axis(i, order, axis=1),
+            # dedup ON DEVICE (host numpy here would force a blocking D2H
+            # readback in the serving hot path): duplicates carry
+            # bit-identical scores, O(k_fetch^2) mask is trivial
+            vals, idx = _dedup_topk(
+                vals, idx, k=min(k, k_fetch),
+                higher_is_better=self.metric.higher_is_better,
             )
         return vals[:b], idx[:b]
 
@@ -421,6 +413,18 @@ class IvfIndex:
         self._part_sq = jax.device_put(jnp.sum(jnp.asarray(parts) ** 2, axis=2))
         self._dirty = False
         return True
+
+
+@functools.partial(jax.jit, static_argnames=("k", "higher_is_better"))
+def _dedup_topk(vals, idx, *, k, higher_is_better):
+    """Drop duplicate row ids (first occurrence wins) and re-trim to k."""
+    eq = (idx[:, :, None] == idx[:, None, :]) & (idx[:, :, None] >= 0)
+    dup = jnp.any(jnp.tril(eq, -1), axis=2)
+    keep = ~dup & (idx >= 0)
+    v, pos = top_k(vals, k, higher_is_better, mask=keep)
+    i = jnp.take_along_axis(idx, pos, axis=1)
+    worst = -jnp.inf if higher_is_better else jnp.inf
+    return v, jnp.where(v == worst, -1, i)
 
 
 def ivf_search_impl(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,

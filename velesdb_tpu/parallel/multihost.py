@@ -102,8 +102,15 @@ def num_slices(devices=None) -> int:
     rig) don't — there the process boundary IS the DCN boundary."""
     devs = list(devices if devices is not None else jax.devices())
     slice_ids = {getattr(d, "slice_index", 0) or 0 for d in devs}
-    proc_ids = {d.process_index for d in devs}
-    return max(1, len(slice_ids), len(proc_ids))
+    if len(slice_ids) > 1:
+        # real multi-slice topology: trust the hardware's slice labels
+        return len(slice_ids)
+    # one slice (or no slice info): only NON-accelerator rigs (the
+    # multi-process CPU test harness) treat process boundaries as DCN —
+    # a TPU slice legitimately spans several processes over ICI
+    if all(d.platform == "cpu" for d in devs):
+        return max(1, len({d.process_index for d in devs}))
+    return 1
 
 
 def make_hybrid_mesh(dp: int = 1, devices=None) -> Mesh:

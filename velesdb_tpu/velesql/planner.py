@@ -48,7 +48,7 @@ class QueryPlanner:
         self.f = factors or CostFactors()
         self.ema_alpha = ema_alpha
         self._ema: dict[tuple, float] = {}  # (engine, bucket) -> ns/batch
-        self._recall: dict[str, float] = {}  # engine -> calibrated recall@10
+        self._recall: dict[tuple, float] = {}  # (engine, ef) -> calibrated recall@10
         self._lock = threading.Lock()
 
     # -- static model -----------------------------------------------------------
@@ -107,13 +107,24 @@ class QueryPlanner:
     # an engine that cannot hit the quality profile's recall bar must not
     # be chosen however cheap it is) -----------------------------------------
 
-    def record_recall(self, engine: str, recall: float) -> None:
+    def record_recall(self, engine: str, recall: float,
+                      ef: int | None = None) -> None:
+        """Calibrated recall, keyed by the ef it was measured at (recall is
+        strongly ef-dependent — one number cannot gate every profile)."""
         with self._lock:
-            self._recall[engine] = float(recall)
+            self._recall[(engine, ef)] = float(recall)
 
-    def engine_recall(self, engine: str) -> float | None:
+    def engine_recall(self, engine: str, ef: int | None = None) -> float | None:
+        """Measurement at ``ef`` (or the nearest calibrated ef)."""
         with self._lock:
-            return self._recall.get(engine)
+            if (engine, ef) in self._recall:
+                return self._recall[(engine, ef)]
+            cands = [
+                (abs((e if e is not None else 128) - (ef if ef is not None else 128)), v)
+                for (eng, e), v in self._recall.items()
+                if eng == engine
+            ]
+            return min(cands)[1] if cands else None
 
     # -- decision ------------------------------------------------------------------
 
@@ -130,10 +141,12 @@ class QueryPlanner:
         graph_expansions: int = 64,
         graph_degree: int = 48,
         min_recall: float | None = None,
+        ef: int | None = None,
     ) -> EngineChoice:
         """Pick the cheapest available engine; measured EMAs beat the model;
         ``min_recall`` drops ANN engines whose calibrated recall (post-build
-        probe vs the exact oracle) misses the quality profile's bar."""
+        probe vs the exact oracle, at the nearest measured ef) misses the
+        quality profile's bar."""
         cands: dict[str, float] = {"exact": self.cost_exact(n, d, batch)}
         if have_ivf:
             cands["ivf"] = self.cost_ivf(n, d, batch, ivf_nprobe, ivf_part_len)
@@ -143,7 +156,7 @@ class QueryPlanner:
             for engine in list(cands):
                 if engine == "exact":
                     continue
-                r = self.engine_recall(engine)
+                r = self.engine_recall(engine, ef)
                 if r is not None and r < min_recall:
                     del cands[engine]
         for engine in list(cands):
