@@ -69,6 +69,7 @@ class GraphIndex:
         self._sqnorm = None  # [N_pad] f32 squared norms (euclidean/cosine)
         self._valid = None  # [N_pad] bool
         self._seed_ids = None  # [S] int32 routing sample
+        self._adj_host = None  # [N, degree] int32 host copy (save path)
         self._sq8trav = None  # SQ8Vectors shadow (quantized traversal)
         # IVF router from the approx build's first pass (free): beam entry
         # points come from the query's top partitions instead of a global
@@ -76,6 +77,7 @@ class GraphIndex:
         self._route_cents = None  # [P, D] f32
         self._route_csq = None  # [P] f32
         self._route_rows = None  # [P, L] int32
+        self._route_host = None  # host copies (save path, no D2H)
         self._dirty = True
 
     # ------------------------------------------------------------------
@@ -167,6 +169,10 @@ class GraphIndex:
 
     def _upload(self, corpus, valid, adj, dev=None, router=None) -> None:
         n = corpus.shape[0]
+        # keep the HOST copy of the adjacency (it is assembled host-side
+        # anyway): save() then never reads hundreds of MB back through the
+        # tunnel — large D2H transfers are its wedge-prone operation
+        self._adj_host = np.asarray(adj, np.int32)[:n]
         self.n_pad = _pad_pow2(n, 1024)
         pad = self.n_pad - n
         if dev is not None:
@@ -192,6 +198,12 @@ class GraphIndex:
                 self._corpus = None
         if router is not None:
             cents, rows = router
+            # both arrive as host arrays (build readback / load file): keep
+            # host copies so save() never reads them back through the tunnel
+            self._route_host = (
+                np.asarray(cents, np.float32),
+                np.asarray(rows, np.int32),
+            )
             self._route_cents = jax.device_put(jnp.asarray(cents, jnp.float32))
             self._route_csq = jnp.sum(
                 self._route_cents * self._route_cents, axis=1
@@ -199,6 +211,7 @@ class GraphIndex:
             self._route_rows = jax.device_put(jnp.asarray(rows, jnp.int32))
         else:
             self._route_cents = self._route_csq = self._route_rows = None
+            self._route_host = None
         # routing sample: strided over valid rows, padded by repetition
         # (fallback entry stage when no IVF router exists — small corpora)
         s = min(self.params.seed_sample, max(1, n))
@@ -276,14 +289,14 @@ class GraphIndex:
         if self._adj is None:
             return
         extra = {}
-        if self._route_cents is not None:
+        if self._route_host is not None:
             extra = {
-                "route_cents": np.asarray(self._route_cents),
-                "route_rows": np.asarray(self._route_rows),
+                "route_cents": self._route_host[0],
+                "route_rows": self._route_host[1],
             }
         np.savez_compressed(
             path,
-            adj=np.asarray(self._adj[: self.n]),
+            adj=self._adj_host,
             degree=self.params.degree,
             knn_k=self.params.knn_k,
             alpha=self.params.alpha,

@@ -234,6 +234,8 @@ class IvfIndex:
         self._parts = None  # [C, L, D]
         self._part_rows = None  # [C, L] int32 original row ids, -1 pad
         self._part_sq = None  # [C, L] squared norms
+        self._kmeans_cents = None  # [c, D] device — persistence recipe
+        self._kmeans_c = 0
         self._dirty = True
 
     # -- build ----------------------------------------------------------------
@@ -265,6 +267,19 @@ class IvfIndex:
         else:
             km_input = live_dev
         cents, assign = kmeans(km_input, c, iters=self.kmeans_iters, seed=self.kmeans_seed)
+        self._kmeans_cents = cents  # [c, D] device — the persistence recipe
+        self._kmeans_c = c
+        self._assemble_partitions(live_dev, km_input, rows, cents, c, assign)
+        self._dirty = False
+
+    def _assemble_partitions(self, live_dev, km_input, rows, cents, c,
+                             assign=None) -> None:
+        """Deterministic partition assembly from centroids (shared by build
+        and load — the persisted artifact is centroids + meta ONLY, so no
+        multi-MB device->host readback ever sits on the save path; large
+        D2H transfers are the tunnel's wedge-prone operation)."""
+        if assign is None:
+            assign = _assign_topk(km_input, cents, s=1)[:, 0]
         if self.spill > 1:
             # duplicate each row into its top-``spill`` clusters: one more
             # assignment matmul, 2x partition memory, recall/probe jumps
@@ -300,7 +315,6 @@ class IvfIndex:
             L=L,
             n_parts=n_parts,
         )
-        self._dirty = False
 
     def invalidate(self, _ids=None) -> None:
         self._dirty = True
@@ -374,12 +388,17 @@ class IvfIndex:
     # -- persistence -------------------------------------------------------------
 
     def save(self, path: str, version: int = 0) -> None:
-        if self._parts is None:
+        """Persist the RECIPE (kmeans centroids + meta, ~2MB), not the
+        partition layout: ``load`` re-runs the deterministic assembly on
+        device. A ``part_rows`` readback at 1M rows is tens of MB of D2H —
+        the remote tunnel's wedge-prone operation — and reconstructing the
+        [C, L, D] parts tensor host-side at load would be GBs of traffic."""
+        if self._parts is None or self._kmeans_cents is None:
             return
         np.savez_compressed(
             path,
-            centroids=np.asarray(self._centroids),
-            part_rows=np.asarray(self._part_rows),
+            kmeans_cents=np.asarray(self._kmeans_cents),
+            kmeans_c=self._kmeans_c,
             n=self.n,
             metric=self.metric.value,
             version=version,
@@ -395,22 +414,29 @@ class IvfIndex:
             int(data["n"]) != corpus.shape[0]
             or str(data["metric"]) != self.metric.value
             or int(data["version"]) != version
+            or "kmeans_cents" not in data  # legacy part_rows artifact
         ):
             return False
-        part_rows = data["part_rows"]
-        c, L = part_rows.shape
-        self.c, self.part_len = c, L
         self.n = corpus.shape[0]
         self.spill = int(data["spill"]) if "spill" in data else 1
-        parts = np.zeros((c, L, self.dim), np.float32)
-        ok = part_rows >= 0
-        parts[ok] = corpus[part_rows[ok]]
-        cents = data["centroids"]
-        self._centroids = jax.device_put(jnp.asarray(cents))
-        self._cent_sq = jax.device_put(jnp.sum(jnp.asarray(cents) ** 2, axis=1))
-        self._parts = jax.device_put(jnp.asarray(parts))
-        self._part_rows = jax.device_put(jnp.asarray(part_rows))
-        self._part_sq = jax.device_put(jnp.sum(jnp.asarray(parts) ** 2, axis=2))
+        rows = np.flatnonzero(np.asarray(valid, bool)[: self.n])
+        if len(rows) == 0:
+            return False
+        if isinstance(corpus, jax.Array):
+            live_dev = corpus[jnp.asarray(rows)].astype(jnp.float32)
+        else:
+            live_dev = jax.device_put(jnp.asarray(corpus[rows], jnp.float32))
+        if self.metric is DistanceMetric.COSINE:
+            nrm = jnp.linalg.norm(live_dev, axis=1, keepdims=True)
+            km_input = live_dev / jnp.maximum(nrm, 1e-30)
+        else:
+            km_input = live_dev
+        cents = jax.device_put(jnp.asarray(data["kmeans_cents"], jnp.float32))
+        self._kmeans_cents = cents
+        self._kmeans_c = int(data["kmeans_c"])
+        self._assemble_partitions(
+            live_dev, km_input, rows, cents, self._kmeans_c
+        )
         self._dirty = False
         return True
 
