@@ -133,6 +133,16 @@ class MicroBatcher:
         try:
             kmax = max(p.k for p in grp)
             vecs = np.stack([np.asarray(p.vector, np.float32) for p in grp])
+            # pad the coalesced batch to a power-of-two shape class (>=8):
+            # every distinct batch size is a fresh XLA compile — on a
+            # remote-attached TPU that is minutes, and unpadded coalescing
+            # (sizes 1..max_batch) measured 5x WORSE than no batching at all
+            b = vecs.shape[0]
+            b_pad = 1 << max(3, (b - 1).bit_length())
+            if b_pad != b:
+                vecs = np.concatenate(
+                    [vecs, np.broadcast_to(vecs[0], (b_pad - b, vecs.shape[1]))]
+                )
             res = self.collection.search_batch(
                 vecs, k=kmax, ef=grp[0].ef, filter=grp[0].filter
             )
