@@ -1,0 +1,160 @@
+"""Single-chip capacity benchmark: 10M x 768D in SQ8 on one v5e (7.7GB HBM).
+
+The reference's headline dataset is 10K x 768D (CPU RAM-bound); one TPU chip
+holds 1000x that in SQ8. The corpus is generated AND quantized on device in
+chunks inside one jitted loop — a 30GB f32 copy never exists anywhere.
+
+Measures: streamed SQ8 search QPS at batch=256 and 16, and planted
+near-duplicate retrieval accuracy (each query is a dequantized stored row
+plus noise; top-1 must return the planted row).
+
+Run: python benchmarks/capacity_10m.py    (knobs: CAP_N, CAP_D, CAP_BATCH)
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/velesdb_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N = int(os.environ.get("CAP_N", 10_000_000))
+D = int(os.environ.get("CAP_D", 768))
+K = 10
+CHUNK = 131_072  # generation chunk (f32 transient: 384MB)
+
+
+def main():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from velesdb_tpu.ops import DistanceMetric
+    from velesdb_tpu.ops.quantization import SQ8Vectors
+    from velesdb_tpu.ops.streamed import _sq8_streamed_entry
+
+    n_pad = ((N + CHUNK - 1) // CHUNK) * CHUNK
+    nc = n_pad // CHUNK
+
+    @functools.partial(jax.jit, static_argnames=())
+    def gen_quantized(seed):
+        """Generate clustered rows chunk-by-chunk, quantize, store uint8."""
+        key = jax.random.key(seed)
+        kc, key = jax.random.split(key)
+        centers = jax.random.normal(kc, (64, D), jnp.float32) * 2.0
+
+        def body(i, state):
+            codes, scale, minv = state
+            k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+            assign = jax.random.randint(k1, (CHUNK,), 0, 64)
+            x = centers[assign] + jax.random.normal(k2, (CHUNK, D)) * 0.7
+            lo = jnp.min(x, axis=1)
+            hi = jnp.max(x, axis=1)
+            sc = jnp.maximum((hi - lo) / 255.0, 1e-12)
+            cd = jnp.clip(
+                jnp.round((x - lo[:, None]) / sc[:, None]), 0, 255
+            ).astype(jnp.uint8)
+            codes = jax.lax.dynamic_update_slice(codes, cd, (i * CHUNK, 0))
+            scale = jax.lax.dynamic_update_slice(scale, sc, (i * CHUNK,))
+            minv = jax.lax.dynamic_update_slice(minv, lo, (i * CHUNK,))
+            return codes, scale, minv
+
+        init = (
+            jnp.zeros((n_pad, D), jnp.uint8),
+            jnp.ones(n_pad, jnp.float32),
+            jnp.zeros(n_pad, jnp.float32),
+        )
+        return jax.lax.fori_loop(0, nc, body, init), centers
+
+    t0 = time.time()
+    (codes, scale, minv), centers = gen_quantized(0)
+    jax.block_until_ready(codes)
+    gen_s = time.time() - t0
+    print(f"[cap] generated+quantized {N:,} x {D} in {gen_s:.0f}s "
+          f"({codes.nbytes/2**30:.1f}GB codes)", file=sys.stderr, flush=True)
+
+    # corpus norms for euclidean scoring (chunked, on device)
+    @jax.jit
+    def norms(codes, scale, minv):
+        def body(_, blk_i):
+            cd, sc, mn = blk_i
+            deq = cd.astype(jnp.float32) * sc[:, None] + mn[:, None]
+            return None, jnp.sum(deq * deq, axis=1)
+
+        _, out = jax.lax.scan(
+            body, None,
+            (codes.reshape(nc, CHUNK, D), scale.reshape(nc, CHUNK),
+             minv.reshape(nc, CHUNK)),
+        )
+        return out.reshape(-1)
+
+    cnorm = jax.block_until_ready(norms(codes, scale, minv))
+    valid = jnp.arange(n_pad) < N
+
+    # planted queries: dequantized stored rows + small noise
+    rng = np.random.default_rng(7)
+    plant = rng.integers(0, N, 256)
+    plant_dev = jnp.asarray(plant)
+    deq_rows = (
+        codes[plant_dev].astype(jnp.float32)
+        * scale[plant_dev][:, None]
+        + minv[plant_dev][:, None]
+    )
+    queries = deq_rows + 0.05 * jnp.asarray(
+        rng.standard_normal((256, D)).astype(np.float32)
+    )
+
+    sq = SQ8Vectors(codes, scale, minv)
+    t0 = time.time()
+    vals, idx = _sq8_streamed_entry(
+        queries, codes, scale, minv, cnorm, valid,
+        k=K, metric=DistanceMetric.EUCLIDEAN, chunk=65536, approx=True,
+    )
+    idx = np.asarray(idx)
+    acc = float(np.mean(idx[:, 0] == plant))
+    print(f"[cap] planted top-1 accuracy {acc:.4f} "
+          f"(first search {time.time()-t0:.0f}s incl compile)",
+          file=sys.stderr, flush=True)
+
+    results = {"n": N, "d": D, "mode": "sq8", "hbm_gb": round(codes.nbytes / 2**30, 1),
+               "top1_planted": acc, "gen_s": round(gen_s, 1)}
+    for batch in (256, 16):
+        iters = 16
+        qbig = np.resize(np.asarray(queries), (iters * batch, D)).astype(np.float32)
+        qbig += rng.standard_normal(qbig.shape).astype(np.float32) * 0.01
+        qs = jnp.asarray(qbig.reshape(iters, batch, D))
+
+        @jax.jit
+        def run_many(qs, codes, scale, minv, cnorm, valid):
+            def body(_, q):
+                v, i = _sq8_streamed_entry(
+                    q, codes, scale, minv, cnorm, valid, k=K,
+                    metric=DistanceMetric.EUCLIDEAN, chunk=65536, approx=True,
+                )
+                return None, (v[0, 0], i[0, 0])
+
+            _, outs = jax.lax.scan(body, None, qs)
+            return outs
+
+        args = (codes, scale, minv, cnorm, valid)
+        jax.block_until_ready(run_many(qs, *args))
+        samples = []
+        for s in range(3):
+            qs_s = jax.block_until_ready(jnp.roll(qs, 1 + 5 * s, axis=0))
+            t0 = time.perf_counter()
+            outs = run_many(qs_s, *args)
+            np.asarray(outs[0])
+            samples.append(time.perf_counter() - t0)
+        results[f"qps_b{batch}"] = round(iters * batch / min(samples))
+        print(f"[cap] b={batch}: {results[f'qps_b{batch}']:,} QPS",
+              file=sys.stderr, flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
