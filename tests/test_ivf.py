@@ -165,3 +165,82 @@ def test_nprobe_for_coverage_calibration():
     ivf.spill = 2
     ivf.part_len = 1024  # what a spill=2 build of the same corpus produces
     assert abs(ivf.nprobe_for(128) - np_small) <= 2
+
+
+def test_sq8_storage_ivf(tmp_path, rng):
+    """Quantized-storage IVF: partitions stay uint8 (the capacity ANN
+    engine); recall matches the f32 build on the probed candidates and
+    save/load round-trips through the centroid recipe."""
+    import jax.numpy as jnp
+
+    from velesdb_tpu.index.ivf import IvfIndex
+    from velesdb_tpu.ops import DistanceMetric
+    from velesdb_tpu.ops.chunked import brute_force_topk
+    from velesdb_tpu.ops.quantization import sq8_quantize
+
+    n, d, k = 20_000, 32, 10
+    centers = rng.standard_normal((16, d)).astype(np.float32) * 2.0
+    corpus = centers[rng.integers(0, 16, n)] + rng.standard_normal(
+        (n, d)
+    ).astype(np.float32) * 0.7
+    queries = centers[rng.integers(0, 16, 64)] + rng.standard_normal(
+        (64, d)
+    ).astype(np.float32) * 0.7
+    _, gt = brute_force_topk(queries, corpus, k, DistanceMetric.EUCLIDEAN)
+    gt = np.asarray(gt)
+    sq = sq8_quantize(jnp.asarray(corpus))
+
+    ivf = IvfIndex(d, DistanceMetric.EUCLIDEAN, spill=2)
+    ivf.build(sq)
+    assert ivf.storage == "sq8"
+    assert ivf._parts.dtype == jnp.uint8
+
+    def recall(ix, nprobe):
+        _, idx = ix.search(queries, k, nprobe=nprobe)
+        idx = np.asarray(idx)
+        for row in idx:  # spill dedup holds in sq8 storage too
+            live = row[row >= 0]
+            assert len(set(live.tolist())) == len(live)
+        return np.mean([len(set(idx[i]) & set(gt[i])) / k
+                        for i in range(len(gt))])
+
+    r = recall(ivf, 8)
+    assert r >= 0.9, r
+
+    p = str(tmp_path / "ivf_sq8.npz")
+    ivf.save(p, version=5)
+    ivf2 = IvfIndex(d, DistanceMetric.EUCLIDEAN)
+    assert ivf2.load(p, sq, np.ones(n, bool), version=5)
+    assert ivf2.storage == "sq8" and ivf2.spill == 2
+    q = queries[:4]
+    _, i1 = ivf.search(q, 5, nprobe=8)
+    _, i2 = ivf2.search(q, 5, nprobe=8)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+    # a stale f32 artifact must NOT load against an SQ8 corpus
+    ivf3 = IvfIndex(d, DistanceMetric.EUCLIDEAN)
+    ivf3.build(corpus)
+    p2 = str(tmp_path / "ivf_f32.npz")
+    ivf3.save(p2, version=5)
+    ivf4 = IvfIndex(d, DistanceMetric.EUCLIDEAN)
+    assert not ivf4.load(p2, sq, np.ones(n, bool), version=5)
+
+
+def test_sq8_collection_uses_quantized_ivf(tmp_db_dir, rng):
+    """An SQ8 collection's planner-selectable IVF builds from the quantized
+    codes (no f32 partitions) and serves through plain search()."""
+    from velesdb_tpu import Database
+
+    db = Database(tmp_db_dir)
+    c = db.create_collection("q", dim=16, storage_mode="sq8",
+                             metric="euclidean")
+    base = rng.standard_normal((3000, 16)).astype(np.float32) + 3.0
+    c.upsert_bulk(range(3000), base)
+    c.refresh_device()
+    assert c._ensure_ivf()
+    assert c.ivf.storage == "sq8"
+    import jax.numpy as jnp
+
+    assert c.ivf._parts.dtype == jnp.uint8
+    hits = c.search_batch(base[:4] + 0.001, 5)
+    assert [h[0].id for h in hits] == [0, 1, 2, 3]
+    db.close()

@@ -716,10 +716,20 @@ class Collection:
             _, valid = self.vectors.occupancy()
             path = os.path.join(self.path, "ivf.npz")
             version = self.vectors.version
-            if not self.ivf.load(path, slots, valid, version=version):
-                src = slots
-                if self.storage_mode in _ANN_MODES and self._brute._full is not None:
-                    src = self._brute._full[:used]  # resident device corpus
+            src = slots
+            if self.storage_mode in _ANN_MODES and self._brute._full is not None:
+                src = self._brute._full[:used]  # resident device corpus
+            elif (
+                self.storage_mode is StorageMode.SQ8
+                and self._brute._sq8 is not None
+            ):
+                # quantized-storage IVF: partitions stay uint8 (the ANN
+                # engine at one-chip capacity — codes fit where f32 cannot)
+                sq = self._brute._sq8
+                src = type(sq)(
+                    sq.codes[:used], sq.scale[:used], sq.minv[:used]
+                )
+            if not self.ivf.load(path, src, valid, version=version):
                 self.ivf.build(src, valid)
                 self.ivf.save(path, version=version)
             # fresh build/restore covers every row: the delta drains

@@ -33,6 +33,7 @@ import numpy as np
 
 from velesdb_tpu.index.params import SearchQuality
 from velesdb_tpu.ops.distance import DistanceMetric
+from velesdb_tpu.ops.quantization import SQ8Vectors
 from velesdb_tpu.ops.topk import top_k
 
 __all__ = ["IvfIndex", "kmeans", "ivf_search_impl", "ivf_self_knn", "merge_ranked", "nn_descent_round"]
@@ -167,11 +168,11 @@ def _assign_full(xc, cents, *, k):
 
 
 @functools.partial(jax.jit, static_argnames=("c", "L", "n_parts"))
-def _group_partitions(live, assign, cents, rows_global, *, c, L, n_parts):
-    """Device partition assembly: sort by cluster, derive a dest->src gather
-    map (scatter of N ints, then ONE row gather — no [N, D] scatter), and
-    build routing/centroid/norm tables at static shapes."""
-    n = live.shape[0]
+def _group_map(assign, cents, rows_global, *, c, L, n_parts):
+    """Partition gather map: sort rows by cluster, derive dest->src (scatter
+    of N ints — payload arrays are gathered by the caller, so the map works
+    for ANY row-aligned payload: f32 rows, uint8 codes, affine params)."""
+    n = assign.shape[0]
     order = jnp.argsort(assign)
     sorted_assign = assign[order]
     counts = jnp.bincount(assign, length=c)
@@ -182,9 +183,6 @@ def _group_partitions(live, assign, cents, rows_global, *, c, L, n_parts):
     dest = (base_part[sorted_assign] + pos_within // L) * L + pos_within % L
     src = jnp.full(n_parts * L, -1, jnp.int32).at[dest].set(order.astype(jnp.int32))
     ok = src >= 0
-    parts = jnp.where(
-        ok[:, None], live[jnp.maximum(src, 0)], 0.0
-    ).reshape(n_parts, L, live.shape[1])
     part_rows = jnp.where(ok, rows_global[jnp.maximum(src, 0)], -1).reshape(
         n_parts, L
     )
@@ -194,8 +192,76 @@ def _group_partitions(live, assign, cents, rows_global, *, c, L, n_parts):
     )
     route_cents = cents[jnp.minimum(cluster_of_part, c - 1)]
     cent_sq = jnp.sum(route_cents * route_cents, axis=1)
+    return route_cents, cent_sq, src, ok, part_rows
+
+
+@functools.partial(jax.jit, static_argnames=("c", "L", "n_parts"))
+def _group_partitions(live, assign, cents, rows_global, *, c, L, n_parts):
+    """f32 partition assembly: gather map + ONE row gather + norms."""
+    route_cents, cent_sq, src, ok, part_rows = _group_map(
+        assign, cents, rows_global, c=c, L=L, n_parts=n_parts
+    )
+    parts = jnp.where(
+        ok[:, None], live[jnp.maximum(src, 0)], 0.0
+    ).reshape(n_parts, L, live.shape[1])
     part_sq = jnp.sum(parts * parts, axis=2)
     return route_cents, cent_sq, parts, part_rows, part_sq
+
+
+@functools.partial(jax.jit, static_argnames=("c", "L", "n_parts"))
+def _group_partitions_sq8(codes, scale, minv, assign, cents, rows_global, *,
+                          c, L, n_parts):
+    """SQ8 partition assembly: codes stay uint8 end-to-end (a [P, L, D] f32
+    copy would be 4x the HBM — the whole point of quantized partitions);
+    per-partition deq norms computed blockwise."""
+    route_cents, cent_sq, src, ok, part_rows = _group_map(
+        assign, cents, rows_global, c=c, L=L, n_parts=n_parts
+    )
+    d = codes.shape[1]
+    safe = jnp.maximum(src, 0)
+    pcodes = jnp.where(
+        ok[:, None], codes[safe], jnp.uint8(0)
+    ).reshape(n_parts, L, d)
+    pscale = jnp.where(ok, scale[safe], 0.0).reshape(n_parts, L)
+    pminv = jnp.where(ok, minv[safe], 0.0).reshape(n_parts, L)
+
+    def body(_, blk):
+        cd, sc, mn = blk
+        deq = cd.astype(jnp.float32) * sc[:, None] + mn[:, None]
+        return None, jnp.sum(deq * deq, axis=1)
+
+    _, psq = jax.lax.scan(body, None, (pcodes, pscale, pminv))
+    return route_cents, cent_sq, pcodes, pscale, pminv, part_rows, psq
+
+
+@functools.partial(jax.jit, static_argnames=("s", "cosine"))
+def _assign_topk_sq8(codes, scale, minv, cents, *, s, cosine):
+    """Top-``s`` centroids per SQ8 row, dequantizing chunk-by-chunk (the
+    full f32 corpus never materializes)."""
+    n, d = codes.shape
+    cc = jnp.sum(cents * cents, axis=1)
+    chunk = min(_KM_CHUNK, n)
+    nc = -(-n // chunk)
+    pad = nc * chunk - n
+    codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
+    scale_p = jnp.pad(scale, (0, pad))
+    minv_p = jnp.pad(minv, (0, pad))
+
+    def body(_, blk):
+        cd, sc, mn = blk
+        x = cd.astype(jnp.float32) * sc[:, None] + mn[:, None]
+        if cosine:
+            x = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        aff = x @ cents.T - 0.5 * cc[None, :]
+        _, i = jax.lax.top_k(aff, s)
+        return None, i
+
+    _, idx = jax.lax.scan(
+        body, None,
+        (codes_p.reshape(nc, chunk, d), scale_p.reshape(nc, chunk),
+         minv_p.reshape(nc, chunk)),
+    )
+    return idx.reshape(-1, s)[:n]
 
 
 class IvfIndex:
@@ -231,19 +297,26 @@ class IvfIndex:
         self.part_len = 0
         self._centroids = None  # [C, D]
         self._cent_sq = None  # [C]
-        self._parts = None  # [C, L, D]
+        self._parts = None  # [C, L, D] f32 — or uint8 codes (sq8 storage)
+        self._part_scale = None  # [C, L] f32 (sq8 storage)
+        self._part_minv = None  # [C, L] f32 (sq8 storage)
         self._part_rows = None  # [C, L] int32 original row ids, -1 pad
-        self._part_sq = None  # [C, L] squared norms
+        self._part_sq = None  # [C, L] squared (deq) norms
         self._kmeans_cents = None  # [c, D] device — persistence recipe
         self._kmeans_c = 0
+        self.storage = "f32"  # 'sq8' when built from SQ8Vectors (4x rows)
         self._dirty = True
 
     # -- build ----------------------------------------------------------------
 
     def build(self, corpus, valid: np.ndarray | None = None) -> None:
-        if not isinstance(corpus, jax.Array):
+        if not isinstance(corpus, (jax.Array, SQ8Vectors)):
             corpus = np.asarray(corpus, np.float32)
-        n = corpus.shape[0]
+        n = (
+            corpus.codes.shape[0]
+            if isinstance(corpus, SQ8Vectors)
+            else corpus.shape[0]
+        )
         if valid is None:
             valid = np.ones(n, bool)
         rows = np.flatnonzero(valid)
@@ -257,6 +330,15 @@ class IvfIndex:
         c = self.n_clusters or max(1, min(len(rows) // 256, 8192))
         c = min(c, len(rows))
         self.c = c
+        if isinstance(corpus, SQ8Vectors):
+            # quantized-storage IVF (the ANN engine at one-chip capacity —
+            # 10M x 768D of codes fits where f32 cannot): kmeans trains on a
+            # dequantized SAMPLE; assignment + partitions stay uint8
+            self.storage = "sq8"
+            self._build_sq8(corpus, rows, c)
+            self._dirty = False
+            return
+        self.storage = "f32"
         if isinstance(corpus, jax.Array):  # device gather, zero host traffic
             live_dev = corpus[jnp.asarray(rows)].astype(jnp.float32)
         else:
@@ -271,6 +353,62 @@ class IvfIndex:
         self._kmeans_c = c
         self._assemble_partitions(live_dev, km_input, rows, cents, c, assign)
         self._dirty = False
+
+    def _build_sq8(self, sq: SQ8Vectors, rows: np.ndarray, c: int) -> None:
+        codes = jnp.asarray(sq.codes)[jnp.asarray(rows)]
+        scale = jnp.asarray(sq.scale, jnp.float32)[jnp.asarray(rows)]
+        minv = jnp.asarray(sq.minv, jnp.float32)[jnp.asarray(rows)]
+        n_live = codes.shape[0]
+        rng = np.random.default_rng(self.kmeans_seed)
+        take = min(262_144, n_live)
+        sample = jnp.asarray(rng.choice(n_live, size=take, replace=False))
+        deq_sample = (
+            codes[sample].astype(jnp.float32)
+            * scale[sample][:, None]
+            + minv[sample][:, None]
+        )
+        cosine = self.metric is DistanceMetric.COSINE
+        if cosine:
+            deq_sample = deq_sample / jnp.maximum(
+                jnp.linalg.norm(deq_sample, axis=1, keepdims=True), 1e-30
+            )
+        cents, _ = kmeans(
+            deq_sample, c, iters=self.kmeans_iters, seed=self.kmeans_seed,
+            train_sample=None,
+        )
+        self._kmeans_cents = cents
+        self._kmeans_c = c
+        self._assemble_sq8(codes, scale, minv, rows, cents, c)
+
+    def _assemble_sq8(self, codes, scale, minv, rows, cents, c) -> None:
+        cosine = self.metric is DistanceMetric.COSINE
+        s = min(self.spill, c) if self.spill > 1 else 1
+        top = _assign_topk_sq8(codes, scale, minv, cents, s=s, cosine=cosine)
+        if s > 1:
+            codes = jnp.tile(codes, (s, 1))
+            scale = jnp.tile(scale, (s,))
+            minv = jnp.tile(minv, (s,))
+            rows = np.tile(rows, s)
+            assign = jnp.concatenate([top[:, j] for j in range(s)])
+        else:
+            assign = top[:, 0]
+        L = _round_up(max(int(np.ceil(2 * len(rows) / c)), 8), 8)
+        self.part_len = L
+        n_parts = c + len(rows) // L + 1
+        self.c = n_parts
+        (
+            self._centroids,
+            self._cent_sq,
+            self._parts,
+            self._part_scale,
+            self._part_minv,
+            self._part_rows,
+            self._part_sq,
+        ) = _group_partitions_sq8(
+            codes, scale, minv, assign, cents,
+            jnp.asarray(rows.astype(np.int32)),
+            c=c, L=L, n_parts=n_parts,
+        )
 
     def _assemble_partitions(self, live_dev, km_input, rows, cents, c,
                              assign=None) -> None:
@@ -363,11 +501,16 @@ class IvfIndex:
             self.spill * k + 8 if self.spill > 1 else k,
             nprobe * self.part_len,
         )
+        parts = (
+            (self._parts, self._part_scale, self._part_minv)
+            if self.storage == "sq8"
+            else self._parts
+        )
         vals, idx = _ivf_search(
             qd,
             self._centroids,
             self._cent_sq,
-            self._parts,
+            parts,
             self._part_rows,
             self._part_sq,
             mask_dev,
@@ -403,6 +546,7 @@ class IvfIndex:
             metric=self.metric.value,
             version=version,
             spill=self.spill,
+            storage=self.storage,
         )
 
     def load(self, path: str, corpus: np.ndarray, valid: np.ndarray,
@@ -411,17 +555,40 @@ class IvfIndex:
             return False
         data = np.load(path)
         if (
-            int(data["n"]) != corpus.shape[0]
-            or str(data["metric"]) != self.metric.value
+            str(data["metric"]) != self.metric.value
             or int(data["version"]) != version
             or "kmeans_cents" not in data  # legacy part_rows artifact
         ):
             return False
-        self.n = corpus.shape[0]
+        saved_storage = str(data["storage"]) if "storage" in data else "f32"
+        if saved_storage != ("sq8" if isinstance(corpus, SQ8Vectors) else "f32"):
+            return False  # storage mode changed: rebuild
+        self.n = (
+            corpus.codes.shape[0]
+            if isinstance(corpus, SQ8Vectors)
+            else corpus.shape[0]
+        )
+        if int(data["n"]) != self.n:
+            return False
         self.spill = int(data["spill"]) if "spill" in data else 1
         rows = np.flatnonzero(np.asarray(valid, bool)[: self.n])
         if len(rows) == 0:
             return False
+        cents = jax.device_put(jnp.asarray(data["kmeans_cents"], jnp.float32))
+        self._kmeans_cents = cents
+        self._kmeans_c = int(data["kmeans_c"])
+        if isinstance(corpus, SQ8Vectors):
+            self.storage = "sq8"
+            ridx = jnp.asarray(rows)
+            self._assemble_sq8(
+                jnp.asarray(corpus.codes)[ridx],
+                jnp.asarray(corpus.scale, jnp.float32)[ridx],
+                jnp.asarray(corpus.minv, jnp.float32)[ridx],
+                rows, cents, self._kmeans_c,
+            )
+            self._dirty = False
+            return True
+        self.storage = "f32"
         if isinstance(corpus, jax.Array):
             live_dev = corpus[jnp.asarray(rows)].astype(jnp.float32)
         else:
@@ -431,9 +598,6 @@ class IvfIndex:
             km_input = live_dev / jnp.maximum(nrm, 1e-30)
         else:
             km_input = live_dev
-        cents = jax.device_put(jnp.asarray(data["kmeans_cents"], jnp.float32))
-        self._kmeans_cents = cents
-        self._kmeans_c = int(data["kmeans_c"])
         self._assemble_partitions(
             live_dev, km_input, rows, cents, self._kmeans_c
         )
@@ -455,11 +619,19 @@ def _dedup_topk(vals, idx, *, k, higher_is_better):
 
 def ivf_search_impl(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
                     k, nprobe, metric, exclude_rows=None):
+    """``parts`` is either ``[C, L, D] f32`` or a ``(codes u8, scale, minv)``
+    triple (SQ8 storage — probes gather 1/4 the bytes and score via the
+    rank-1 affine identity on the MXU)."""
+    quant = isinstance(parts, tuple)
     b, d = q.shape
     if metric is DistanceMetric.COSINE:
         qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     else:
         qn = q
+    if quant:
+        pcodes, pscale, pminv = parts
+        qsum = jnp.sum(qn, axis=1, keepdims=True)  # [B, 1]
+        qb = qn.astype(jnp.bfloat16)
     # route: centroid affinity (L2-equivalent for euclidean, dot for MIPS)
     route = qn @ cents.T
     if metric is DistanceMetric.EUCLIDEAN:
@@ -472,9 +644,18 @@ def ivf_search_impl(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
     def body(carry, p):
         rv, ri = carry
         pid = probe[:, p]  # [B]
-        blk = parts[pid]  # [B, L, D]
         rows = part_rows[pid]  # [B, L]
-        dots = jnp.einsum("bd,bld->bl", qn, blk, preferred_element_type=jnp.float32)
+        if quant:
+            blk = pcodes[pid].astype(jnp.bfloat16)  # ints <=255 exact
+            code_dot = jnp.einsum(
+                "bd,bld->bl", qb, blk, preferred_element_type=jnp.float32
+            )
+            dots = code_dot * pscale[pid] + qsum * pminv[pid]
+        else:
+            blk = parts[pid]  # [B, L, D]
+            dots = jnp.einsum(
+                "bd,bld->bl", qn, blk, preferred_element_type=jnp.float32
+            )
         if metric is DistanceMetric.COSINE:
             nrm = jnp.sqrt(jnp.maximum(part_sq[pid], 1e-30))
             s = dots / nrm
