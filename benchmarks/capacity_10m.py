@@ -153,6 +153,66 @@ def main():
         results[f"qps_b{batch}"] = round(iters * batch / min(samples))
         print(f"[cap] b={batch}: {results[f'qps_b{batch}']:,} QPS",
               file=sys.stderr, flush=True)
+
+    # SQ8-storage IVF: the sub-linear engine at capacity (uint8 partitions,
+    # pack_factor=1.2 keeps slots ~2.2x rows). Built over the first
+    # CAP_IVF_N rows so source codes + partitions co-reside in HBM.
+    n_ivf = int(os.environ.get("CAP_IVF_N", min(N, 5_000_000)))
+    from velesdb_tpu.index.ivf import IvfIndex, ivf_search_impl
+
+    t0 = time.time()
+    ivf = IvfIndex(D, DistanceMetric.EUCLIDEAN, pack_factor=1.2)
+    ivf.build(SQ8Vectors(codes[:n_ivf], scale[:n_ivf], minv[:n_ivf]))
+    jax.block_until_ready(ivf._parts)
+    nprobe = ivf.nprobe_for(128)
+    print(f"[cap] sq8-ivf build {time.time()-t0:.0f}s n={n_ivf:,} "
+          f"parts={ivf.c}x{ivf.part_len} "
+          f"({ivf._parts.nbytes/2**30:.1f}GB) nprobe={nprobe}",
+          file=sys.stderr, flush=True)
+    in_range = plant < n_ivf
+    _, idx = ivf.search(np.asarray(queries)[in_range], K, nprobe=nprobe)
+    acc_ivf = float(np.mean(np.asarray(idx)[:, 0] == plant[in_range]))
+    results["ivf_n"] = n_ivf
+    results["ivf_nprobe"] = nprobe
+    results["ivf_top1_planted"] = acc_ivf
+    print(f"[cap] sq8-ivf planted top-1 {acc_ivf:.4f}",
+          file=sys.stderr, flush=True)
+    _jivf = functools.partial(
+        jax.jit, static_argnames=("k", "nprobe", "metric")
+    )(ivf_search_impl)
+    for batch in (256, 16):
+        iters = 16
+        qbig = np.resize(np.asarray(queries), (iters * batch, D)).astype(
+            np.float32
+        )
+        qbig += rng.standard_normal(qbig.shape).astype(np.float32) * 0.01
+        qs = jnp.asarray(qbig.reshape(iters, batch, D))
+
+        @jax.jit
+        def run_ivf(qs, pc, psc, pmn, cents, csq, prow, psq):
+            def body(_, q):
+                v, i = _jivf(
+                    q, cents, csq, (pc, psc, pmn), prow, psq, None,
+                    k=K, nprobe=nprobe, metric=DistanceMetric.EUCLIDEAN,
+                )
+                return None, (v[0, 0], i[0, 0])
+
+            _, outs = jax.lax.scan(body, None, qs)
+            return outs
+
+        args = (ivf._parts, ivf._part_scale, ivf._part_minv, ivf._centroids,
+                ivf._cent_sq, ivf._part_rows, ivf._part_sq)
+        jax.block_until_ready(run_ivf(qs, *args))
+        samples = []
+        for s in range(3):
+            qs_s = jax.block_until_ready(jnp.roll(qs, 1 + 5 * s, axis=0))
+            t0 = time.perf_counter()
+            outs = run_ivf(qs_s, *args)
+            np.asarray(outs[0])
+            samples.append(time.perf_counter() - t0)
+        results[f"ivf_qps_b{batch}"] = round(iters * batch / min(samples))
+        print(f"[cap] sq8-ivf b={batch}: {results[f'ivf_qps_b{batch}']:,} QPS",
+              file=sys.stderr, flush=True)
     print(json.dumps(results))
 
 

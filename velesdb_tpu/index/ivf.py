@@ -275,6 +275,7 @@ class IvfIndex:
         kmeans_iters: int = 8,
         kmeans_seed: int = 0,
         spill: int = 1,
+        pack_factor: float = 2.0,
     ):
         self.dim = dim
         self.metric = DistanceMetric.parse(metric)
@@ -292,6 +293,11 @@ class IvfIndex:
         # kmeans cell boundaries cutting true neighborhoods are THE recall
         # limiter on this probing scheme). Search dedups duplicates.
         self.spill = max(1, int(spill))
+        # partition slot budget: L = pack_factor * mean occupancy. Total
+        # slots ~ (1 + pack_factor/2) * 1.5... precisely c*L + N_rows: 2.0
+        # (default) wastes ~2x N for near-zero split counts; capacity
+        # deployments use 1.0-1.2 (more splits, same routing exactness)
+        self.pack_factor = float(pack_factor)
         self.n = 0
         self.c = 0
         self.part_len = 0
@@ -392,7 +398,9 @@ class IvfIndex:
             assign = jnp.concatenate([top[:, j] for j in range(s)])
         else:
             assign = top[:, 0]
-        L = _round_up(max(int(np.ceil(2 * len(rows) / c)), 8), 8)
+        L = _round_up(
+            max(int(np.ceil(self.pack_factor * len(rows) / c)), 8), 8
+        )
         self.part_len = L
         n_parts = c + len(rows) // L + 1
         self.c = n_parts
@@ -434,7 +442,9 @@ class IvfIndex:
         # waste to ~2x mean occupancy while keeping routing exact; the
         # partition count upper bound C + N/L + 1 keeps shapes static
         # (surplus partitions duplicate centroid 0 with no rows — harmless).
-        L = _round_up(max(int(np.ceil(2 * len(rows) / c)), 8), 8)
+        L = _round_up(
+            max(int(np.ceil(self.pack_factor * len(rows) / c)), 8), 8
+        )
         self.part_len = L
         n_parts = c + len(rows) // L + 1
         self.c = n_parts
