@@ -41,8 +41,8 @@ def main():
     n_pad = ((N + CHUNK - 1) // CHUNK) * CHUNK
     nc = n_pad // CHUNK
 
-    @functools.partial(jax.jit, static_argnames=())
-    def gen_quantized(seed):
+    @functools.partial(jax.jit, static_argnames=("rows", "chunk"))
+    def gen_quantized(seed, rows=n_pad, chunk=CHUNK):
         """Generate clustered rows chunk-by-chunk, quantize, store uint8."""
         key = jax.random.key(seed)
         kc, key = jax.random.split(key)
@@ -51,54 +51,131 @@ def main():
         def body(i, state):
             codes, scale, minv = state
             k1, k2 = jax.random.split(jax.random.fold_in(key, i))
-            assign = jax.random.randint(k1, (CHUNK,), 0, 64)
-            x = centers[assign] + jax.random.normal(k2, (CHUNK, D)) * 0.7
+            assign = jax.random.randint(k1, (chunk,), 0, 64)
+            x = centers[assign] + jax.random.normal(k2, (chunk, D)) * 0.7
             lo = jnp.min(x, axis=1)
             hi = jnp.max(x, axis=1)
             sc = jnp.maximum((hi - lo) / 255.0, 1e-12)
             cd = jnp.clip(
                 jnp.round((x - lo[:, None]) / sc[:, None]), 0, 255
             ).astype(jnp.uint8)
-            codes = jax.lax.dynamic_update_slice(codes, cd, (i * CHUNK, 0))
-            scale = jax.lax.dynamic_update_slice(scale, sc, (i * CHUNK,))
-            minv = jax.lax.dynamic_update_slice(minv, lo, (i * CHUNK,))
+            codes = jax.lax.dynamic_update_slice(codes, cd, (i * chunk, 0))
+            scale = jax.lax.dynamic_update_slice(scale, sc, (i * chunk,))
+            minv = jax.lax.dynamic_update_slice(minv, lo, (i * chunk,))
             return codes, scale, minv
 
         init = (
-            jnp.zeros((n_pad, D), jnp.uint8),
-            jnp.ones(n_pad, jnp.float32),
-            jnp.zeros(n_pad, jnp.float32),
+            jnp.zeros((rows, D), jnp.uint8),
+            jnp.ones(rows, jnp.float32),
+            jnp.zeros(rows, jnp.float32),
         )
-        return jax.lax.fori_loop(0, nc, body, init), centers
+        return jax.lax.fori_loop(0, rows // chunk, body, init), centers
 
-    t0 = time.time()
-    (codes, scale, minv), centers = gen_quantized(0)
-    jax.block_until_ready(codes)
-    gen_s = time.time() - t0
-    print(f"[cap] generated+quantized {N:,} x {D} in {gen_s:.0f}s "
-          f"({codes.nbytes/2**30:.1f}GB codes)", file=sys.stderr, flush=True)
-
-    # corpus norms for euclidean scoring (chunked, on device)
-    @jax.jit
-    def norms(codes, scale, minv):
-        def body(_, blk_i):
-            cd, sc, mn = blk_i
-            deq = cd.astype(jnp.float32) * sc[:, None] + mn[:, None]
-            return None, jnp.sum(deq * deq, axis=1)
-
-        _, out = jax.lax.scan(
-            body, None,
-            (codes.reshape(nc, CHUNK, D), scale.reshape(nc, CHUNK),
-             minv.reshape(nc, CHUNK)),
-        )
-        return out.reshape(-1)
-
-    cnorm = jax.block_until_ready(norms(codes, scale, minv))
-    valid = jnp.arange(n_pad) < N
-
-    # planted queries: dequantized stored rows + small noise
+    only_ivf = bool(os.environ.get("CAP_ONLY_IVF"))
     rng = np.random.default_rng(7)
-    plant = rng.integers(0, N, 256)
+    results = {"n": N, "d": D, "mode": "sq8"}
+    if not only_ivf:
+        t0 = time.time()
+        (codes, scale, minv), centers = gen_quantized(0)
+        jax.block_until_ready(codes)
+        gen_s = time.time() - t0
+        print(f"[cap] generated+quantized {N:,} x {D} in {gen_s:.0f}s "
+              f"({codes.nbytes/2**30:.1f}GB codes)", file=sys.stderr, flush=True)
+
+        # corpus norms for euclidean scoring (chunked, on device)
+        @jax.jit
+        def norms(codes, scale, minv):
+            def body(_, blk_i):
+                cd, sc, mn = blk_i
+                deq = cd.astype(jnp.float32) * sc[:, None] + mn[:, None]
+                return None, jnp.sum(deq * deq, axis=1)
+
+            _, out = jax.lax.scan(
+                body, None,
+                (codes.reshape(nc, CHUNK, D), scale.reshape(nc, CHUNK),
+                 minv.reshape(nc, CHUNK)),
+            )
+            return out.reshape(-1)
+
+        cnorm = jax.block_until_ready(norms(codes, scale, minv))
+        valid = jnp.arange(n_pad) < N
+
+        # planted queries: dequantized stored rows + small noise
+        rng = np.random.default_rng(7)
+        plant = rng.integers(0, N, 256)
+        plant_dev = jnp.asarray(plant)
+        deq_rows = (
+            codes[plant_dev].astype(jnp.float32)
+            * scale[plant_dev][:, None]
+            + minv[plant_dev][:, None]
+        )
+        queries = deq_rows + 0.05 * jnp.asarray(
+            rng.standard_normal((256, D)).astype(np.float32)
+        )
+
+        sq = SQ8Vectors(codes, scale, minv)
+        t0 = time.time()
+        vals, idx = _sq8_streamed_entry(
+            queries, codes, scale, minv, cnorm, valid,
+            k=K, metric=DistanceMetric.EUCLIDEAN, chunk=65536, approx=True,
+        )
+        idx = np.asarray(idx)
+        acc = float(np.mean(idx[:, 0] == plant))
+        print(f"[cap] planted top-1 accuracy {acc:.4f} "
+              f"(first search {time.time()-t0:.0f}s incl compile)",
+              file=sys.stderr, flush=True)
+
+        results = {"n": N, "d": D, "mode": "sq8", "hbm_gb": round(codes.nbytes / 2**30, 1),
+                   "top1_planted": acc, "gen_s": round(gen_s, 1)}
+        for batch in (256, 16):
+            iters = 16
+            qbig = np.resize(np.asarray(queries), (iters * batch, D)).astype(np.float32)
+            qbig += rng.standard_normal(qbig.shape).astype(np.float32) * 0.01
+            qs = jnp.asarray(qbig.reshape(iters, batch, D))
+
+            @jax.jit
+            def run_many(qs, codes, scale, minv, cnorm, valid):
+                def body(_, q):
+                    v, i = _sq8_streamed_entry(
+                        q, codes, scale, minv, cnorm, valid, k=K,
+                        metric=DistanceMetric.EUCLIDEAN, chunk=65536, approx=True,
+                    )
+                    return None, (v[0, 0], i[0, 0])
+
+                _, outs = jax.lax.scan(body, None, qs)
+                return outs
+
+            args = (codes, scale, minv, cnorm, valid)
+            jax.block_until_ready(run_many(qs, *args))
+            samples = []
+            for s in range(3):
+                qs_s = jax.block_until_ready(jnp.roll(qs, 1 + 5 * s, axis=0))
+                t0 = time.perf_counter()
+                outs = run_many(qs_s, *args)
+                np.asarray(outs[0])
+                samples.append(time.perf_counter() - t0)
+            results[f"qps_b{batch}"] = round(iters * batch / min(samples))
+            print(f"[cap] b={batch}: {results[f'qps_b{batch}']:,} QPS",
+                  file=sys.stderr, flush=True)
+
+    # SQ8-storage IVF: the sub-linear engine at capacity (uint8 partitions,
+    # pack_factor=1.2 keeps slots ~2.2x rows). The 10M streamed corpus +
+    # 5M source slice + partitions exceed 16GB HBM, so this phase frees the
+    # streamed state and regenerates a fresh CAP_IVF_N-row corpus (gen is
+    # ~2s on device) — source codes + partitions then co-reside fine.
+    n_ivf = int(os.environ.get("CAP_IVF_N", min(N, 5_000_000)))
+    from velesdb_tpu.index.ivf import IvfIndex, ivf_search_impl
+
+    if not only_ivf:
+        del codes, scale, minv, cnorm, valid, sq, deq_rows, queries, qs
+        del args, outs
+    ivf_chunk = 125_000  # divides 5M: no padding rows to exclude from build
+    n_ivf = (n_ivf // ivf_chunk) * ivf_chunk
+    (codes, scale, minv), centers = gen_quantized(
+        0, rows=n_ivf, chunk=ivf_chunk
+    )
+    jax.block_until_ready(codes)
+    plant = rng.integers(0, n_ivf, 256)
     plant_dev = jnp.asarray(plant)
     deq_rows = (
         codes[plant_dev].astype(jnp.float32)
@@ -109,79 +186,33 @@ def main():
         rng.standard_normal((256, D)).astype(np.float32)
     )
 
-    sq = SQ8Vectors(codes, scale, minv)
-    t0 = time.time()
-    vals, idx = _sq8_streamed_entry(
-        queries, codes, scale, minv, cnorm, valid,
-        k=K, metric=DistanceMetric.EUCLIDEAN, chunk=65536, approx=True,
-    )
-    idx = np.asarray(idx)
-    acc = float(np.mean(idx[:, 0] == plant))
-    print(f"[cap] planted top-1 accuracy {acc:.4f} "
-          f"(first search {time.time()-t0:.0f}s incl compile)",
-          file=sys.stderr, flush=True)
-
-    results = {"n": N, "d": D, "mode": "sq8", "hbm_gb": round(codes.nbytes / 2**30, 1),
-               "top1_planted": acc, "gen_s": round(gen_s, 1)}
-    for batch in (256, 16):
-        iters = 16
-        qbig = np.resize(np.asarray(queries), (iters * batch, D)).astype(np.float32)
-        qbig += rng.standard_normal(qbig.shape).astype(np.float32) * 0.01
-        qs = jnp.asarray(qbig.reshape(iters, batch, D))
-
-        @jax.jit
-        def run_many(qs, codes, scale, minv, cnorm, valid):
-            def body(_, q):
-                v, i = _sq8_streamed_entry(
-                    q, codes, scale, minv, cnorm, valid, k=K,
-                    metric=DistanceMetric.EUCLIDEAN, chunk=65536, approx=True,
-                )
-                return None, (v[0, 0], i[0, 0])
-
-            _, outs = jax.lax.scan(body, None, qs)
-            return outs
-
-        args = (codes, scale, minv, cnorm, valid)
-        jax.block_until_ready(run_many(qs, *args))
-        samples = []
-        for s in range(3):
-            qs_s = jax.block_until_ready(jnp.roll(qs, 1 + 5 * s, axis=0))
-            t0 = time.perf_counter()
-            outs = run_many(qs_s, *args)
-            np.asarray(outs[0])
-            samples.append(time.perf_counter() - t0)
-        results[f"qps_b{batch}"] = round(iters * batch / min(samples))
-        print(f"[cap] b={batch}: {results[f'qps_b{batch}']:,} QPS",
-              file=sys.stderr, flush=True)
-
-    # SQ8-storage IVF: the sub-linear engine at capacity (uint8 partitions,
-    # pack_factor=1.2 keeps slots ~2.2x rows). Built over the first
-    # CAP_IVF_N rows so source codes + partitions co-reside in HBM.
-    n_ivf = int(os.environ.get("CAP_IVF_N", min(N, 5_000_000)))
-    from velesdb_tpu.index.ivf import IvfIndex, ivf_search_impl
-
     t0 = time.time()
     ivf = IvfIndex(D, DistanceMetric.EUCLIDEAN, pack_factor=1.2)
-    ivf.build(SQ8Vectors(codes[:n_ivf], scale[:n_ivf], minv[:n_ivf]))
+    ivf.build(SQ8Vectors(codes, scale, minv))
     jax.block_until_ready(ivf._parts)
     nprobe = ivf.nprobe_for(128)
     print(f"[cap] sq8-ivf build {time.time()-t0:.0f}s n={n_ivf:,} "
           f"parts={ivf.c}x{ivf.part_len} "
           f"({ivf._parts.nbytes/2**30:.1f}GB) nprobe={nprobe}",
           file=sys.stderr, flush=True)
-    in_range = plant < n_ivf
-    _, idx = ivf.search(np.asarray(queries)[in_range], K, nprobe=nprobe)
-    acc_ivf = float(np.mean(np.asarray(idx)[:, 0] == plant[in_range]))
+    del codes, scale, minv
+    _, idx = ivf.search(np.asarray(queries), K, nprobe=nprobe)
+    acc_ivf = float(np.mean(np.asarray(idx)[:, 0] == plant))
     results["ivf_n"] = n_ivf
     results["ivf_nprobe"] = nprobe
     results["ivf_top1_planted"] = acc_ivf
     print(f"[cap] sq8-ivf planted top-1 {acc_ivf:.4f}",
           file=sys.stderr, flush=True)
+    # IVF at capacity is the SMALL-BATCH engine: per-query probe coverage
+    # (3.46% of 5M = 133MB/query) exceeds the whole-corpus stream once the
+    # batch shares the scan (b=256 would gather 34GB/batch vs 3.6GB corpus).
+    # Small dispatches too: one b=16 batch still gathers ~2GB, so a
+    # 16-iter scan would run minutes and trip the device watchdog.
     _jivf = functools.partial(
         jax.jit, static_argnames=("k", "nprobe", "metric")
     )(ivf_search_impl)
-    for batch in (256, 16):
-        iters = 16
+    for batch in (16, 4):
+        iters = 4
         qbig = np.resize(np.asarray(queries), (iters * batch, D)).astype(
             np.float32
         )

@@ -244,3 +244,48 @@ def test_sq8_collection_uses_quantized_ivf(tmp_db_dir, rng):
     hits = c.search_batch(base[:4] + 0.001, 5)
     assert [h[0].id for h in hits] == [0, 1, 2, 3]
     db.close()
+
+
+def test_exact_partition_count(rng):
+    """The partition count is the exact sum of per-cluster splits, not the
+    static worst-case bound c + n//L + 1 (which allocates ~2x the slots at
+    capacity — every cluster would have to overflow simultaneously)."""
+    n, d, c = 6000, 16, 24
+    corpus = _clustered(rng, n, d, c=8)  # skewed: 8 real modes, 24 clusters
+    idx = IvfIndex(d, DistanceMetric.EUCLIDEAN, n_clusters=c)
+    idx.build(corpus)
+    L = idx.part_len
+    worst = c + n // L + 1
+    assert idx.c < worst, (idx.c, worst)
+    # every live row present exactly once across partitions
+    rows = np.asarray(idx._part_rows).reshape(-1)
+    live = rows[rows >= 0]
+    assert len(live) == n
+    assert len(set(live.tolist())) == n
+    # full-probe search still exact
+    queries = _clustered(rng, 32, d, c=8)
+    _, got = idx.search(queries, 10, nprobe=idx.c)
+    _, gt = brute_force_topk(queries, corpus, 10, DistanceMetric.EUCLIDEAN)
+    got = np.asarray(got)
+    hits = sum(len(set(got[i]) & set(gt[i])) for i in range(len(queries)))
+    assert hits / (len(queries) * 10) >= 0.999
+
+
+def test_pack_factor_tightens_slots(rng):
+    """pack_factor < 2 shrinks the slot budget (capacity deployments) while
+    keeping search exact at full probe."""
+    n, d = 4000, 16
+    corpus = _clustered(rng, n, d)
+    loose = IvfIndex(d, DistanceMetric.EUCLIDEAN, n_clusters=16)
+    loose.build(corpus)
+    tight = IvfIndex(
+        d, DistanceMetric.EUCLIDEAN, n_clusters=16, pack_factor=1.1
+    )
+    tight.build(corpus)
+    assert tight.c * tight.part_len < loose.c * loose.part_len
+    queries = _clustered(rng, 16, d)
+    _, got = tight.search(queries, 10, nprobe=tight.c)
+    _, gt = brute_force_topk(queries, corpus, 10, DistanceMetric.EUCLIDEAN)
+    got = np.asarray(got)
+    hits = sum(len(set(got[i]) & set(gt[i])) for i in range(len(queries)))
+    assert hits / (len(queries) * 10) >= 0.999

@@ -195,16 +195,64 @@ def _group_map(assign, cents, rows_global, *, c, L, n_parts):
     return route_cents, cent_sq, src, ok, part_rows
 
 
+def _exact_n_parts(assign, c: int, L: int) -> int:
+    """Actual partition count: every cluster owns ceil(count/L) >= 1
+    partitions. ONE scalar D2H readback at build time replaces the static
+    worst-case bound ``c + n//L + 1`` (every cluster splitting), which at
+    capacity allocates ~2x the slots actually used — e.g. 14,986 vs ~10K
+    partitions (7.9GB vs ~5.3GB) on a 5M x 768D SQ8 build. Reassembly at
+    load recomputes the same assignment, so the count stays deterministic."""
+    counts = jnp.bincount(assign, length=c)
+    return int(jnp.sum(jnp.maximum(-(-counts // L), 1)))
+
+
+def _parts_per_block(L: int, n_parts: int) -> int:
+    """Partitions gathered per assembly step: bounds the gather intermediate
+    to ~256K rows (192MB u8 @768D) so a capacity-scale build never
+    materializes the whole ``[P*L, D]`` payload twice."""
+    return min(n_parts, max(1, 262_144 // max(L, 1)))
+
+
 @functools.partial(jax.jit, static_argnames=("c", "L", "n_parts"))
 def _group_partitions(live, assign, cents, rows_global, *, c, L, n_parts):
-    """f32 partition assembly: gather map + ONE row gather + norms."""
+    """f32 partition assembly: gather map + blocked row gathers + norms.
+
+    The payload gather runs blockwise into a scan carry (XLA aliases carry
+    buffers in place), so peak HBM is source + destination + one ~block —
+    NOT source + a second full-size gather intermediate + destination,
+    which OOMs a 16GB chip at 5M-row builds."""
     route_cents, cent_sq, src, ok, part_rows = _group_map(
         assign, cents, rows_global, c=c, L=L, n_parts=n_parts
     )
-    parts = jnp.where(
-        ok[:, None], live[jnp.maximum(src, 0)], 0.0
-    ).reshape(n_parts, L, live.shape[1])
-    part_sq = jnp.sum(parts * parts, axis=2)
+    d = live.shape[1]
+    safe = jnp.maximum(src, 0).reshape(n_parts, L)
+    okr = ok.reshape(n_parts, L)
+    pb = _parts_per_block(L, n_parts)
+    nb = -(-n_parts // pb)
+
+    def body(carry, i):
+        parts, psq = carry
+        start = jnp.minimum(i * pb, n_parts - pb)  # tail overlap: same data
+        s_i = jax.lax.dynamic_slice(safe, (start, 0), (pb, L)).reshape(-1)
+        o_i = jax.lax.dynamic_slice(okr, (start, 0), (pb, L)).reshape(-1)
+        blk = jnp.where(o_i[:, None], live[s_i], 0.0)
+        sq_i = jnp.sum(blk * blk, axis=1)
+        parts = jax.lax.dynamic_update_slice(
+            parts, blk.reshape(pb, L, d), (start, 0, 0)
+        )
+        psq = jax.lax.dynamic_update_slice(
+            psq, sq_i.reshape(pb, L), (start, 0)
+        )
+        return (parts, psq), None
+
+    (parts, part_sq), _ = jax.lax.scan(
+        body,
+        (
+            jnp.zeros((n_parts, L, d), live.dtype),
+            jnp.zeros((n_parts, L), jnp.float32),
+        ),
+        jnp.arange(nb),
+    )
     return route_cents, cent_sq, parts, part_rows, part_sq
 
 
@@ -213,24 +261,46 @@ def _group_partitions_sq8(codes, scale, minv, assign, cents, rows_global, *,
                           c, L, n_parts):
     """SQ8 partition assembly: codes stay uint8 end-to-end (a [P, L, D] f32
     copy would be 4x the HBM — the whole point of quantized partitions);
-    per-partition deq norms computed blockwise."""
+    payload gathered blockwise into the scan carry (see
+    :func:`_group_partitions` — same peak-HBM reasoning, which is what lets
+    a 5M x 768D quantized build fit next to its source codes)."""
     route_cents, cent_sq, src, ok, part_rows = _group_map(
         assign, cents, rows_global, c=c, L=L, n_parts=n_parts
     )
     d = codes.shape[1]
-    safe = jnp.maximum(src, 0)
-    pcodes = jnp.where(
-        ok[:, None], codes[safe], jnp.uint8(0)
-    ).reshape(n_parts, L, d)
-    pscale = jnp.where(ok, scale[safe], 0.0).reshape(n_parts, L)
-    pminv = jnp.where(ok, minv[safe], 0.0).reshape(n_parts, L)
+    safe = jnp.maximum(src, 0).reshape(n_parts, L)
+    okr = ok.reshape(n_parts, L)
+    pscale = jnp.where(okr, scale[safe.reshape(-1)].reshape(n_parts, L), 0.0)
+    pminv = jnp.where(okr, minv[safe.reshape(-1)].reshape(n_parts, L), 0.0)
+    pb = _parts_per_block(L, n_parts)
+    nb = -(-n_parts // pb)
 
-    def body(_, blk):
-        cd, sc, mn = blk
-        deq = cd.astype(jnp.float32) * sc[:, None] + mn[:, None]
-        return None, jnp.sum(deq * deq, axis=1)
+    def body(carry, i):
+        pcodes, psq = carry
+        start = jnp.minimum(i * pb, n_parts - pb)  # tail overlap: same data
+        s_i = jax.lax.dynamic_slice(safe, (start, 0), (pb, L)).reshape(-1)
+        o_i = jax.lax.dynamic_slice(okr, (start, 0), (pb, L)).reshape(-1)
+        sc_i = jax.lax.dynamic_slice(pscale, (start, 0), (pb, L)).reshape(-1)
+        mn_i = jax.lax.dynamic_slice(pminv, (start, 0), (pb, L)).reshape(-1)
+        cd = jnp.where(o_i[:, None], codes[s_i], jnp.uint8(0))
+        deq = cd.astype(jnp.float32) * sc_i[:, None] + mn_i[:, None]
+        sq_i = jnp.sum(deq * deq, axis=1)
+        pcodes = jax.lax.dynamic_update_slice(
+            pcodes, cd.reshape(pb, L, d), (start, 0, 0)
+        )
+        psq = jax.lax.dynamic_update_slice(
+            psq, sq_i.reshape(pb, L), (start, 0)
+        )
+        return (pcodes, psq), None
 
-    _, psq = jax.lax.scan(body, None, (pcodes, pscale, pminv))
+    (pcodes, psq), _ = jax.lax.scan(
+        body,
+        (
+            jnp.zeros((n_parts, L, d), jnp.uint8),
+            jnp.zeros((n_parts, L), jnp.float32),
+        ),
+        jnp.arange(nb),
+    )
     return route_cents, cent_sq, pcodes, pscale, pminv, part_rows, psq
 
 
@@ -346,7 +416,10 @@ class IvfIndex:
             return
         self.storage = "f32"
         if isinstance(corpus, jax.Array):  # device gather, zero host traffic
-            live_dev = corpus[jnp.asarray(rows)].astype(jnp.float32)
+            if len(rows) == corpus.shape[0]:  # all-true mask: rows is arange
+                live_dev = corpus.astype(jnp.float32)
+            else:
+                live_dev = corpus[jnp.asarray(rows)].astype(jnp.float32)
         else:
             live_dev = jax.device_put(jnp.asarray(corpus[rows]))  # ONE transfer
         if self.metric is DistanceMetric.COSINE:
@@ -361,9 +434,17 @@ class IvfIndex:
         self._dirty = False
 
     def _build_sq8(self, sq: SQ8Vectors, rows: np.ndarray, c: int) -> None:
-        codes = jnp.asarray(sq.codes)[jnp.asarray(rows)]
-        scale = jnp.asarray(sq.scale, jnp.float32)[jnp.asarray(rows)]
-        minv = jnp.asarray(sq.minv, jnp.float32)[jnp.asarray(rows)]
+        if len(rows) == sq.codes.shape[0]:
+            # flatnonzero over an all-true mask — rows IS arange(n); skip
+            # the row gather (a full-corpus copy that matters at capacity:
+            # 3.6GB extra at 5M x 768D)
+            codes = jnp.asarray(sq.codes)
+            scale = jnp.asarray(sq.scale, jnp.float32)
+            minv = jnp.asarray(sq.minv, jnp.float32)
+        else:
+            codes = jnp.asarray(sq.codes)[jnp.asarray(rows)]
+            scale = jnp.asarray(sq.scale, jnp.float32)[jnp.asarray(rows)]
+            minv = jnp.asarray(sq.minv, jnp.float32)[jnp.asarray(rows)]
         n_live = codes.shape[0]
         rng = np.random.default_rng(self.kmeans_seed)
         take = min(262_144, n_live)
@@ -402,7 +483,7 @@ class IvfIndex:
             max(int(np.ceil(self.pack_factor * len(rows) / c)), 8), 8
         )
         self.part_len = L
-        n_parts = c + len(rows) // L + 1
+        n_parts = _exact_n_parts(assign, c, L)
         self.c = n_parts
         (
             self._centroids,
@@ -439,14 +520,14 @@ class IvfIndex:
         # DEVICE (the [n_parts, L, D] tensor never exists on the host — at
         # 1M x 128D that is >1GB of round trip). Skewed clusters split into
         # several partitions that SHARE a routing centroid, bounding padding
-        # waste to ~2x mean occupancy while keeping routing exact; the
-        # partition count upper bound C + N/L + 1 keeps shapes static
-        # (surplus partitions duplicate centroid 0 with no rows — harmless).
+        # waste to ~pack_factor x mean occupancy while keeping routing
+        # exact; the partition count is the EXACT sum of per-cluster splits
+        # (one scalar readback — see _exact_n_parts).
         L = _round_up(
             max(int(np.ceil(self.pack_factor * len(rows) / c)), 8), 8
         )
         self.part_len = L
-        n_parts = c + len(rows) // L + 1
+        n_parts = _exact_n_parts(assign, c, L)
         self.c = n_parts
         (
             self._centroids,
@@ -496,7 +577,7 @@ class IvfIndex:
         """Returns ``(values [B, k], row_indices [B, k])`` best-first."""
         q = np.atleast_2d(np.asarray(queries, np.float32))
         b = q.shape[0]
-        nprobe = nprobe or self.nprobe_for(ef, quality)
+        nprobe = min(nprobe or self.nprobe_for(ef, quality), self.c)
         b_pad = _round_up(b, 8)
         qd = jnp.asarray(np.pad(q, ((0, b_pad - b), (0, 0))))
         mask_dev = None
@@ -600,7 +681,10 @@ class IvfIndex:
             return True
         self.storage = "f32"
         if isinstance(corpus, jax.Array):
-            live_dev = corpus[jnp.asarray(rows)].astype(jnp.float32)
+            if len(rows) == corpus.shape[0]:  # all-true mask: rows is arange
+                live_dev = corpus.astype(jnp.float32)
+            else:
+                live_dev = corpus[jnp.asarray(rows)].astype(jnp.float32)
         else:
             live_dev = jax.device_put(jnp.asarray(corpus[rows], jnp.float32))
         if self.metric is DistanceMetric.COSINE:
@@ -651,18 +735,45 @@ def ivf_search_impl(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
     hib = metric.higher_is_better
     worst = -jnp.inf if hib else jnp.inf
 
+    # Partition-payload gather strategy (measured on v5e at capacity shapes,
+    # [13834, 736, 768] u8: benchmarks/exp_ivf_gather.py): XLA's batched
+    # slice-gather ``pcodes[pid]`` runs at 2.3GB/s (~228us fixed cost per
+    # slice, unpipelined) — 350x below HBM peak. Unrolled ``dynamic_slice``
+    # (one contiguous DMA per partition) reaches 60GB/s; a flattened
+    # row-granularity gather (B*L indices) reaches 37GB/s and keeps the HLO
+    # small at large B.
+    L = part_rows.shape[1]
+    payload = pcodes if quant else parts
+    flat_payload = payload.reshape(-1, d)
+    lane = jnp.arange(L, dtype=jnp.int32)
+    unroll_slices = b <= 32
+
+    def gather_blocks(pid):
+        """[B] partition ids -> [B, L, D] payload blocks."""
+        if unroll_slices:
+            blks = [
+                jax.lax.dynamic_slice(
+                    payload, (pid[i], jnp.int32(0), jnp.int32(0)),
+                    (1, L, d),
+                )
+                for i in range(b)
+            ]
+            return jnp.concatenate(blks, axis=0)
+        rid = (pid[:, None] * L + lane[None, :]).reshape(-1)
+        return flat_payload[rid].reshape(b, L, d)
+
     def body(carry, p):
         rv, ri = carry
         pid = probe[:, p]  # [B]
         rows = part_rows[pid]  # [B, L]
         if quant:
-            blk = pcodes[pid].astype(jnp.bfloat16)  # ints <=255 exact
+            blk = gather_blocks(pid).astype(jnp.bfloat16)  # ints <=255 exact
             code_dot = jnp.einsum(
                 "bd,bld->bl", qb, blk, preferred_element_type=jnp.float32
             )
             dots = code_dot * pscale[pid] + qsum * pminv[pid]
         else:
-            blk = parts[pid]  # [B, L, D]
+            blk = gather_blocks(pid)  # [B, L, D]
             dots = jnp.einsum(
                 "bd,bld->bl", qn, blk, preferred_element_type=jnp.float32
             )
