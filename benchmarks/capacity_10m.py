@@ -158,7 +158,7 @@ def main():
             print(f"[cap] b={batch}: {results[f'qps_b{batch}']:,} QPS",
                   file=sys.stderr, flush=True)
 
-    # SQ8-storage IVF: the sub-linear engine at capacity (uint8 partitions,
+    # SQ8-storage IVF: the sub-linear engine at capacity (packed-word partitions,
     # pack_factor=1.2 keeps slots ~2.2x rows). The 10M streamed corpus +
     # 5M source slice + partitions exceed 16GB HBM, so this phase frees the
     # streamed state and regenerates a fresh CAP_IVF_N-row corpus (gen is

@@ -13,7 +13,16 @@ Measures (64-unique-batch scan protocol, min of >=3 samples):
   f32 streamed vs bf16 streamed at 100Kx768D cosine + recall@10 vs the
   f32 exact oracle; optionally 1Mx768D (CURVE-style capacity config).
 
-Run: python benchmarks/exp_bf16_stream.py   (knobs: EXP_N, EXP_D, EXP_BIG)
+MEASURED (v5e, 2026-08-17): the hypothesis is WRONG in an interesting way —
+f32 streamed runs at the HBM ROOFLINE already (1Mx768: 3.34ms/batch =
+~900GB/s effective), and the bf16 scan lowers at only ~480GB/s effective
+(same wall time at half the bytes; bf16-preferred accumulate identical).
+At 100Kx768 both are ~0.75ms/batch (selection + per-batch floor dominates,
+bandwidth is 0.37ms of it). Conclusion: bf16 (like SQ8) is a CAPACITY mode
+(2x rows/chip at par speed, recall 0.9984 vs f32 oracle), not a speed mode
+— the exact engine has no 2x left on one chip.
+
+Run: python benchmarks/exp_bf16_stream.py   (knobs: EXP_N, EXP_D)
 """
 
 import os
@@ -119,3 +128,89 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bf16_pref_variant():
+    """bf16 corpus with bf16-preferred dot output: does the half-byte scan
+    reach the roofline when the MXU pass is pure bf16?"""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from velesdb_tpu.ops import DistanceMetric
+    from velesdb_tpu.ops.streamed import _streamed_entry
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((64, D)).astype(np.float32) * 2.0
+    corpus = centers[rng.integers(0, 64, N)] + rng.standard_normal(
+        (N, D)
+    ).astype(np.float32)
+    queries = centers[rng.integers(0, 64, B)] + rng.standard_normal(
+        (B, D)
+    ).astype(np.float32)
+    chunk = 65536
+    n_pad = ((N + chunk - 1) // chunk) * chunk
+    cf = jnp.asarray(np.pad(corpus, ((0, n_pad - N), (0, 0))))
+    sq = jnp.sum(cf * cf, axis=1, keepdims=True)
+    cf = cf * jnp.where(sq > 1e-30, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0)
+    cb = cf.astype(jnp.bfloat16)
+    valid = jnp.arange(n_pad) < N
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run(qs, corp, valid, k=10):
+        def scan_q(_, q):
+            qn = q / jnp.maximum(
+                jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30
+            )
+            qb = qn.astype(jnp.bfloat16)
+            nc = corp.shape[0] // chunk
+            cc = corp.reshape(nc, chunk, D)
+            vv = valid.reshape(nc, chunk)
+
+            def body(carry, inp):
+                rv, ri = carry
+                ci, vecs, ok = inp
+                dots = jax.lax.dot_general(
+                    qb, vecs, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.bfloat16,  # pure bf16 pass
+                ).astype(jnp.float32)
+                s = jnp.where(ok[None, :], dots, -jnp.inf)
+                v, i = jax.lax.approx_max_k(s, k)
+                gi = i + ci * chunk
+                mv, pos = jax.lax.top_k(
+                    jnp.concatenate([rv, v], axis=1), k
+                )
+                mi = jnp.take_along_axis(
+                    jnp.concatenate([ri, gi], axis=1), pos, axis=1
+                )
+                return (mv, mi), None
+
+            init = (
+                jnp.full((B, k), -jnp.inf, jnp.float32),
+                jnp.full((B, k), -1, jnp.int32),
+            )
+            (v, i), _ = jax.lax.scan(
+                body, init, (jnp.arange(nc, dtype=jnp.int32), cc, vv)
+            )
+            return None, (v[0, 0], i[0, 0])
+
+        _, outs = jax.lax.scan(scan_q, None, qs)
+        return outs
+
+    big = np.resize(queries, (ITERS * B, D))
+    big = big + rng.standard_normal(big.shape).astype(np.float32) * 0.01
+    qs = jnp.asarray(big.reshape(ITERS, B, D))
+    jax.block_until_ready(run(qs, cb, valid))
+    samples = []
+    for s in range(SAMPLES):
+        qs_s = jax.block_until_ready(jnp.roll(qs, 1 + 7 * s, axis=0))
+        t0 = time.perf_counter()
+        outs = run(qs_s, cb, valid)
+        np.asarray(outs[0])
+        samples.append(time.perf_counter() - t0)
+    qps = ITERS * B / float(np.min(samples))
+    ms = float(np.min(samples)) / ITERS * 1e3
+    print(f"[bf16exp] bf16-pref N={N:,}: {qps:,.0f} QPS ({ms:.3f} ms/batch)",
+          flush=True)
+

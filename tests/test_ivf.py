@@ -168,8 +168,9 @@ def test_nprobe_for_coverage_calibration():
 
 
 def test_sq8_storage_ivf(tmp_path, rng):
-    """Quantized-storage IVF: partitions stay uint8 (the capacity ANN
-    engine); recall matches the f32 build on the probed candidates and
+    """Quantized-storage IVF: partitions stay 1 byte/dim, stored as
+    block-packed int32 words (the capacity ANN engine; Mosaic-ready
+    layout); recall matches the f32 build on the probed candidates and
     save/load round-trips through the centroid recipe."""
     import jax.numpy as jnp
 
@@ -193,7 +194,8 @@ def test_sq8_storage_ivf(tmp_path, rng):
     ivf = IvfIndex(d, DistanceMetric.EUCLIDEAN, spill=2)
     ivf.build(sq)
     assert ivf.storage == "sq8"
-    assert ivf._parts.dtype == jnp.uint8
+    assert ivf._parts.dtype == jnp.int32  # block-packed words, D_pad/4
+    assert ivf._parts.shape[-1] == (d + 3) // 4
 
     def recall(ix, nprobe):
         _, idx = ix.search(queries, k, nprobe=nprobe)
@@ -240,7 +242,7 @@ def test_sq8_collection_uses_quantized_ivf(tmp_db_dir, rng):
     assert c.ivf.storage == "sq8"
     import jax.numpy as jnp
 
-    assert c.ivf._parts.dtype == jnp.uint8
+    assert c.ivf._parts.dtype == jnp.int32  # block-packed words
     hits = c.search_batch(base[:4] + 0.001, 5)
     assert [h[0].id for h in hits] == [0, 1, 2, 3]
     db.close()
@@ -289,3 +291,39 @@ def test_pack_factor_tightens_slots(rng):
     got = np.asarray(got)
     hits = sum(len(set(got[i]) & set(gt[i])) for i in range(len(queries)))
     assert hits / (len(queries) * 10) >= 0.999
+
+
+@pytest.mark.parametrize("metric", [DistanceMetric.EUCLIDEAN, DistanceMetric.COSINE])
+def test_probe_kernel_matches_xla_path(rng, metric):
+    """The Pallas probe kernel (interpret mode on CPU) returns the same
+    rows as the XLA probing path for identical probes."""
+    import jax.numpy as jnp
+
+    from velesdb_tpu.index.ivf import IvfIndex, _ivf_search
+    from velesdb_tpu.ops.ivf_kernel import ivf_probe_topk
+    from velesdb_tpu.ops.quantization import sq8_quantize
+
+    n, d, k = 8000, 32, 10
+    corpus = _clustered(rng, n, d, c=8)
+    queries = _clustered(rng, 8, d, c=8)
+    sq = sq8_quantize(np.asarray(corpus))
+    ivf = IvfIndex(d, metric, n_clusters=24)
+    ivf.build(sq)
+    nprobe = 8
+    aux, flat_rows = ivf._kernel_state()
+    kv, ki = ivf_probe_topk(
+        jnp.asarray(queries), ivf._centroids, ivf._cent_sq, ivf._parts,
+        aux, flat_rows, k=k, nprobe=nprobe, metric=metric, interpret=True,
+    )
+    xv, xi = _ivf_search(
+        jnp.asarray(queries), ivf._centroids, ivf._cent_sq,
+        (ivf._parts, ivf._part_scale, ivf._part_minv),
+        ivf._part_rows, ivf._part_sq, None,
+        k=k, nprobe=nprobe, metric=metric,
+    )
+    ki, xi = np.asarray(ki), np.asarray(xi)
+    kv, xv = np.asarray(kv), np.asarray(xv)
+    for i in range(len(queries)):
+        overlap = len(set(ki[i].tolist()) & set(xi[i].tolist()))
+        assert overlap >= k - 1, (i, ki[i], xi[i])  # near-tie tolerance
+    np.testing.assert_allclose(kv, xv, rtol=2e-2, atol=2e-2)

@@ -45,6 +45,8 @@ def _round_up(x: int, m: int) -> int:
 
 _KM_CHUNK = 65536  # rows scored per assignment step (bounds [chunk, k] VMEM)
 
+_IVF_KERNEL_OK = [True]  # probe-kernel kill switch (scoped to the kernel only)
+
 
 @functools.partial(jax.jit, static_argnames=("k", "iters"))
 def _kmeans_device(xc, *, init, k, iters):
@@ -256,18 +258,53 @@ def _group_partitions(live, assign, cents, rows_global, *, c, L, n_parts):
     return route_cents, cent_sq, parts, part_rows, part_sq
 
 
+def _pack_words_2d(cd):
+    """``[M, D] uint8`` -> ``[M, D_pad/4] int32`` block-packed words (same
+    dim-block-major layout as :func:`ops.bucket_kernel.sq8_pack_blocked`:
+    plane j = dims ``[j*D_pad/4, (j+1)*D_pad/4)``)."""
+    m, d = cd.shape
+    d_pad = _round_up(d, 4)
+    c = jnp.pad(cd, ((0, 0), (0, d_pad - d))).astype(jnp.uint32)
+    planes = c.reshape(m, 4, d_pad // 4)
+    w = (
+        planes[:, 0]
+        | (planes[:, 1] << 8)
+        | (planes[:, 2] << 16)
+        | (planes[:, 3] << 24)
+    )
+    return w.astype(jnp.int32)
+
+
+def sq8_unpack_words(w, dtype=jnp.bfloat16):
+    """``[..., W] int32`` words -> ``[..., W*4]`` code values 0..255
+    (integers <=255 are exact in bf16). Inverse of :func:`_pack_words_2d`
+    up to the dim padding (padded dims unpack to code 0, which scores as 0
+    against zero-padded query dims)."""
+    planes = [
+        jnp.bitwise_and(
+            jax.lax.shift_right_logical(w, jnp.int32(8 * j)), jnp.int32(0xFF)
+        ).astype(dtype)
+        for j in range(4)
+    ]
+    return jnp.concatenate(planes, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("c", "L", "n_parts"))
 def _group_partitions_sq8(codes, scale, minv, assign, cents, rows_global, *,
                           c, L, n_parts):
-    """SQ8 partition assembly: codes stay uint8 end-to-end (a [P, L, D] f32
-    copy would be 4x the HBM — the whole point of quantized partitions);
-    payload gathered blockwise into the scan carry (see
-    :func:`_group_partitions` — same peak-HBM reasoning, which is what lets
-    a 5M x 768D quantized build fit next to its source codes)."""
+    """SQ8 partition assembly: codes stay 1 byte/dim end-to-end (a
+    [P, L, D] f32 copy would be 4x the HBM — the whole point of quantized
+    partitions), stored as block-packed int32 WORDS ``[P, L, D_pad/4]`` —
+    the layout both the XLA probing path (4x fewer gather indices) and the
+    Pallas probe kernel consume (Mosaic has no u8->f32 cast; i32
+    shifts/masks lower). Payload gathered blockwise into the scan carry
+    (see :func:`_group_partitions` — same peak-HBM reasoning, which is what
+    lets a 5M x 768D quantized build fit next to its source codes)."""
     route_cents, cent_sq, src, ok, part_rows = _group_map(
         assign, cents, rows_global, c=c, L=L, n_parts=n_parts
     )
     d = codes.shape[1]
+    w_pad = _round_up(d, 4) // 4
     safe = jnp.maximum(src, 0).reshape(n_parts, L)
     okr = ok.reshape(n_parts, L)
     pscale = jnp.where(okr, scale[safe.reshape(-1)].reshape(n_parts, L), 0.0)
@@ -276,7 +313,7 @@ def _group_partitions_sq8(codes, scale, minv, assign, cents, rows_global, *,
     nb = -(-n_parts // pb)
 
     def body(carry, i):
-        pcodes, psq = carry
+        pwords, psq = carry
         start = jnp.minimum(i * pb, n_parts - pb)  # tail overlap: same data
         s_i = jax.lax.dynamic_slice(safe, (start, 0), (pb, L)).reshape(-1)
         o_i = jax.lax.dynamic_slice(okr, (start, 0), (pb, L)).reshape(-1)
@@ -285,23 +322,23 @@ def _group_partitions_sq8(codes, scale, minv, assign, cents, rows_global, *,
         cd = jnp.where(o_i[:, None], codes[s_i], jnp.uint8(0))
         deq = cd.astype(jnp.float32) * sc_i[:, None] + mn_i[:, None]
         sq_i = jnp.sum(deq * deq, axis=1)
-        pcodes = jax.lax.dynamic_update_slice(
-            pcodes, cd.reshape(pb, L, d), (start, 0, 0)
+        pwords = jax.lax.dynamic_update_slice(
+            pwords, _pack_words_2d(cd).reshape(pb, L, w_pad), (start, 0, 0)
         )
         psq = jax.lax.dynamic_update_slice(
             psq, sq_i.reshape(pb, L), (start, 0)
         )
-        return (pcodes, psq), None
+        return (pwords, psq), None
 
-    (pcodes, psq), _ = jax.lax.scan(
+    (pwords, psq), _ = jax.lax.scan(
         body,
         (
-            jnp.zeros((n_parts, L, d), jnp.uint8),
+            jnp.zeros((n_parts, L, w_pad), jnp.int32),
             jnp.zeros((n_parts, L), jnp.float32),
         ),
         jnp.arange(nb),
     )
-    return route_cents, cent_sq, pcodes, pscale, pminv, part_rows, psq
+    return route_cents, cent_sq, pwords, pscale, pminv, part_rows, psq
 
 
 @functools.partial(jax.jit, static_argnames=("s", "cosine"))
@@ -373,13 +410,14 @@ class IvfIndex:
         self.part_len = 0
         self._centroids = None  # [C, D]
         self._cent_sq = None  # [C]
-        self._parts = None  # [C, L, D] f32 — or uint8 codes (sq8 storage)
+        self._parts = None  # [C, L, D] f32 — or [C, L, D_pad/4] i32 words (sq8)
         self._part_scale = None  # [C, L] f32 (sq8 storage)
         self._part_minv = None  # [C, L] f32 (sq8 storage)
         self._part_rows = None  # [C, L] int32 original row ids, -1 pad
         self._part_sq = None  # [C, L] squared (deq) norms
         self._kmeans_cents = None  # [c, D] device — persistence recipe
         self._kmeans_c = 0
+        self._kern = None  # folded (scale2, minv2, pen, flat_rows) probe-kernel state
         self.storage = "f32"  # 'sq8' when built from SQ8Vectors (4x rows)
         self._dirty = True
 
@@ -498,6 +536,7 @@ class IvfIndex:
             jnp.asarray(rows.astype(np.int32)),
             c=c, L=L, n_parts=n_parts,
         )
+        self._kern = None  # folded probe-kernel state derives lazily
 
     def _assemble_partitions(self, live_dev, km_input, rows, cents, c,
                              assign=None) -> None:
@@ -592,23 +631,51 @@ class IvfIndex:
             self.spill * k + 8 if self.spill > 1 else k,
             nprobe * self.part_len,
         )
-        parts = (
-            (self._parts, self._part_scale, self._part_minv)
-            if self.storage == "sq8"
-            else self._parts
-        )
-        vals, idx = _ivf_search(
-            qd,
-            self._centroids,
-            self._cent_sq,
-            parts,
-            self._part_rows,
-            self._part_sq,
-            mask_dev,
-            k=k_fetch,
-            nprobe=nprobe,
-            metric=self.metric,
-        )
+        vals = idx = None
+        if self.storage == "sq8" and mask is None:
+            # Pallas probe kernel: partition reads as pipelined DMAs (the
+            # XLA gather path measured 2.3GB/s at capacity shapes — see
+            # ops/ivf_kernel.py). Small-batch only; falls back on any
+            # Mosaic failure.
+            from velesdb_tpu.ops.ivf_kernel import (
+                ivf_probe_supported,
+                ivf_probe_topk,
+            )
+            from velesdb_tpu.ops.pallas_kernels import use_pallas
+
+            if (
+                _IVF_KERNEL_OK[0]
+                and use_pallas()
+                and ivf_probe_supported(b, self.part_len, self.dim)
+            ):
+                try:
+                    kern = self._kernel_state()
+                    vals, idx = ivf_probe_topk(
+                        jnp.asarray(q), self._centroids, self._cent_sq,
+                        self._parts, *kern,
+                        k=k_fetch, nprobe=nprobe, metric=self.metric,
+                    )
+                except Exception:
+                    _IVF_KERNEL_OK[0] = False
+                    vals = idx = None
+        if vals is None:
+            parts = (
+                (self._parts, self._part_scale, self._part_minv)
+                if self.storage == "sq8"
+                else self._parts
+            )
+            vals, idx = _ivf_search(
+                qd,
+                self._centroids,
+                self._cent_sq,
+                parts,
+                self._part_rows,
+                self._part_sq,
+                mask_dev,
+                k=k_fetch,
+                nprobe=nprobe,
+                metric=self.metric,
+            )
         if self.spill > 1:
             # dedup ON DEVICE (host numpy here would force a blocking D2H
             # readback in the serving hot path): duplicates carry
@@ -618,6 +685,43 @@ class IvfIndex:
                 higher_is_better=self.metric.higher_is_better,
             )
         return vals[:b], idx[:b]
+
+    def _kernel_state(self):
+        """Folded probe-kernel operands ``(aux [P, 8, L], flat_rows)``:
+        cosine's 1/|deq| folds into the affine so raw kernel dots are
+        already cosine scores; euclidean's |deq|^2 rides as the additive
+        penalty; dead slots carry +inf. scale2/minv2/pen stack on a
+        sublane-padded axis (Mosaic block constraint — see
+        ``ops/ivf_kernel.py``). Derived once per assembly (~4% of the
+        partition bytes), cached on the index."""
+        if self._kern is None:
+            psq = self._part_sq
+            live = self._part_rows >= 0
+            if self.metric is DistanceMetric.COSINE:
+                inv = jnp.where(
+                    psq > 1e-30,
+                    jax.lax.rsqrt(jnp.maximum(psq, 1e-30)),
+                    0.0,
+                )
+                scale2 = self._part_scale * inv
+                minv2 = self._part_minv * inv
+                pen_base = jnp.zeros_like(psq)
+            elif self.metric is DistanceMetric.EUCLIDEAN:
+                scale2, minv2 = self._part_scale, self._part_minv
+                pen_base = psq
+            else:
+                scale2, minv2 = self._part_scale, self._part_minv
+                pen_base = jnp.zeros_like(psq)
+            pen = jnp.where(live, pen_base, jnp.inf)
+            zero = jnp.zeros_like(psq)
+            aux = jnp.stack(
+                [scale2, minv2, pen] + [zero] * 5, axis=1
+            ).astype(jnp.float32)  # [P, 8, L]
+            self._kern = (
+                jax.device_put(aux),
+                self._part_rows.reshape(-1).astype(jnp.int32),
+            )
+        return self._kern
 
     # -- persistence -------------------------------------------------------------
 
@@ -713,9 +817,10 @@ def _dedup_topk(vals, idx, *, k, higher_is_better):
 
 def ivf_search_impl(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
                     k, nprobe, metric, exclude_rows=None):
-    """``parts`` is either ``[C, L, D] f32`` or a ``(codes u8, scale, minv)``
-    triple (SQ8 storage — probes gather 1/4 the bytes and score via the
-    rank-1 affine identity on the MXU)."""
+    """``parts`` is either ``[C, L, D] f32`` or a ``(words i32, scale,
+    minv)`` triple (SQ8 storage, block-packed int32 words — probes gather
+    1/4 the f32 bytes in 1/4 the indices and score via the rank-1 affine
+    identity on the MXU after an in-register unpack)."""
     quant = isinstance(parts, tuple)
     b, d = q.shape
     if metric is DistanceMetric.COSINE:
@@ -723,9 +828,10 @@ def ivf_search_impl(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
     else:
         qn = q
     if quant:
-        pcodes, pscale, pminv = parts
+        pwords, pscale, pminv = parts
         qsum = jnp.sum(qn, axis=1, keepdims=True)  # [B, 1]
-        qb = qn.astype(jnp.bfloat16)
+        d_pad = pwords.shape[-1] * 4
+        qb = jnp.pad(qn, ((0, 0), (0, d_pad - d))).astype(jnp.bfloat16)
     # route: centroid affinity (L2-equivalent for euclidean, dot for MIPS)
     route = qn @ cents.T
     if metric is DistanceMetric.EUCLIDEAN:
@@ -743,31 +849,32 @@ def ivf_search_impl(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
     # row-granularity gather (B*L indices) reaches 37GB/s and keeps the HLO
     # small at large B.
     L = part_rows.shape[1]
-    payload = pcodes if quant else parts
-    flat_payload = payload.reshape(-1, d)
+    payload = pwords if quant else parts
+    dp = payload.shape[-1]  # words (D_pad/4) or f32 dims
+    flat_payload = payload.reshape(-1, dp)
     lane = jnp.arange(L, dtype=jnp.int32)
     unroll_slices = b <= 32
 
     def gather_blocks(pid):
-        """[B] partition ids -> [B, L, D] payload blocks."""
+        """[B] partition ids -> [B, L, dp] payload blocks."""
         if unroll_slices:
             blks = [
                 jax.lax.dynamic_slice(
                     payload, (pid[i], jnp.int32(0), jnp.int32(0)),
-                    (1, L, d),
+                    (1, L, dp),
                 )
                 for i in range(b)
             ]
             return jnp.concatenate(blks, axis=0)
         rid = (pid[:, None] * L + lane[None, :]).reshape(-1)
-        return flat_payload[rid].reshape(b, L, d)
+        return flat_payload[rid].reshape(b, L, dp)
 
     def body(carry, p):
         rv, ri = carry
         pid = probe[:, p]  # [B]
         rows = part_rows[pid]  # [B, L]
         if quant:
-            blk = gather_blocks(pid).astype(jnp.bfloat16)  # ints <=255 exact
+            blk = sq8_unpack_words(gather_blocks(pid))  # [B, L, D_pad] bf16
             code_dot = jnp.einsum(
                 "bd,bld->bl", qb, blk, preferred_element_type=jnp.float32
             )
