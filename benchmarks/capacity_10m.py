@@ -186,10 +186,44 @@ def main():
         rng.standard_normal((256, D)).astype(np.float32)
     )
 
+    # the chip is SHARED: free HBM varies with other tenants, so retry the
+    # build down a size ladder (regenerating the smaller corpus each time —
+    # generation is seconds; a slice would copy gigabytes) instead of dying
+    # on a tenancy spike
     t0 = time.time()
-    ivf = IvfIndex(D, DistanceMetric.EUCLIDEAN, pack_factor=1.2)
-    ivf.build(SQ8Vectors(codes, scale, minv))
-    jax.block_until_ready(ivf._parts)
+    ivf = None
+    for attempt_n in (n_ivf, 4_500_000, 4_000_000):
+        attempt_n = (min(attempt_n, n_ivf) // ivf_chunk) * ivf_chunk
+        try:
+            if codes is None or codes.shape[0] != attempt_n:
+                # rebind to None first: frees the device buffers even if
+                # the regeneration below itself OOMs
+                codes = scale = minv = deq_rows = queries = None
+                (codes, scale, minv), centers = gen_quantized(
+                    0, rows=attempt_n, chunk=ivf_chunk
+                )
+                jax.block_until_ready(codes)
+                plant = plant[plant < attempt_n]
+                plant_dev = jnp.asarray(plant)
+                deq_rows = (
+                    codes[plant_dev].astype(jnp.float32)
+                    * scale[plant_dev][:, None]
+                    + minv[plant_dev][:, None]
+                )
+                queries = deq_rows + 0.05 * jnp.asarray(
+                    rng.standard_normal((len(plant), D)).astype(np.float32)
+                )
+            ivf = IvfIndex(D, DistanceMetric.EUCLIDEAN, pack_factor=1.2)
+            ivf.build(SQ8Vectors(codes, scale, minv))
+            jax.block_until_ready(ivf._parts)
+            n_ivf = attempt_n
+            break
+        except Exception as e:  # ResourceExhausted: shrink and retry
+            print(f"[cap] sq8-ivf build OOM at n={attempt_n:,} ({e!r:.80}); "
+                  "retrying smaller", file=sys.stderr, flush=True)
+            ivf = None
+    if ivf is None:
+        raise SystemExit("sq8-ivf build failed at every ladder size")
     nprobe = ivf.nprobe_for(128)
     print(f"[cap] sq8-ivf build {time.time()-t0:.0f}s n={n_ivf:,} "
           f"parts={ivf.c}x{ivf.part_len} "
@@ -206,13 +240,15 @@ def main():
     # IVF at capacity is the SMALL-BATCH engine: per-query probe coverage
     # (3.46% of 5M = 133MB/query) exceeds the whole-corpus stream once the
     # batch shares the scan (b=256 would gather 34GB/batch vs 3.6GB corpus).
-    # Small dispatches too: one b=16 batch still gathers ~2GB, so a
-    # 16-iter scan would run minutes and trip the device watchdog.
-    _jivf = functools.partial(
-        jax.jit, static_argnames=("k", "nprobe", "metric")
-    )(ivf_search_impl)
-    for batch in (16, 4):
-        iters = 4
+    # The serve path routes b<=64 through the Pallas probe kernel
+    # (partition reads as pipelined DMAs — ops/ivf_kernel.py); this times
+    # that path, scan-amortized. Small iter counts: one b=16 batch still
+    # reads ~2GB, and a long scan would trip the device watchdog.
+    from velesdb_tpu.ops.ivf_kernel import ivf_probe_topk
+
+    aux, flat_rows = ivf._kernel_state()
+    for batch in (16, 4, 1):
+        iters = 4 if batch > 1 else 8
         qbig = np.resize(np.asarray(queries), (iters * batch, D)).astype(
             np.float32
         )
@@ -220,10 +256,10 @@ def main():
         qs = jnp.asarray(qbig.reshape(iters, batch, D))
 
         @jax.jit
-        def run_ivf(qs, pc, psc, pmn, cents, csq, prow, psq):
+        def run_ivf(qs, cents, csq, words, aux, flat_rows):
             def body(_, q):
-                v, i = _jivf(
-                    q, cents, csq, (pc, psc, pmn), prow, psq, None,
+                v, i = ivf_probe_topk(
+                    q, cents, csq, words, aux, flat_rows,
                     k=K, nprobe=nprobe, metric=DistanceMetric.EUCLIDEAN,
                 )
                 return None, (v[0, 0], i[0, 0])
@@ -231,8 +267,7 @@ def main():
             _, outs = jax.lax.scan(body, None, qs)
             return outs
 
-        args = (ivf._parts, ivf._part_scale, ivf._part_minv, ivf._centroids,
-                ivf._cent_sq, ivf._part_rows, ivf._part_sq)
+        args = (ivf._centroids, ivf._cent_sq, ivf._parts, aux, flat_rows)
         jax.block_until_ready(run_ivf(qs, *args))
         samples = []
         for s in range(3):

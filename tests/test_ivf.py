@@ -294,9 +294,11 @@ def test_pack_factor_tightens_slots(rng):
 
 
 @pytest.mark.parametrize("metric", [DistanceMetric.EUCLIDEAN, DistanceMetric.COSINE])
-def test_probe_kernel_matches_xla_path(rng, metric):
+@pytest.mark.parametrize("storage", ["sq8", "f32"])
+def test_probe_kernel_matches_xla_path(rng, metric, storage):
     """The Pallas probe kernel (interpret mode on CPU) returns the same
-    rows as the XLA probing path for identical probes."""
+    rows as the XLA probing path for identical probes — both partition
+    storages (packed SQ8 words and f32 rows)."""
     import jax.numpy as jnp
 
     from velesdb_tpu.index.ivf import IvfIndex, _ivf_search
@@ -306,7 +308,11 @@ def test_probe_kernel_matches_xla_path(rng, metric):
     n, d, k = 8000, 32, 10
     corpus = _clustered(rng, n, d, c=8)
     queries = _clustered(rng, 8, d, c=8)
-    sq = sq8_quantize(np.asarray(corpus))
+    sq = (
+        sq8_quantize(np.asarray(corpus))
+        if storage == "sq8"
+        else np.asarray(corpus)
+    )
     ivf = IvfIndex(d, metric, n_clusters=24)
     ivf.build(sq)
     nprobe = 8
@@ -315,10 +321,14 @@ def test_probe_kernel_matches_xla_path(rng, metric):
         jnp.asarray(queries), ivf._centroids, ivf._cent_sq, ivf._parts,
         aux, flat_rows, k=k, nprobe=nprobe, metric=metric, interpret=True,
     )
+    xla_parts = (
+        (ivf._parts, ivf._part_scale, ivf._part_minv)
+        if storage == "sq8"
+        else ivf._parts
+    )
     xv, xi = _ivf_search(
         jnp.asarray(queries), ivf._centroids, ivf._cent_sq,
-        (ivf._parts, ivf._part_scale, ivf._part_minv),
-        ivf._part_rows, ivf._part_sq, None,
+        xla_parts, ivf._part_rows, ivf._part_sq, None,
         k=k, nprobe=nprobe, metric=metric,
     )
     ki, xi = np.asarray(ki), np.asarray(xi)

@@ -209,10 +209,12 @@ def _exact_n_parts(assign, c: int, L: int) -> int:
 
 
 def _parts_per_block(L: int, n_parts: int) -> int:
-    """Partitions gathered per assembly step: bounds the gather intermediate
-    to ~256K rows (192MB u8 @768D) so a capacity-scale build never
-    materializes the whole ``[P*L, D]`` payload twice."""
-    return min(n_parts, max(1, 262_144 // max(L, 1)))
+    """Partitions gathered per assembly step: bounds the per-step
+    intermediates (gathered rows + f32 dequant for norms + pack planes,
+    ~6 f32-equivalents/row-byte) to ~131K rows so a capacity-scale build
+    never materializes the whole ``[P*L, D]`` payload twice — 5M x 768D
+    SQ8 builds peak at source + destination + ~0.7GB transient."""
+    return min(n_parts, max(1, 131_072 // max(L, 1)))
 
 
 @functools.partial(jax.jit, static_argnames=("c", "L", "n_parts"))
@@ -344,31 +346,35 @@ def _group_partitions_sq8(codes, scale, minv, assign, cents, rows_global, *,
 @functools.partial(jax.jit, static_argnames=("s", "cosine"))
 def _assign_topk_sq8(codes, scale, minv, cents, *, s, cosine):
     """Top-``s`` centroids per SQ8 row, dequantizing chunk-by-chunk (the
-    full f32 corpus never materializes)."""
+    full f32 corpus never materializes). Full chunks scan IN PLACE via
+    dynamic slices — padding the whole code array to a chunk multiple
+    would copy the full 3.6GB source at capacity for a <66K-row tail."""
     n, d = codes.shape
     cc = jnp.sum(cents * cents, axis=1)
     chunk = min(_KM_CHUNK, n)
-    nc = -(-n // chunk)
-    pad = nc * chunk - n
-    codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
-    scale_p = jnp.pad(scale, (0, pad))
-    minv_p = jnp.pad(minv, (0, pad))
+    nf = n // chunk
 
-    def body(_, blk):
-        cd, sc, mn = blk
+    def score(cd, sc, mn):
         x = cd.astype(jnp.float32) * sc[:, None] + mn[:, None]
         if cosine:
             x = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-30)
         aff = x @ cents.T - 0.5 * cc[None, :]
         _, i = jax.lax.top_k(aff, s)
-        return None, i
+        return i
 
-    _, idx = jax.lax.scan(
-        body, None,
-        (codes_p.reshape(nc, chunk, d), scale_p.reshape(nc, chunk),
-         minv_p.reshape(nc, chunk)),
-    )
-    return idx.reshape(-1, s)[:n]
+    def body(_, ci):
+        cd = jax.lax.dynamic_slice(codes, (ci * chunk, 0), (chunk, d))
+        sc = jax.lax.dynamic_slice(scale, (ci * chunk,), (chunk,))
+        mn = jax.lax.dynamic_slice(minv, (ci * chunk,), (chunk,))
+        return None, score(cd, sc, mn)
+
+    _, idx = jax.lax.scan(body, None, jnp.arange(nf, dtype=jnp.int32))
+    idx = idx.reshape(-1, s)
+    tail = n - nf * chunk
+    if tail:
+        ti = score(codes[nf * chunk:], scale[nf * chunk:], minv[nf * chunk:])
+        idx = jnp.concatenate([idx, ti], axis=0)
+    return idx
 
 
 class IvfIndex:
@@ -501,6 +507,11 @@ class IvfIndex:
             deq_sample, c, iters=self.kmeans_iters, seed=self.kmeans_seed,
             train_sample=None,
         )
+        # free the dequantized training sample (768MB at capacity) BEFORE
+        # assembly — holding it through the partition build is the
+        # difference between fitting and OOM at 5M x 768D
+        del deq_sample, sample
+        cents = jax.block_until_ready(cents)
         self._kmeans_cents = cents
         self._kmeans_c = c
         self._assemble_sq8(codes, scale, minv, rows, cents, c)
@@ -632,11 +643,11 @@ class IvfIndex:
             nprobe * self.part_len,
         )
         vals = idx = None
-        if self.storage == "sq8" and mask is None:
-            # Pallas probe kernel: partition reads as pipelined DMAs (the
-            # XLA gather path measured 2.3GB/s at capacity shapes — see
-            # ops/ivf_kernel.py). Small-batch only; falls back on any
-            # Mosaic failure.
+        if mask is None:
+            # Pallas probe kernel (SQ8 words or f32 rows): partition reads
+            # as pipelined DMAs (the XLA gather path measured 2.3GB/s at
+            # capacity shapes — see ops/ivf_kernel.py). Small-batch only;
+            # falls back on any Mosaic failure.
             from velesdb_tpu.ops.ivf_kernel import (
                 ivf_probe_supported,
                 ivf_probe_topk,
@@ -646,7 +657,10 @@ class IvfIndex:
             if (
                 _IVF_KERNEL_OK[0]
                 and use_pallas()
-                and ivf_probe_supported(b, self.part_len, self.dim)
+                and ivf_probe_supported(
+                    b, self.part_len, self.dim,
+                    1 if self.storage == "sq8" else 4,
+                )
             ):
                 try:
                     kern = self._kernel_state()
@@ -697,25 +711,31 @@ class IvfIndex:
         if self._kern is None:
             psq = self._part_sq
             live = self._part_rows >= 0
-            if self.metric is DistanceMetric.COSINE:
-                inv = jnp.where(
-                    psq > 1e-30,
-                    jax.lax.rsqrt(jnp.maximum(psq, 1e-30)),
-                    0.0,
-                )
-                scale2 = self._part_scale * inv
-                minv2 = self._part_minv * inv
-                pen_base = jnp.zeros_like(psq)
-            elif self.metric is DistanceMetric.EUCLIDEAN:
-                scale2, minv2 = self._part_scale, self._part_minv
-                pen_base = psq
-            else:
-                scale2, minv2 = self._part_scale, self._part_minv
-                pen_base = jnp.zeros_like(psq)
-            pen = jnp.where(live, pen_base, jnp.inf)
             zero = jnp.zeros_like(psq)
+            cosine = self.metric is DistanceMetric.COSINE
+            inv = jnp.where(
+                psq > 1e-30, jax.lax.rsqrt(jnp.maximum(psq, 1e-30)), 0.0
+            )
+            if self.storage == "sq8":
+                if cosine:
+                    mul = self._part_scale * inv
+                    add = self._part_minv * inv
+                    pen_base = zero
+                elif self.metric is DistanceMetric.EUCLIDEAN:
+                    mul, add = self._part_scale, self._part_minv
+                    pen_base = psq
+                else:
+                    mul, add = self._part_scale, self._part_minv
+                    pen_base = zero
+            else:  # f32 rows: dots need no affine restore
+                mul = inv if cosine else jnp.ones_like(psq)
+                add = zero
+                pen_base = (
+                    psq if self.metric is DistanceMetric.EUCLIDEAN else zero
+                )
+            pen = jnp.where(live, pen_base, jnp.inf)
             aux = jnp.stack(
-                [scale2, minv2, pen] + [zero] * 5, axis=1
+                [mul, add, pen] + [zero] * 5, axis=1
             ).astype(jnp.float32)  # [P, 8, L]
             self._kern = (
                 jax.device_put(aux),

@@ -62,31 +62,41 @@ MIN_BLOCK_BYTES = 65536     # L * D below this: per-step overhead dominates
 MAX_KERNEL_BATCH = 64       # probing only wins at small batch anyway
 
 
-def ivf_probe_supported(b: int, L: int, d: int) -> bool:
-    return b <= MAX_KERNEL_BATCH and L * d >= MIN_BLOCK_BYTES
+def ivf_probe_supported(b: int, L: int, d: int, itemsize: int = 1) -> bool:
+    """``itemsize``: partition bytes per dim (1 = SQ8 codes, 4 = f32)."""
+    return b <= MAX_KERNEL_BATCH and L * d * itemsize >= MIN_BLOCK_BYTES
 
 
-def _probe_kernel(probe_ref, q_ref, w_ref, aux_ref, out_ref, *, d_pad: int):
+def _probe_kernel(probe_ref, q_ref, w_ref, aux_ref, out_ref, *, d_pad: int,
+                  quant: bool):
     # q_ref: [8, D_pad] f32 (8 identical sublane replicas of query b)
-    # w_ref: [1, L, W] i32 block-packed codes of partition probe[b, j]
-    # aux_ref: [1, 8, L] f32 — sublane-stacked (scale2, minv2, pen, 0...)
+    # w_ref: quant -> [1, L, W] i32 block-packed codes of partition
+    #        probe[b, j]; else [1, L, D] f32 rows
+    # aux_ref: [1, 8, L] f32 — sublane-stacked (mul, add, pen, 0...):
+    #   s = mul * dots + add * sum(q) - pen. SQ8: (scale2, minv2, |c|^2
+    #   or 0); f32: (1 or 1/|c|, 0, |c|^2 or 0). +inf pen = dead slot.
     #   (Mosaic requires the 2nd-to-last block dim divisible by 8; three
     #   separate [P, L] arrays with (1, L) blocks do not lower)
     # out_ref: [1, 1, 8, L] f32
     q = q_ref[:]  # [8, D_pad]
-    w = w_ref[0]  # [L, W]
-    planes = []
-    for j in range(4):
-        pj = jnp.bitwise_and(
-            jax.lax.shift_right_logical(w, jnp.int32(8 * j)), jnp.int32(0xFF)
-        )
-        planes.append(pj.astype(jnp.bfloat16))
-    rows = jnp.concatenate(planes, axis=1)  # [L, D_pad] codes 0..255
+    if quant:
+        w = w_ref[0]  # [L, W]
+        planes = []
+        for j in range(4):
+            pj = jnp.bitwise_and(
+                jax.lax.shift_right_logical(w, jnp.int32(8 * j)),
+                jnp.int32(0xFF),
+            )
+            planes.append(pj.astype(jnp.bfloat16))
+        rows = jnp.concatenate(planes, axis=1)  # [L, D_pad] codes 0..255
+        q = q.astype(jnp.bfloat16)
+    else:
+        rows = w_ref[0]  # [L, D] f32
     dots = jax.lax.dot_general(
-        q.astype(jnp.bfloat16), rows, (((1,), (1,)), ((), ())),
+        q, rows, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [8, L]
-    qsum = jnp.sum(q, axis=1, keepdims=True)  # [8, 1]
+    qsum = jnp.sum(q_ref[:], axis=1, keepdims=True)  # [8, 1]
     aux = aux_ref[0]  # [8, L]
     s = dots * aux[0:1, :] + qsum * aux[1:2, :]
     out_ref[0, 0] = s - aux[2:3, :]
@@ -101,10 +111,10 @@ def ivf_probe_topk(queries, cents, cent_sq, words, aux, flat_rows, *,
     routing matmul + Pallas probe pipeline + PartialReduce selection.
 
     ``queries [B, D] f32`` raw; ``cents [P, D] / cent_sq [P]`` partition
-    routing; ``words [P, L, W] i32``; ``aux [P, 8, L] f32`` sublane-stacked
-    (scale2, minv2, pen, zeros) — metric-folded affine (cosine: 1/|deq|
-    folded in) and additive penalty (+inf dead slots; euclidean:
-    |deq|^2); ``flat_rows [P*L] i32`` original row ids.
+    routing; ``words`` either ``[P, L, W] i32`` packed SQ8 codes or
+    ``[P, L, D] f32`` rows (dtype-dispatched); ``aux [P, 8, L] f32``
+    sublane-stacked (mul, add, pen, zeros) epilogue operands (see
+    ``_probe_kernel``); ``flat_rows [P*L] i32`` original row ids.
 
     Returns ``(values [B, k], row_ids [B, k])`` in the metric's native
     orientation (distance ascending for euclidean), ``-1`` ids for empty.
@@ -112,7 +122,8 @@ def ivf_probe_topk(queries, cents, cent_sq, words, aux, flat_rows, *,
     metric = DistanceMetric.parse(metric)
     b, d = queries.shape
     P, L, W = words.shape
-    d_pad = W * 4
+    quant = words.dtype == jnp.int32
+    d_pad = W * 4 if quant else W
 
     q = queries
     qq = jnp.sum(q * q, axis=1)
@@ -146,12 +157,12 @@ def ivf_probe_topk(queries, cents, cent_sq, words, aux, flat_rows, *,
         ),
     )
     scores8 = pl.pallas_call(
-        functools.partial(_probe_kernel, d_pad=d_pad),
+        functools.partial(_probe_kernel, d_pad=d_pad, quant=quant),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nprobe, 8, L), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * nprobe * 8 * d_pad * L,
-            bytes_accessed=b * nprobe * L * (d_pad + 32),
+            bytes_accessed=b * nprobe * L * (d_pad * (1 if quant else 4) + 32),
             transcendentals=0,
         ),
         interpret=interpret,
