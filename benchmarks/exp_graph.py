@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--build-passes", type=int, default=0)
     ap.add_argument("--refine-rounds", type=int, default=-1)
     ap.add_argument("--seed-sample", type=int, default=0)
+    ap.add_argument("--restarts", type=int, default=0)
     ap.add_argument("--ef", type=int, default=128)
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--k", type=int, default=10)
@@ -67,6 +68,7 @@ def main():
             ("build_passes", args.build_passes),
             ("refine_rounds", args.refine_rounds if args.refine_rounds >= 0 else 0),
             ("seed_sample", args.seed_sample),
+            ("restarts", args.restarts),
         )
         if v
     }

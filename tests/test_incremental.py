@@ -33,6 +33,10 @@ def test_forced_graph_engine_builds_below_auto_threshold(db):
     res = coll.search_batch(vecs[:4], k=5)
     assert coll.ann is not None and not coll.ann.dirty  # built on demand
     assert res[0][0].id == 0  # self is the nearest neighbor
+    # first dispatch of a shape class is a compile warm-up — excluded from
+    # the latency EMA; the second (warm) one records
+    assert coll.planner.observed("graph", 4) is None
+    coll.search_batch(vecs[4:8], k=5)
     assert coll.planner.observed("graph", 4) is not None
 
 

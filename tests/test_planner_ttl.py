@@ -53,8 +53,10 @@ def test_collection_engine_selection(tmp_db_dir, rng):
     hits = c.search(vecs[7], k=5)
     assert hits[0].id == 7
     # auto consults the planner without crashing and records latencies
+    # (the first dispatch per shape class is a compile warm-up — untimed)
     c.index_kind = "auto"
     c.search(vecs[3], k=3)
+    c.search(vecs[4], k=3)
     assert c.planner._ema
 
 

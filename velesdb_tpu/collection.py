@@ -142,6 +142,11 @@ class Collection:
         self._last_ttl_flush = 0.0
         self._auto_vacuum: dict | None = None
         self._last_auto_vacuum = 0.0
+        # (engine, batch-bucket, k_fetch, ef) shape classes already timed:
+        # the FIRST dispatch of a class pays XLA compile (seconds) — feeding
+        # it to the planner's latency EMA would misprice the engine for the
+        # whole session, so warm-up dispatches are excluded from recording.
+        self._timed_sigs: set[tuple] = set()
 
     # -- config ------------------------------------------------------------
 
@@ -643,7 +648,12 @@ class Collection:
         else:
             vals, idx = self._brute.search(q, k, mask=mask)
         out = self._hydrate(np.asarray(vals), np.asarray(idx), k)
-        self.planner.record_latency(engine, q.shape[0], time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        sig = (engine, self.planner._bucket(q.shape[0]), k_fetch, ef)
+        if sig in self._timed_sigs:
+            self.planner.record_latency(engine, q.shape[0], dt)
+        else:
+            self._timed_sigs.add(sig)  # warm-up (compile) dispatch: untimed
         return out
 
     @property

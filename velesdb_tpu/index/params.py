@@ -69,6 +69,10 @@ class GraphParams:
     traversal_rerank: bool = True  # False = drop the f32 corpus entirely
     # after quantizing (TRUE 4x graph capacity; head rerank skipped, small
     # recall cost recoverable via Collection.search_with_rerank host-side)
+    restarts: int = 1  # independent beams per query (multi-restart search):
+    # R > 1 splits the ef budget into R sub-beams seeded from disjoint
+    # router partitions, merged with dedup — attacks wrong-basin
+    # navigation failures a single greedy beam cannot escape.
     build_nprobe: int = 8  # partitions probed per row in the approx-kNN build
     build_passes: int = 1  # decorrelated IVF clusterings unioned in the build
     refine_rounds: int = 0  # NN-descent rounds on the approx kNN. Lifts
