@@ -220,6 +220,25 @@ def run_config(name, n, d, metric_name, batch=256):
         latency=True,
     )
 
+    # int8-direct SQ8 (int8 MXU dots, no unpack — serves D < 512 in prod)
+    from velesdb_tpu.ops.bucket_kernel import sq8_int8_rows, sq8i_bucket_topk
+
+    rows8 = sq8_int8_rows(sq8.codes)
+    sq8i_chunk = min(
+        bucket_chunk_for(batch, ((d + 127) // 128) * 128, 1), n_pad
+    )
+    measure(
+        "sq8-int8", f"chunk={sq8i_chunk}",
+        functools.partial(
+            sq8i_bucket_topk, k=K, metric=metric, chunk=sq8i_chunk,
+            interpret=interp,
+        ),
+        (rows8, s2.astype(jnp.float32), m2.astype(jnp.float32), sq8_pen),
+        batches=(batch, 16),
+        latency=True,
+    )
+    del rows8
+
     ivf = IvfIndex(d, metric)
     ivf.build(corpus_dev[:n], np.ones(n, bool))
     import jax as _jax

@@ -187,3 +187,41 @@ def test_sq8_bucket_kernel_interpret(data, metric):
         jnp.asarray(pen), k=10, metric=m, chunk=512, interpret=True,
     )
     assert _recall(np.asarray(si), gi) >= 0.97
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_sq8_int8_direct_kernel_interpret(data, metric):
+    """int8-direct SQ8 kernel (no unpack; int8 MXU dots + symmetric query
+    quantization): recall vs the dequant oracle must match the staged
+    kernel's envelope despite the extra query-quantization noise."""
+    import jax.numpy as jnp
+
+    from velesdb_tpu.ops.bucket_kernel import sq8_int8_rows, sq8i_bucket_topk
+    from velesdb_tpu.ops.quantization import sq8_dequantize, sq8_quantize
+
+    corpus, queries, valid = data
+    m = DistanceMetric.parse(metric)
+    sq = sq8_quantize(jnp.asarray(corpus))
+    deq = np.asarray(sq8_dequantize(sq))
+    rows8 = sq8_int8_rows(sq.codes)
+    dn = (deq**2).sum(1)
+    if m is DistanceMetric.COSINE:
+        inv = 1.0 / np.maximum(np.sqrt(dn), 1e-30)
+        scale, minv = np.asarray(sq.scale) * inv, np.asarray(sq.minv) * inv
+        pen = np.where(valid, 0.0, np.inf).astype(np.float32)
+    elif m is DistanceMetric.EUCLIDEAN:
+        scale, minv = np.asarray(sq.scale), np.asarray(sq.minv)
+        pen = np.where(valid, dn, np.inf).astype(np.float32)
+    else:
+        scale, minv = np.asarray(sq.scale), np.asarray(sq.minv)
+        pen = np.where(valid, 0.0, np.inf).astype(np.float32)
+    _, gi = brute_force_topk(queries, deq, 10, m, valid=valid)
+    sv, si = sq8i_bucket_topk(
+        jnp.asarray(queries), rows8, jnp.asarray(scale), jnp.asarray(minv),
+        jnp.asarray(pen), k=10, metric=m, chunk=512, interpret=True,
+    )
+    assert _recall(np.asarray(si), gi) >= 0.97
+    if m is DistanceMetric.EUCLIDEAN:
+        # restored distances are sorted ascending and non-negative
+        sv = np.asarray(sv)
+        assert np.all(np.diff(sv, axis=1) >= -1e-4) and np.all(sv >= 0)

@@ -71,8 +71,11 @@ class GraphParams:
     # recall cost recoverable via Collection.search_with_rerank host-side)
     restarts: int = 1  # independent beams per query (multi-restart search):
     # R > 1 splits the ef budget into R sub-beams seeded from disjoint
-    # router partitions, merged with dedup — attacks wrong-basin
-    # navigation failures a single greedy beam cannot escape.
+    # router partitions, merged with dedup. MEASURED RECALL-NEGATIVE at
+    # 1M x 128D (ef=128: 0.914 -> 0.864 at R=2; ef=256: 0.943 -> 0.920;
+    # even at 2x budget two decorrelated 128-beams lose to one 256-beam)
+    # — pool width binds, not basin capture. Kept as an expert knob for
+    # other topologies; do not enable by default.
     build_nprobe: int = 8  # partitions probed per row in the approx-kNN build
     build_passes: int = 1  # decorrelated IVF clusterings unioned in the build
     refine_rounds: int = 0  # NN-descent rounds on the approx kNN. Lifts

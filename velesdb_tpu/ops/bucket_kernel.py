@@ -59,6 +59,8 @@ __all__ = [
     "hamming_bucket_topk",
     "sq8_pack_blocked",
     "sq8_bucket_topk",
+    "sq8_int8_rows",
+    "sq8i_bucket_topk",
 ]
 
 # Below this corpus size bucket collisions bite (few buckets) and a single
@@ -78,6 +80,10 @@ def bucket_chunk_for(b: int, d: int, itemsize: int = 4) -> int:
     b=256); known OOM: (4096, 128, f32, b=1024) at 20.4MB."""
     budget = 15_500_000 - b * d * 4  # resident queries
     chunk = 256
+    # cap at 8K even where int8 layouts (itemsize 1) would fit 16K: buckets
+    # = N/chunk * 128, so doubling the chunk HALVES the bucket count and
+    # doubles the collision loss at small batch — measured as a ~0.5-1%
+    # coarse-recall cost at 200K x 128D for no meaningful DMA win
     while chunk < 8192:
         nxt = chunk * 2
         need = (3 * nxt * d * itemsize) // 2 + 4 * b * nxt + 8 * b * _LANES
@@ -441,6 +447,108 @@ def sq8_bucket_topk(queries, words, scale, minv, penalty, *, k, metric,
         interpret=interpret,
     )(q, words, s8, m8, p8)
     vals, idx = _final_select(gm, gi, k, b)
+    if metric is DistanceMetric.EUCLIDEAN:
+        return _restore_euclidean(vals, idx, qq)
+    return vals, idx
+
+
+def sq8_int8_rows(codes):
+    """Shift ``[N, D] uint8`` SQ8 codes to signed ``[N, D_pad] int8`` rows
+    (``code - 128``, dim padded to a lane multiple) for the int8-direct
+    kernel: the MXU consumes int8 natively on v5e, so scoring needs NO
+    in-kernel unpack at all — the VPU stage the int32-staged kernel pays
+    ~3 ops/element for disappears, and the VMEM working set drops to
+    1 byte/dim (vs 1 packed + 4 unpacked)."""
+    n, d = codes.shape
+    d_pad = _round_up(d, _LANES)
+    c = jnp.pad(codes, ((0, 0), (0, d_pad - d)), constant_values=128)
+    return (c.astype(jnp.int32) - 128).astype(jnp.int8)
+
+
+def _sq8i_kernel(qi_ref, rows_ref, scale_ref, am_ref, pen_ref, invqs_ref,
+                 gm_ref, gi_ref, *, chunk: int):
+    c = pl.program_id(0)
+    qi = qi_ref[:]  # [B, D_pad] int8 (query / qs, rounded)
+    rows = rows_ref[:]  # [C, D_pad] int8 (code - 128)
+    doti = jax.lax.dot_general(
+        qi, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )  # [B, C] int8 x int8 on the MXU
+    d = doti.astype(jnp.float32)
+    # s/qs = scale*(qi.c8) + sum(qi)*(128*scale + minv) - pen/qs
+    # (ranking is invariant to the positive per-query 1/qs scaling; the
+    # wrapper multiplies qs back after selection to restore real scores)
+    sqi = jnp.sum(qi.astype(jnp.float32), axis=1, keepdims=True)  # [B, 1]
+    iq = invqs_ref[:, 0:1]  # [B, 1]
+    s = d * scale_ref[0, :][None, :] + sqi * am_ref[0, :][None, :]
+    s = s - iq * pen_ref[0, :][None, :]
+    gm_ref[:], gi_ref[:] = _bucket_select(s, c * chunk)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "chunk", "interpret")
+)
+def sq8i_bucket_topk(queries, rows8, scale, minv, penalty, *, k, metric,
+                     chunk, interpret):
+    """Bucket-selection search over signed-int8 SQ8 rows with int8 MXU dots.
+
+    ``rows8 [N_pad, D_pad] int8`` from :func:`sq8_int8_rows`. Queries are
+    quantized per-row symmetric (``qi = round(q / qs)``, ``qs =
+    max|q|/127``) so the matmul runs int8 x int8 -> int32 — 1 HBM byte per
+    dim like the packed kernel but zero unpack VPU work. Query quantization
+    adds ~qs/2 per-element noise on top of the corpus SQ8 noise; the
+    collection layer's auto-rerank recovers it like any quantized path.
+    Same output contract as :func:`sq8_bucket_topk`.
+    """
+    b, d = queries.shape
+    n, d_pad = rows8.shape
+    b_pad = _round_up(max(b, 8), 8)
+    q = queries
+    qq = jnp.sum(q * q, axis=1)
+    if metric is DistanceMetric.COSINE:
+        sq = jnp.sum(q * q, axis=1, keepdims=True)
+        q = q * jnp.where(sq > 1e-30, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0)
+    elif metric is DistanceMetric.EUCLIDEAN:
+        q = 2.0 * q
+    qs = jnp.max(jnp.abs(q), axis=1) / 127.0  # [B]
+    qs = jnp.maximum(qs, 1e-30)
+    qi = jnp.round(q / qs[:, None]).astype(jnp.int8)
+    qi = jnp.pad(qi, ((0, b_pad - b), (0, d_pad - d)))
+    qs = jnp.pad(qs, (0, b_pad - b), constant_values=1.0)
+    invqs = jnp.broadcast_to((1.0 / qs)[:, None], (b_pad, _LANES))
+    grid = (n // chunk,)
+    nbuckets = (n // chunk) * _LANES
+    am = 128.0 * scale + minv  # folds the code-128 shift back in
+    s8 = jnp.broadcast_to(scale[None, :], (8, n))
+    a8 = jnp.broadcast_to(am[None, :], (8, n))
+    p8 = jnp.broadcast_to(penalty[None, :], (8, n))
+    gm, gi = pl.pallas_call(
+        functools.partial(_sq8i_kernel, chunk=chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b_pad, d_pad), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d_pad), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, _LANES), lambda c: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_pad, _LANES), lambda c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, _LANES), lambda c: (0, c), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, nbuckets), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, nbuckets), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n * d_pad,
+            bytes_accessed=n * d_pad + b_pad * d_pad,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qi, rows8, s8, a8, p8, invqs)
+    vals, idx = _final_select(gm, gi, k, b)
+    vals = vals * qs[:b, None]  # undo the 1/qs ranking normalization
     if metric is DistanceMetric.EUCLIDEAN:
         return _restore_euclidean(vals, idx, qq)
     return vals, idx
