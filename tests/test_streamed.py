@@ -225,3 +225,77 @@ def test_sq8_int8_direct_kernel_interpret(data, metric):
         # restored distances are sorted ascending and non-negative
         sv = np.asarray(sv)
         assert np.all(np.diff(sv, axis=1) >= -1e-4) and np.all(sv >= 0)
+
+
+def test_sq8_int8_kernel_odd_dim_and_mask():
+    """d=100 (pad to 128) + invalid rows masked via +inf penalty."""
+    import jax.numpy as jnp
+
+    from velesdb_tpu.ops.bucket_kernel import sq8_int8_rows, sq8i_bucket_topk
+    from velesdb_tpu.ops.quantization import sq8_dequantize, sq8_quantize
+
+    rng = np.random.default_rng(5)
+    n, d = 1024, 100
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((8, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[::7] = False
+    m = DistanceMetric.EUCLIDEAN
+    sq = sq8_quantize(jnp.asarray(corpus))
+    deq = np.asarray(sq8_dequantize(sq))
+    rows8 = sq8_int8_rows(sq.codes)
+    assert rows8.shape == (n, 128)
+    pen = np.where(valid, (deq**2).sum(1), np.inf).astype(np.float32)
+    _, gi = brute_force_topk(queries, deq, 10, m, valid=valid)
+    _, si = sq8i_bucket_topk(
+        jnp.asarray(queries), rows8, sq.scale, sq.minv, jnp.asarray(pen),
+        k=10, metric=m, chunk=256, interpret=True,
+    )
+    si = np.asarray(si)
+    assert _recall(si, gi) >= 0.97
+    assert not np.isin(si, np.flatnonzero(~valid)).any()  # mask respected
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_sq8_int8_assist_rerank_interpret(data, metric):
+    """int8-assist entry: coarse int8 scan + in-program f32 gather-rerank
+    returns exact-oracle VALUES for its hits and >=0.99-grade recall."""
+    import jax
+    import jax.numpy as jnp
+
+    from velesdb_tpu.ops.bucket_kernel import sq8_int8_rows, sq8i_rerank_topk
+    from velesdb_tpu.ops.quantization import sq8_quantize
+
+    corpus, queries, valid = data
+    m = DistanceMetric.parse(metric)
+    xs = corpus.copy()
+    if m is DistanceMetric.COSINE:
+        xs = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-30)
+    sq = sq8_quantize(jnp.asarray(xs))
+    rows8 = sq8_int8_rows(sq.codes)
+    deq = sq.codes.astype(jnp.float32) * sq.scale[:, None] + sq.minv[:, None]
+    dsq = jnp.sum(deq * deq, axis=-1)
+    if m is DistanceMetric.COSINE:
+        inv = jnp.where(dsq > 1e-30, jax.lax.rsqrt(jnp.maximum(dsq, 1e-30)), 0.0)
+        scale, minv = sq.scale * inv, sq.minv * inv
+        base = np.zeros(len(xs), np.float32)
+    elif m is DistanceMetric.EUCLIDEAN:
+        scale, minv = sq.scale, sq.minv
+        base = np.asarray(dsq)
+    else:
+        scale, minv = sq.scale, sq.minv
+        base = np.zeros(len(xs), np.float32)
+    pen = jnp.asarray(np.where(valid, base, np.inf).astype(np.float32))
+    gv, gi = brute_force_topk(queries, xs, 10, m, valid=valid)
+    vals, ids = sq8i_rerank_topk(
+        jnp.asarray(queries), rows8, scale, minv, pen, jnp.asarray(xs),
+        k=10, m=64, metric=m, chunk=512, interpret=True,
+    )
+    ids, vals = np.asarray(ids), np.asarray(vals)
+    gi, gv = np.asarray(gi), np.asarray(gv)
+    assert _recall(ids, gi) >= 0.98
+    assert not np.isin(ids, np.flatnonzero(~valid)).any()
+    # wherever assist and oracle agree on the id, values match exactly-ish
+    agree = ids[:, 0] == gi[:, 0]
+    assert agree.mean() >= 0.9
+    np.testing.assert_allclose(vals[agree, 0], gv[agree, 0], rtol=2e-4, atol=2e-4)

@@ -61,6 +61,7 @@ __all__ = [
     "sq8_bucket_topk",
     "sq8_int8_rows",
     "sq8i_bucket_topk",
+    "sq8i_rerank_topk",
 ]
 
 # Below this corpus size bucket collisions bite (few buckets) and a single
@@ -552,3 +553,63 @@ def sq8i_bucket_topk(queries, rows8, scale, minv, penalty, *, k, metric,
     if metric is DistanceMetric.EUCLIDEAN:
         return _restore_euclidean(vals, idx, qq)
     return vals, idx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "m", "metric", "chunk", "interpret")
+)
+def sq8i_rerank_topk(queries, rows8, scale, minv, penalty, corpus, *, k, m,
+                     metric, chunk, interpret):
+    """int8-assisted exact search: coarse int8 bucket scan + in-program f32
+    gather-rerank, ONE dispatch.
+
+    The int8 shadow scan reads 1/4 the f32 bytes, then the ``m`` coarse
+    winners per query are gathered from the resident f32 corpus and
+    rescored exactly in the same program. ``corpus [N_pad, D]`` f32
+    (cosine: pre-normalized rows). Returns metric-native ``(vals, ids)``.
+
+    MEASURED ENVELOPE (v5e, 1M x 128D dense clustered): recall saturates
+    at ~0.96 for ANY m in 40-256 and ANY chunk in 1024-8192 — SQ8 score
+    noise exceeds the rank gaps of dense neighborhoods, so ~4% of true
+    neighbors rank below 256 quantized and no rerank width recovers them.
+    For that reason this is NOT the automatic serve path for FULL
+    collections (the f32 bucket kernel's 0.994 wins); it exists for
+    explicit dual-precision calls on distributions with wider rank gaps
+    (e.g. high-D real-world embeddings), where containment@m is benign.
+
+    Reference analog: ``dual_precision.rs`` int8 scan + f32 rerank, fused
+    into one XLA program instead of two passes.
+    """
+    b, d = queries.shape
+    cv, ci = sq8i_bucket_topk(
+        queries, rows8, scale, minv, penalty, k=m, metric=metric,
+        chunk=chunk, interpret=interpret,
+    )  # [B, m] coarse (metric-native values, but we only need ids)
+    safe = jnp.maximum(ci, 0)
+    cand = corpus[safe]  # [B, m, D] gather of coarse winners
+    if metric is DistanceMetric.COSINE:
+        sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+        qn = queries * jnp.where(
+            sq > 1e-30, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0
+        )
+    else:
+        qn = queries
+    dots = jnp.einsum(
+        "bd,bmd->bm", qn, cand, preferred_element_type=jnp.float32
+    )
+    if metric is DistanceMetric.EUCLIDEAN:
+        qq = jnp.sum(qn * qn, axis=1, keepdims=True)
+        csq = jnp.sum(cand * cand, axis=-1)
+        exact = qq + csq - 2.0 * dots  # d^2, lower better
+        exact = jnp.where(ci < 0, jnp.inf, exact)
+        neg, order = jax.lax.top_k(-exact, k)
+        ids = jnp.take_along_axis(ci, order, axis=1)
+        return jnp.sqrt(jnp.maximum(-neg, 0.0)), ids
+    if metric is DistanceMetric.COSINE:
+        # corpus rows pre-normalized -> dots are cosine similarities
+        exact = jnp.where(ci < 0, -jnp.inf, dots)
+    else:
+        exact = jnp.where(ci < 0, -jnp.inf, dots)
+    vals, order = jax.lax.top_k(exact, k)
+    ids = jnp.take_along_axis(ci, order, axis=1)
+    return vals, jnp.where(vals == -jnp.inf, -1, ids)
