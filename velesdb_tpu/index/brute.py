@@ -53,6 +53,14 @@ _SQ8_BUCKET_OK = [True]  # SQ8 bucket kernel (int32-staged unpack)
 _SQ8I_OK = [True]  # SQ8 int8-direct kernel (int8 MXU dots, no unpack)
 _BINARY_OK = [True]  # Hamming kernels
 
+# int8-direct serves every dim (safety knob, lower to re-enable the staged
+# kernel above a cutoff). Measured v5e scan protocol: +59% QPS at 1Mx128D
+# (267.8K vs 168.6K) and +24% at 100Kx768D (403.6K vs 325.9K); the 0.01
+# coarse-recall gap at 768D (query-quant noise) washes out after the
+# default auto-rerank (post-rerank A/B at 150Kx768D: int8 0.964 vs staged
+# 0.961 — both sit at the SQ8-noise ceiling of this data).
+_SQ8I_MAX_DIM = [1 << 30]
+
 
 def _bucket_safe(n_pad: int, chunk: int, k: int) -> bool:
     """Collision-recall guard shared by every bucket-kernel dispatch: one
@@ -164,13 +172,10 @@ class BruteForceIndex:
             # ONE device representation for the bucket path: signed int8
             # rows when the int8-direct kernel is live (int8 MXU dots, no
             # unpack VPU work), packed int32 words otherwise. The streamed
-            # fallback reads ``self._sq8`` codes either way. Dimension
-            # split (measured, v5e, b=256): at 1M x 128D int8-direct is
-            # +23% QPS at recall parity (103K vs 84K, 0.942 vs 0.943); at
-            # ~100K x 768D it is +2.5% QPS but -0.01 coarse recall (query
-            # quantization noise grows with D for cosine) — so int8 serves
-            # D < 512 and the staged kernel keeps the high-D half.
-            if _SQ8I_OK[0] and use_pallas() and self.dim < 512:
+            # fallback reads ``self._sq8`` codes either way. int8-direct
+            # wins at every measured dim (see ``_SQ8I_MAX_DIM`` for the
+            # scan-protocol numbers); the knob exists as a safety valve.
+            if _SQ8I_OK[0] and use_pallas() and self.dim < _SQ8I_MAX_DIM[0]:
                 self._sq8_rows8 = jax.device_put(sq8_int8_rows(sq.codes))
                 self._sq8_words = None
             else:
