@@ -134,3 +134,30 @@ def test_quantized_recall_with_rerank(tmp_db_dir):
         [[h.id for h in r] for r in binary.search_batch(queries, 10)]
     )
     assert recall_at_10(auto_b, gt) > coarse_r
+
+
+def test_calibrate_storage_true_oracle(tmp_db_dir):
+    """r3b: quantized-storage TRUE recall vs a host f32 oracle — the blind
+    spot of engine calibration (whose oracle is the quantized brute path).
+    At this small/sparse scale the serve path should measure >=0.95; a
+    full-precision collection returns None (its serve path IS the oracle)."""
+    rng = np.random.default_rng(13)
+    n, d = 2000, 64
+    corpus = clustered(rng, n, d, c=16)
+    db = Database.open(tmp_db_dir)
+
+    sq8 = db.create_collection("cal8", dim=d, storage_mode=StorageMode.SQ8)
+    sq8.upsert_bulk(range(n), corpus)
+    r = sq8.calibrate_storage(sample=48)
+    assert r is not None and 0.9 <= r <= 1.0
+    # cached by row count; a mutation invalidates
+    assert sq8.calibrate_storage() == r
+    assert sq8.planner.engine_recall("storage") == r
+    sq8.upsert(n + 1, corpus[0])
+    assert sq8._storage_recall[0] == n  # stale marker until re-probed
+    r2 = sq8.calibrate_storage(sample=48)
+    assert r2 is not None and sq8._storage_recall[0] == n + 1
+
+    full = db.create_collection("calf", dim=d)
+    full.upsert_bulk(range(100), corpus[:100])
+    assert full.calibrate_storage() is None

@@ -560,6 +560,68 @@ class Collection:
         except Exception:
             pass  # calibration is advisory; the engine still serves
 
+    def calibrate_storage(self, sample: int = 128):
+        """True-recall probe of QUANTIZED storage (SQ8/binary): the default
+        serving path (auto-rerank included) measured against a HOST f32
+        exact oracle over the memmap slot view.
+
+        ``_calibrate_engine`` uses the brute engine as its oracle — which,
+        on a quantized collection, is itself quantized, so storage-level
+        recall loss is invisible to it (measured ~0.96 ceiling on dense
+        clustered data at 1M, a density effect of SQ8 noise vs rank gaps).
+        This probe closes that blind spot; the result is cached per row
+        count, recorded with the planner under ``"storage"``, and surfaced
+        by the index-info route. Returns ``None`` for full-precision
+        collections (their serve path IS the oracle, modulo ~1e-3 MXU
+        near-tie swaps)."""
+        if self.storage_mode not in (StorageMode.SQ8, StorageMode.BINARY):
+            return None
+        used = self.vectors.used_slots
+        if used < 32:
+            return None
+        cached = getattr(self, "_storage_recall", None)
+        if cached is not None and cached[0] == used:
+            return cached[1]
+        take = min(sample, used)
+        k = 10
+        slots = np.linspace(0, used - 1, take).astype(np.int64)
+        view = self.vectors.slot_view()
+        base = np.array(view[slots])
+        rngc = np.random.default_rng(0)
+        noise = rngc.standard_normal(base.shape).astype(np.float32)
+        noise /= np.maximum(np.linalg.norm(noise, axis=1, keepdims=True), 1e-9)
+        # one-NN-distance perturbation via the host oracle itself
+        corpus = np.asarray(view[:used], np.float32)
+        slot_to_id = {v: k for k, v in self.vectors.id_to_slot.items()}
+        live = np.zeros(used, bool)
+        live[[s for s in slot_to_id if s < used]] = True
+        hib = self.metric.higher_is_better
+        dead_fill = -np.inf if hib else np.inf
+        def oracle_topk(q, kk):
+            out = np.empty((len(q), kk), np.int64)
+            for i in range(len(q)):  # 128 BLAS row passes, host-side
+                s = _host_scores(q[i], corpus, self.metric)
+                s = np.where(live, s, dead_fill)
+                order = np.argsort(-s if hib else s)
+                out[i] = order[:kk]
+            return out
+        nn2 = oracle_topk(base, 2)
+        d1 = np.linalg.norm(base - corpus[nn2[:, 1]], axis=1, keepdims=True)
+        q = base + noise * d1
+        gt = oracle_topk(q, k)
+        # oracle slots -> stored ids (the serving path returns user ids)
+        gt_ids = np.array(
+            [[slot_to_id.get(int(s), -1) for s in row] for row in gt]
+        )
+        res = self.search_batch(q, k)
+        hits = 0
+        for i, row in enumerate(res):
+            hits += len({r.id for r in row} & set(gt_ids[i].tolist()))
+        r = hits / float(take * k)
+        self._storage_recall = (used, r)
+        self.planner.record_recall("storage", r)
+        return r
+
     # -- search (parity with collection/search/vector.rs) ------------------
 
     def search(

@@ -203,6 +203,11 @@ class VelesServer:
                 for e in ("graph", "ivf")
                 if col.planner.engine_recall(e) is not None
             },
+            # quantized-storage TRUE recall vs a host f32 oracle (r3b:
+            # the engine probes above use the brute path as oracle, which
+            # on SQ8/binary storage is itself quantized — this closes that
+            # blind spot; None = full-precision collection)
+            "storage_recall": col.calibrate_storage(),
         }
 
     def configure_index(self, name, body, **_):
