@@ -147,6 +147,59 @@ def run_config(name, n, d, metric_name, batch=256):
     _, gt = chunked_topk(gt_q, norm_dev, valid, K, metric, chunk=min(65536, n_pad))
     gt = np.asarray(gt)
 
+    # TRUE host-f32 oracle (r3b metrology fix). MXU f32 scores differ
+    # from true f32 by ~3e-4 (~0.2% in euclidean distance here), which in
+    # concentration-of-distances regimes swaps ~3% of near-tied top-10:
+    # device-vs-host oracle agreement is only 0.968 at 1M x 128D. Three
+    # recall fields disentangle this:
+    #   recall      — identity vs the DEVICE oracle (legacy; flatters
+    #                 device-scored engines via correlated MXU error)
+    #   recall_host — identity vs the TRUE host-f32 oracle (the honest
+    #                 basis-independent number; host-reranked paths
+    #                 measure 0.998 here while pure-MXU engines read
+    #                 ~0.97 — their selections really are ~0.2% off)
+    #   recall_eps  — served distance within 0.1% of the true k-th
+    #                 (ann-benchmarks convention; bounds user-visible
+    #                 loss, generous where ranks concentrate)
+    corpus_host = corpus[:n].astype(np.float32)
+    if metric is DistanceMetric.COSINE:
+        corpus_host = corpus_host / np.maximum(
+            np.linalg.norm(corpus_host, axis=1, keepdims=True), 1e-30
+        )
+    q_host = np.asarray(queries[:batch], np.float32)
+    if metric is DistanceMetric.COSINE:
+        q_host = q_host / np.maximum(
+            np.linalg.norm(q_host, axis=1, keepdims=True), 1e-30
+        )
+    kth = np.empty(batch, np.float64)
+    gt_host = np.empty((batch, K), np.int64)
+    hib = metric.higher_is_better
+    for i in range(batch):  # chunk-free BLAS rows; ~10-60s at 1M once/config
+        if metric is DistanceMetric.EUCLIDEAN:
+            s = np.linalg.norm(corpus_host - q_host[i][None, :], axis=1)
+            top = np.argpartition(s, K - 1)[:K]
+            kth[i] = s[top].max()
+        else:
+            s = corpus_host @ q_host[i]
+            top = np.argpartition(-s, K - 1)[:K]
+            kth[i] = s[top].min()
+        gt_host[i] = top
+
+    def eps_recall(idx):
+        hits = 0
+        for i in range(batch):
+            ids = idx[i][idx[i] >= 0]
+            if len(ids) == 0:
+                continue
+            rows = corpus_host[ids]
+            if metric is DistanceMetric.EUCLIDEAN:
+                s = np.linalg.norm(rows - q_host[i][None, :], axis=1)
+                hits += int(np.sum(s <= kth[i] * 1.001 + 1e-9))
+            else:
+                s = rows @ q_host[i]
+                hits += int(np.sum(s >= kth[i] - 1e-3 * abs(kth[i]) - 1e-9))
+        return hits / float(batch * K)
+
     points = []
 
     def measure(engine, knob, fn, arrays, batches=(batch,), latency=False):
@@ -155,12 +208,19 @@ def run_config(name, n, d, metric_name, batch=256):
         r = float(
             np.mean([len(set(idx[i]) & set(gt[i])) / K for i in range(batch)])
         )
+        r_host = float(
+            np.mean(
+                [len(set(idx[i]) & set(gt_host[i])) / K for i in range(batch)]
+            )
+        )
+        r_eps = float(eps_recall(idx))
         for b in batches:
             q_min, q_med = scan_stats(fn, arrays, queries, b, d)
             pt = {
                 "engine": engine, "knob": knob, "batch": b,
-                "recall": round(r, 4), "qps": round(q_min),
-                "qps_med": round(q_med),
+                "recall": round(r, 4), "recall_host": round(r_host, 4),
+                "recall_eps": round(r_eps, 4),
+                "qps": round(q_min), "qps_med": round(q_med),
             }
             if latency and b == min(batches):
                 p50, p99 = latency_probe(fn, arrays, queries, d)

@@ -192,3 +192,28 @@ def test_ann_path_activates_and_matches_exact(tmp_db_dir, rng):
     col2.search(vecs[0], k=1)
     assert not col2.ann.dirty
     db2.close()
+
+
+def test_perfect_quality_routes_through_host_rerank(tmp_db_dir, rng):
+    """r3b: quality=perfect engages the host-f32 rerank pass on ANY storage
+    mode — device engines select with MXU f32 (~0.2% distance error), so
+    the host rescoring pass is the true fidelity ceiling."""
+    db = Database.open(tmp_db_dir)
+    col = db.create_collection("pf", dim=16)
+    vecs = rng.standard_normal((500, 16)).astype(np.float32)
+    col.upsert_bulk(range(500), vecs)
+    calls = []
+    orig = col.search_batch_with_rerank
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    col.search_batch_with_rerank = spy
+    res = col.search(vecs[7], k=5, quality="perfect")
+    assert res[0].id == 7
+    assert calls, "perfect did not engage the rerank pass"
+    # balanced on a FULL collection stays on the device path
+    calls.clear()
+    col.search(vecs[7], k=5, quality="balanced")
+    assert not calls

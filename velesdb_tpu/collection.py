@@ -666,11 +666,24 @@ class Collection:
         rerank pass by default (:attr:`auto_rerank`); ``_raw=True`` is the
         internal coarse-pass escape hatch.
         """
-        if (
-            not _raw
-            and self.auto_rerank
-            and self.storage_mode in (StorageMode.SQ8, StorageMode.BINARY)
+        wants_perfect = (
+            quality is not None
+            and SearchQuality.parse(quality) is SearchQuality.PERFECT
+        )
+        if not _raw and (
+            wants_perfect
+            or (
+                self.auto_rerank
+                and self.storage_mode in (StorageMode.SQ8, StorageMode.BINARY)
+            )
         ):
+            # host-f32 rerank pass. For quantized storage it recovers the
+            # quantization loss; for PERFECT it is the fidelity ceiling on
+            # ANY storage: device engines select with MXU f32 (~3e-4 score
+            # error -> ~0.2% distance error), which in concentrated
+            # neighborhoods caps true-oracle identity recall at ~0.97 even
+            # for the "exact" kernels — the host rescoring pass measures
+            # 0.998 vs a true f32 oracle at 1M x 128D (r3b metrology).
             return self.search_batch_with_rerank(
                 queries, k, filter=filter, ef=ef, quality=quality
             )
