@@ -167,13 +167,30 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
 
         engine_arrays = (corpus_dev, valid_dev, sqn)
     else:
-        def search_fn(q, corpus_a, pen_a):
-            return bucket_topk_entry(
-                q, corpus_a, pen_a, k=k, metric=metric, chunk=chunk,
-                interpret=interp, prenormalized=True,
+        # serve path at D < 512 since r3b: split-bf16 bucket kernel (true-
+        # f32 fidelity; the plain-f32 kernel's MXU scores are ~3e-4 off,
+        # which costs ~4% TRUE top-10 identity at 1M — see BENCH_curve
+        # recall_host). NOTE the recall below is measured vs the DEVICE
+        # oracle, which disagrees with a true host-f32 oracle on ~3% of
+        # near-ties at this density; recall_host in BENCH_curve.json is
+        # the basis-independent number (hl ~0.986 vs f32-kernel 0.953).
+        from velesdb_tpu.ops.bucket_kernel import (
+            bucket_topk_hl, split_f32_rows,
+        )
+
+        d_pad128 = ((d + 127) // 128) * 128
+        hi_dev, lo_dev = split_f32_rows(
+            jnp.pad(corpus_dev, ((0, 0), (0, d_pad128 - d)))
+        )
+        chunk_hl = min(bucket_chunk_for(batch, d_pad128, 8), n_pad)
+
+        def search_fn(q, hi_a, lo_a, pen_a):
+            return bucket_topk_hl(
+                q, hi_a, lo_a, pen_a, k=k, metric=metric, chunk=chunk_hl,
+                interpret=interp,
             )
 
-        engine_arrays = (corpus_dev, pen_dev)
+        engine_arrays = (hi_dev, lo_dev, pen_dev)
 
     _note("corpus resident; measuring recall oracle")
     # recall vs the independent chunked-XLA exact oracle, all on device

@@ -241,6 +241,27 @@ def run_config(name, n, d, metric_name, batch=256):
         batches=(batch, 16),
         latency=True,
     )
+    # split-bf16 (true-f32 fidelity) bucket kernel — the FULL-collection
+    # serve path at D < 512 since r3b
+    from velesdb_tpu.ops.bucket_kernel import bucket_topk_hl, split_f32_rows
+
+    d_pad128 = ((d + 127) // 128) * 128
+    hi_dev, lo_dev = split_f32_rows(
+        jnp.pad(norm_dev, ((0, 0), (0, d_pad128 - d)))
+    )
+    chunk_hl = min(bucket_chunk_for(batch, d_pad128, 8), n_pad)
+    measure(
+        "exact-hl", f"chunk={chunk_hl}",
+        functools.partial(
+            bucket_topk_hl, k=K, metric=metric, chunk=chunk_hl,
+            interpret=interp,
+        ),
+        (hi_dev, lo_dev, pen),
+        batches=(batch, 16),
+        latency=True,
+    )
+    del hi_dev, lo_dev
+
     measure(
         "exact-streamed", "chunk=65536",
         functools.partial(

@@ -299,3 +299,36 @@ def test_sq8_int8_assist_rerank_interpret(data, metric):
     agree = ids[:, 0] == gi[:, 0]
     assert agree.mean() >= 0.9
     np.testing.assert_allclose(vals[agree, 0], gv[agree, 0], rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_split_bf16_bucket_kernel_interpret(data, metric):
+    """split-bf16 (true-f32 emulation) bucket kernel: same contract as the
+    f32 bucket kernel, fidelity within ~1e-4 of true f32 scores."""
+    import jax.numpy as jnp
+
+    from velesdb_tpu.ops.bucket_kernel import bucket_topk_hl, split_f32_rows
+
+    corpus, queries, valid = data
+    m = DistanceMetric.parse(metric)
+    xs = corpus.copy()
+    if m is DistanceMetric.COSINE:
+        xs = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-30)
+    if m is DistanceMetric.EUCLIDEAN:
+        pen = np.where(valid, (xs**2).sum(1), np.inf).astype(np.float32)
+    else:
+        pen = np.where(valid, 0.0, np.inf).astype(np.float32)
+    d_pad = ((xs.shape[1] + 127) // 128) * 128
+    padded = jnp.pad(jnp.asarray(xs), ((0, 0), (0, d_pad - xs.shape[1])))
+    hi, lo = split_f32_rows(padded)
+    gv, gi = brute_force_topk(queries, xs, 10, m, valid=valid)
+    bv, bi = bucket_topk_hl(
+        jnp.asarray(queries), hi, lo, jnp.asarray(pen), k=10, metric=m,
+        chunk=512, interpret=True,
+    )
+    bi, bv = np.asarray(bi), np.asarray(bv)
+    gi, gv = np.asarray(gi), np.asarray(gv)
+    assert _recall(bi, gi) >= 0.97  # bucket collisions only
+    agree = bi[:, 0] == gi[:, 0]
+    assert agree.mean() >= 0.95
+    np.testing.assert_allclose(bv[agree, 0], gv[agree, 0], rtol=2e-4, atol=2e-4)

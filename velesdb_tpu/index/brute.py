@@ -49,6 +49,7 @@ __all__ = ["BruteForceIndex", "pad_rows"]
 # kernel family must not disable the others, and must never disable the
 # pure-XLA streamed fallback (which is not Pallas at all).
 _PALLAS_OK = [True]  # f32/bf16 bucket kernel
+_HL_OK = [True]  # split-bf16 (true-f32 fidelity) bucket kernel
 _SQ8_BUCKET_OK = [True]  # SQ8 bucket kernel (int32-staged unpack)
 _SQ8I_OK = [True]  # SQ8 int8-direct kernel (int8 MXU dots, no unpack)
 _BINARY_OK = [True]  # Hamming kernels
@@ -100,6 +101,7 @@ class BruteForceIndex:
         self._bucket_pen = None  # [N_pad] f32 additive penalty (bucket kernel)
         self._sq8_words = None  # [N_pad, D/4] int32 block-packed codes
         self._sq8_rows8 = None  # [N_pad, D_pad] int8 rows (int8-direct kernel)
+        self._full_hl = None  # (hi, lo) bf16 pair (split-bf16 bucket kernel)
         self._sq8_scale = None  # [N_pad] f32 (cosine: scale/|c| folded)
         self._sq8_minv = None  # [N_pad] f32 (cosine: minv/|c| folded)
         self._sq8_pen = None  # [N_pad] f32 additive penalty
@@ -145,14 +147,35 @@ class BruteForceIndex:
             self._bucket_pen = jax.device_put(
                 jnp.where(self._valid, base, jnp.inf)
             )
+            # split-bf16 scoring copy for the bucket kernel (true-f32
+            # fidelity at the same bytes/dim; see bucket_topk_hl). Kept
+            # ALONGSIDE the f32 corpus (streamed fallback, rerank gathers,
+            # sharded paths read f32) — +4 bytes/dim at D < 512 FULL
+            # collections, the bucket kernel's serve regime.
+            self._full_hl = None
+            if (
+                mode is StorageMode.FULL
+                and _HL_OK[0]
+                and use_pallas()
+                and self.dim < 512
+                and self.n_pad >= BUCKET_MIN_ROWS
+            ):
+                from velesdb_tpu.ops.bucket_kernel import split_f32_rows
+
+                d_pad = ((self.dim + 127) // 128) * 128
+                padded = jnp.pad(slots_f32, ((0, 0), (0, d_pad - self.dim)))
+                hi, lo = split_f32_rows(padded)
+                self._full_hl = (jax.device_put(hi), jax.device_put(lo))
+                del padded
             # An int8 "assist" shadow (coarse int8 scan + f32 gather-rerank
             # for FULL collections, ops/bucket_kernel.sq8i_rerank_topk) was
-            # built and MEASURED OUT here: at 1M x 128D clustered, recall
-            # saturates at 0.961 for ANY oversample m (40-256) and ANY
-            # bucket count (chunk 1024-8192) — SQ8 score noise exceeds the
-            # rank gaps of dense neighborhoods, so true neighbors drop
-            # below rank-256 and no rerank recovers them. The primitive
-            # stays available for explicit dual-precision calls.
+            # built and MEASURED OUT here: quality is exact-grade (0.998
+            # recall / 1.000 eps-recall vs the TRUE host oracle at 1M —
+            # early 0.96 readings were device-oracle near-tie artifacts)
+            # but XLA's ~3GB/s row slice-gather of the [B, m, D]
+            # candidates caps it at 94K QPS, below the f32 bucket
+            # kernel's 215.9K. Revisit with a DMA-scheduled gather
+            # (cf. ops/ivf_kernel.py). Primitive stays available.
         elif mode is StorageMode.SQ8:
             sq = sq8_quantize(jnp.asarray(slots))
             self._sq8 = jax.device_put(sq)
@@ -395,6 +418,21 @@ class BruteForceIndex:
         # 338K vs 252K) where the MXU matmul dominates and XLA's pipelining
         # beats the hand-tiled kernel
         prefer_streamed = self.dim >= 512
+        if not prefer_streamed and _HL_OK[0] and self._full_hl is not None:
+            # split-bf16 scoring: true-f32 fidelity at f32-kernel speed
+            # (host-oracle identity 0.953 -> 0.986 measured at 1M x 128D)
+            chunk_hl = min(bucket_chunk_for(b_pad, d_pad, 8), self.n_pad)
+            if _bucket_safe(self.n_pad, chunk_hl, k):
+                try:
+                    from velesdb_tpu.ops.bucket_kernel import bucket_topk_hl
+
+                    return bucket_topk_hl(
+                        queries, self._full_hl[0], self._full_hl[1],
+                        self._bucket_pen, mask_dev, k=k, metric=self.metric,
+                        chunk=chunk_hl, interpret=False,
+                    )
+                except Exception:
+                    _HL_OK[0] = False
         if (
             not prefer_streamed
             and _PALLAS_OK[0]

@@ -62,6 +62,8 @@ __all__ = [
     "sq8_int8_rows",
     "sq8i_bucket_topk",
     "sq8i_rerank_topk",
+    "split_f32_rows",
+    "bucket_topk_hl",
 ]
 
 # Below this corpus size bucket collisions bite (few buckets) and a single
@@ -111,10 +113,12 @@ def _bucket_select(s, base: int):
     return gm, base + off * _LANES + lane
 
 
-def _final_select(gm, gi, k: int, b: int):
+def _final_select(gm, gi, k: int, b: int, recall_target: float = 0.99):
     """Host-program finish shared by every bucket kernel: PartialReduce over
     the [B, nbuckets] bucket winners, empties mapped to -1/-inf."""
-    vals, pos = jax.lax.approx_max_k(gm, min(k, gm.shape[1]), recall_target=0.99)
+    vals, pos = jax.lax.approx_max_k(
+        gm, min(k, gm.shape[1]), recall_target=recall_target
+    )
     idx = jnp.take_along_axis(gi, pos, axis=1)[:b]
     vals = vals[:b]
     return vals, jnp.where(vals == -jnp.inf, -1, idx)
@@ -230,6 +234,105 @@ def bucket_topk_entry(queries, corpus, cnorm_or_penalty, mask=None, *, k,
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# ---- split-bf16 f32-emulation scoring (r3b) --------------------------------
+#
+# MXU f32 dots run at bf16-pass precision (~3e-4), which the 2qc-|c|^2 form
+# amplifies by cancellation: at 1M x 128D the f32 bucket kernel's true
+# (host-f32-oracle) top-10 identity is only 0.953. Storing the corpus as a
+# (hi, lo) bf16 pair — hi = bf16(x), lo = bf16(x - hi), same 4 bytes/dim as
+# f32 — and scoring with two bf16 matmuls
+#     q.c ~ qhi.chi + [qhi|qlo].[clo|chi]      (qlo.clo ~ 2^-16 rel, dropped)
+# restores ~16 mantissa bits. Measured (v5e, 1M x 128D, b=256): same
+# ms/batch as the f32 kernel, host-identity 0.953 -> 0.986 (residual is
+# bucket collisions + PartialReduce target). A 3-separate-matmul form and
+# precision=HIGHEST both crash the Mosaic compile; the concatenated 2-matmul
+# form lowers.
+
+
+def split_f32_rows(corpus):
+    """``[N, D] f32`` -> ``(hi, lo)`` bf16 pair for :func:`bucket_topk_hl`."""
+    hi = corpus.astype(jnp.bfloat16)
+    lo = (corpus - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _kernel_hl(qhi_ref, qlo_ref, hi_ref, lo_ref, cc_ref, gm_ref, gi_ref, *,
+               chunk: int):
+    c = pl.program_id(0)
+    qhi, qlo = qhi_ref[:], qlo_ref[:]
+    chi, clo = hi_ref[:], lo_ref[:]
+    dn = (((1,), (1,)), ((), ()))
+    qcat = jnp.concatenate([qhi, qlo], axis=1)
+    ccat = jnp.concatenate([clo, chi], axis=1)
+    dots = jax.lax.dot_general(qhi, chi, dn, preferred_element_type=jnp.float32)
+    dots += jax.lax.dot_general(qcat, ccat, dn, preferred_element_type=jnp.float32)
+    s = dots - cc_ref[0, :][None, :]
+    gm_ref[:], gi_ref[:] = _bucket_select(s, c * chunk)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "chunk", "interpret")
+)
+def bucket_topk_hl(queries, hi, lo, cnorm_or_penalty, mask=None, *, k,
+                   metric, chunk, interpret):
+    """Split-bf16 bucket search: :func:`bucket_topk_entry` contract, true-f32
+    fidelity. ``hi/lo [N, D_pad]`` bf16 from :func:`split_f32_rows` of the
+    (cosine: pre-normalized) corpus; D already lane-padded at build."""
+    b, d = queries.shape
+    n, d_pad = hi.shape
+    b_pad = _round_up(b, 8)
+    if mask is not None:
+        m = mask
+        if m.shape[0] < n:
+            m = jnp.pad(m, (0, n - m.shape[0]))
+        cnorm_or_penalty = jnp.where(m[:n], cnorm_or_penalty, jnp.inf)
+    q = queries
+    qq = jnp.sum(q * q, axis=1)
+    if metric is DistanceMetric.COSINE:
+        sq = jnp.sum(q * q, axis=1, keepdims=True)
+        q = q * jnp.where(sq > 1e-30, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0)
+    elif metric is DistanceMetric.EUCLIDEAN:
+        q = 2.0 * q
+    q = jnp.pad(q, ((0, b_pad - b), (0, d_pad - d)))
+    qhi = q.astype(jnp.bfloat16)
+    qlo = (q - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    cc = cnorm_or_penalty.astype(jnp.float32)
+    grid = (n // chunk,)
+    nbuckets = (n // chunk) * _LANES
+    cc8 = jnp.broadcast_to(cc[None, :], (8, n))
+    gm, gi = pl.pallas_call(
+        functools.partial(_kernel_hl, chunk=chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b_pad, d_pad), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, d_pad), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d_pad), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d_pad), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c: (0, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_pad, _LANES), lambda c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, _LANES), lambda c: (0, c), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, nbuckets), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, nbuckets), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b_pad * n * d_pad,
+            bytes_accessed=n * d_pad * 4 + b_pad * d_pad * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qhi, qlo, hi, lo, cc8)
+    # fidelity is this kernel's reason to exist: spend the extra
+    # PartialReduce candidates (0.999 vs the shared 0.99 target)
+    vals, idx = _final_select(gm, gi, k, b, recall_target=0.999)
+    if metric is DistanceMetric.EUCLIDEAN:
+        return _restore_euclidean(vals, idx, qq)
+    return vals, idx
 
 
 # ---------------------------------------------------------------------------
@@ -568,14 +671,16 @@ def sq8i_rerank_topk(queries, rows8, scale, minv, penalty, corpus, *, k, m,
     rescored exactly in the same program. ``corpus [N_pad, D]`` f32
     (cosine: pre-normalized rows). Returns metric-native ``(vals, ids)``.
 
-    MEASURED ENVELOPE (v5e, 1M x 128D dense clustered): recall saturates
-    at ~0.96 for ANY m in 40-256 and ANY chunk in 1024-8192 — SQ8 score
-    noise exceeds the rank gaps of dense neighborhoods, so ~4% of true
-    neighbors rank below 256 quantized and no rerank width recovers them.
-    For that reason this is NOT the automatic serve path for FULL
-    collections (the f32 bucket kernel's 0.994 wins); it exists for
-    explicit dual-precision calls on distributions with wider rank gaps
-    (e.g. high-D real-world embeddings), where containment@m is benign.
+    MEASURED ENVELOPE (v5e, 1M x 128D dense clustered): quality is
+    exact-grade — 0.998 recall / 1.000 eps-recall(0.1%) vs the TRUE
+    host-f32 oracle at m=40 (early "0.96" readings were device-oracle
+    near-tie artifacts; MXU f32 swaps ~3% of concentrated top-10). It is
+    still NOT the automatic serve path for FULL collections because
+    XLA's row slice-gather runs at ~3GB/s: the [B, m, D] candidate
+    gather adds ~1.8ms/256-batch, capping it at 94K QPS vs the f32
+    bucket kernel's 215.9K. Wire it in if/when the gather gets a
+    DMA-scheduled kernel (cf. ops/ivf_kernel.py, which fixed the same
+    gather wall for IVF partitions).
 
     Reference analog: ``dual_precision.rs`` int8 scan + f32 rerank, fused
     into one XLA program instead of two passes.
