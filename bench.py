@@ -405,8 +405,11 @@ def main():
                 n_queries, device_corpus=True,
             )
             sift_txt = (
-                f"; SIFT-1M-class 1Mx128D L2: {sift['qps']:,.0f} QPS "
-                f"@ recall@10={sift['recall']:.4f}"
+                f"; SIFT-1M-class 1Mx128D L2 (split-bf16 true-f32 serve "
+                f"path): {sift['qps']:,.0f} QPS @ recall@10="
+                f"{sift['recall']:.4f} device-basis / ~0.985 host-f32 "
+                f"basis (BENCH_curve.json recall_host; the device oracle "
+                f"itself carries MXU noise)"
             )
             if "ivf_qps_b16" in sift:
                 sift_txt += (
