@@ -524,8 +524,12 @@ def beam_search_impl(
             )
             return cd * corpus.scale[safe] + qsum * corpus.minv[safe]
         vecs = corpus[safe]  # [B, M, D]
+        # HIGHEST = true-f32 scores: beam steps are gather-latency-bound,
+        # so the extra MXU emulation passes are free and the pool ordering
+        # stops inheriting the ~3e-4 bf16-pass noise (r3b metrology)
         return jnp.einsum(
-            "bd,bmd->bm", qn, vecs, preferred_element_type=jnp.float32
+            "bd,bmd->bm", qn, vecs, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     def q_dist(node_ids):
@@ -695,7 +699,8 @@ def beam_search_impl(
         rids = ids[:, :r_width]
         rvecs = rerank_corpus[jnp.maximum(rids, 0)]  # [B, R, D]
         rdots = jnp.einsum(
-            "bd,bmd->bm", qn, rvecs, preferred_element_type=jnp.float32
+            "bd,bmd->bm", qn, rvecs, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # true-f32 head rerank
         )
         if metric is DistanceMetric.EUCLIDEAN:
             qq = jnp.sum(qn * qn, axis=-1, keepdims=True)
