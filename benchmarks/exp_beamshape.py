@@ -32,6 +32,14 @@ def main():
         "--shapes",
         default="128:128,128:256,256:128,256:256,256:512,512:256,512:512",
     )
+    ap.add_argument(
+        "--probes", default="2",
+        help="comma list of entry_probes values; full cross with --shapes",
+    )
+    ap.add_argument(
+        "--entries", type=int, default=0,
+        help="entry_points override (0 = GraphParams default)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -85,26 +93,29 @@ def main():
         if idx._route_cents is not None
         else None
     )
-    for pair in args.shapes.split(","):
-        beam, exp = (int(x) for x in pair.split(":"))
-        t0 = time.perf_counter()
-        vals, pidx = gmod._beam_search(
-            qp, idx._corpus, idx._adj, idx._sqnorm, idx._valid,
-            idx._seed_ids, None, None, router,
-            k=args.k, beam=beam, expansions=exp, degree=idx._adj.shape[1],
-            entry_points=min(idx.params.entry_points, beam), metric=metric,
-        )
-        pidx = np.asarray(pidx)[:b]
-        dt = time.perf_counter() - t0
-        rec = np.mean(
-            [len(set(pidx[i][pidx[i] >= 0]) & set(gt[i])) / args.k
-             for i in range(b)]
-        )
-        print(
-            f"beam={beam} exp={exp}: recall@{args.k}={rec:.4f} "
-            f"({dt:.1f}s incl compile)",
-            flush=True,
-        )
+    for probes in (int(x) for x in args.probes.split(",")):
+        for pair in args.shapes.split(","):
+            beam, exp = (int(x) for x in pair.split(":"))
+            t0 = time.perf_counter()
+            vals, pidx = gmod._beam_search(
+                qp, idx._corpus, idx._adj, idx._sqnorm, idx._valid,
+                idx._seed_ids, None, None, router,
+                k=args.k, beam=beam, expansions=exp, degree=idx._adj.shape[1],
+                entry_points=min(args.entries or idx.params.entry_points, beam),
+                metric=metric,
+                entry_probes=probes,
+            )
+            pidx = np.asarray(pidx)[:b]
+            dt = time.perf_counter() - t0
+            rec = np.mean(
+                [len(set(pidx[i][pidx[i] >= 0]) & set(gt[i])) / args.k
+                 for i in range(b)]
+            )
+            print(
+                f"probes={probes} beam={beam} exp={exp}: "
+                f"recall@{args.k}={rec:.4f} ({dt:.1f}s incl compile)",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,111 @@
+"""Entry-stage sizing at 1M x 128D: recall AND device-side QPS.
+
+The beam-shape sweep located the 1M recall limiter at the ENTRY stage
+(probes=2 -> 64 moves ef=128 recall 0.9145 -> 0.9555 on the same graph,
+same beam). This measures what the wider entry scan costs, with the
+amortized scan protocol (64 unique batches / dispatch, forced readback),
+to pick the default (entry_probes, entry_points) for GraphParams.auto.
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/velesdb_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from curve import scan_stats  # noqa: E402  (same measurement protocol)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--metric", default="euclidean")
+    ap.add_argument("--queries", type=int, default=256)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--cache", default="/tmp/exp_graph_cache")
+    ap.add_argument("--ef", type=int, default=128)
+    ap.add_argument("--configs", default="2:16,16:64,32:64,64:64",
+                    help="probes:entries pairs")
+    ap.add_argument("--batches", default="16,256")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from velesdb_tpu.index import graph_index as gmod
+    from velesdb_tpu.index.graph_index import GraphIndex
+    from velesdb_tpu.index.params import GraphParams
+    from velesdb_tpu.ops import DistanceMetric
+    from velesdb_tpu.ops.chunked import brute_force_topk
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((64, args.d)).astype(np.float32) * 2.0
+    corpus = centers[rng.integers(0, 64, args.n)] + rng.standard_normal(
+        (args.n, args.d)
+    ).astype(np.float32) * 0.7
+    queries = centers[rng.integers(0, 64, args.queries)] + rng.standard_normal(
+        (args.queries, args.d)
+    ).astype(np.float32) * 0.7
+    valid = np.ones(args.n, bool)
+    metric = DistanceMetric.parse(args.metric)
+
+    tag = f"{args.n}_{args.d}_{args.metric}"
+    gpath = os.path.join(args.cache, f"graph_{tag}.npz")
+    gtpath = os.path.join(args.cache, f"gt_{tag}.npz")
+    idx = GraphIndex(args.d, metric, GraphParams.auto(args.d, args.n))
+    t0 = time.perf_counter()
+    if not idx.load(gpath, corpus, valid):
+        corpus_dev = jax.device_put(corpus)
+        idx.build(corpus, valid, corpus_dev=corpus_dev)
+        idx.save(gpath)
+    print(f"graph ready ({time.perf_counter()-t0:.1f}s)", flush=True)
+    if os.path.exists(gtpath):
+        gt = np.load(gtpath)["gt"]
+    else:
+        _, gt = brute_force_topk(queries, corpus, args.k, metric)
+        gt = np.asarray(gt)
+        np.savez_compressed(gtpath, gt=gt)
+
+    beam, expansions = idx.params.beam_for_ef(args.ef, args.k)
+    router_args = (idx._route_cents, idx._route_csq, idx._route_rows)
+
+    b = args.queries
+    b_pad = 1 << (b - 1).bit_length()
+    qp = jnp.asarray(np.pad(queries, ((0, b_pad - b), (0, 0))))
+
+    for pair in args.configs.split(","):
+        probes, entries = (int(x) for x in pair.split(":"))
+
+        def beam_fn(q, corp, adj, sn, vd, seeds, rc, rs, rr):
+            return gmod._beam_search(
+                q, corp, adj, sn, vd, seeds, None, None, (rc, rs, rr),
+                k=args.k, beam=beam, expansions=expansions,
+                degree=idx._adj.shape[1],
+                entry_points=min(entries, beam), metric=metric,
+                entry_probes=probes,
+            )
+
+        arrays = (idx._corpus, idx._adj, idx._sqnorm, idx._valid,
+                  idx._seed_ids) + router_args
+        _, pidx = beam_fn(qp, *arrays)
+        pidx = np.asarray(pidx)[:b]
+        rec = np.mean(
+            [len(set(pidx[i][pidx[i] >= 0]) & set(gt[i])) / args.k
+             for i in range(b)]
+        )
+        line = f"probes={probes} entries={entries} ef={args.ef}: recall={rec:.4f}"
+        for bsz in (int(x) for x in args.batches.split(",")):
+            qps, qps_med = scan_stats(beam_fn, arrays, queries, bsz, args.d)
+            line += f"  b={bsz}: {qps/1e3:.2f}K qps (med {qps_med/1e3:.2f}K)"
+        print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()

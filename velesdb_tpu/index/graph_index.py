@@ -284,6 +284,7 @@ class GraphIndex:
             entry_points=min(self.params.entry_points, beam),
             metric=self.metric,
             restarts=restarts,
+            entry_probes=self.params.entry_probes,
         )
         return vals[:b], idx[:b]
 
@@ -335,6 +336,7 @@ class GraphIndex:
             quantized_traversal=self.params.quantized_traversal,
             traversal_rerank=self.params.traversal_rerank,
             restarts=self.params.restarts,
+            entry_probes=self.params.entry_probes,
         )
         self.n = corpus.shape[0]
         router = None
@@ -469,6 +471,7 @@ def beam_search_impl(
     entry_points: int,
     metric: DistanceMetric,
     restarts: int = 1,
+    entry_probes: int = 2,
 ):
     """Batched best-first beam search (the ``search_layer`` hot loop of
     ``graph.rs:438`` re-phrased as fixed-shape tensor ops).
@@ -557,20 +560,21 @@ def beam_search_impl(
         if metric is DistanceMetric.EUCLIDEAN:
             aff = aff - 0.5 * csq[None, :]
         n_parts = cents.shape[0]
+        ep = max(1, entry_probes)
         if R > 1:
             # disjoint partitions per restart: restart r enters from the
-            # query's probes [2r, 2r+1] — each beam starts in a different
-            # candidate basin
-            nprobe_tot = min(2 * R, n_parts)
-            _, pids_all = jax.lax.top_k(aff, nprobe_tot)  # [B*R, 2R]
+            # query's probes [ep*r, ep*r+ep) — each beam starts in a
+            # different candidate basin
+            nprobe_tot = min(ep * R, n_parts)
+            _, pids_all = jax.lax.top_k(aff, nprobe_tot)  # [B*R, ep*R]
             r_idx = jnp.arange(b, dtype=jnp.int32) % R
             sel = jnp.minimum(
-                2 * r_idx[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :],
+                ep * r_idx[:, None] + jnp.arange(ep, dtype=jnp.int32)[None, :],
                 nprobe_tot - 1,
-            )  # [B*R, 2]
+            )  # [B*R, ep]
             pids = jnp.take_along_axis(pids_all, sel, axis=1)
         else:
-            _, pids = jax.lax.top_k(aff, min(2, n_parts))  # boundary insurance
+            _, pids = jax.lax.top_k(aff, min(ep, n_parts))
         cand = rrows[pids].reshape(b, -1)  # [B, 2L]
         cd = q_dist(cand)
         badc = (cand < 0) | ~valid[jnp.maximum(cand, 0)]
@@ -759,6 +763,7 @@ def beam_search_impl(
 _beam_search = functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "beam", "expansions", "degree", "entry_points", "metric", "restarts",
+        "k", "beam", "expansions", "degree", "entry_points", "metric",
+        "restarts", "entry_probes",
     ),
 )(beam_search_impl)

@@ -61,6 +61,7 @@ class GraphParams:
     knn_k: int = 16  # forward kNN edges per node
     alpha: float = 1.2  # VAMANA-style diversification factor (prune pass)
     entry_points: int = 16  # per-query beam seeds taken from the seed scan
+    entry_probes: int = 2  # router partitions exact-scored for beam entry
     seed_sample: int = 2048  # routing-set size for the dense seed scan
     quantized_traversal: bool = False  # dual-precision beam: score gathers
     # against an SQ8 shadow copy (1/4 the gather bytes), f32-rerank the
