@@ -376,7 +376,8 @@ def run_config(name, n, d, metric_name, batch=256):
     _beam = functools.partial(
         _jax.jit,
         static_argnames=(
-            "k", "beam", "expansions", "degree", "entry_points", "metric"
+            "k", "beam", "expansions", "degree", "entry_points", "metric",
+            "entry_probes",
         ),
     )(beam_search_impl)
     has_router = gi._route_cents is not None
@@ -390,6 +391,7 @@ def run_config(name, n, d, metric_name, batch=256):
             q, corp, adj, sn, vd, seeds, None, None, router, k=K, beam=_b,
             expansions=_e, degree=adj.shape[1],
             entry_points=min(gi.params.entry_points, _b), metric=metric,
+            entry_probes=gi.params.entry_probes,
         )
 
     for ef in (64, 128, 256):
@@ -414,6 +416,7 @@ def run_config(name, n, d, metric_name, batch=256):
             q, SQ8Vectors(cd, sc, mn), adj, sn, vd, seeds, None, corp, router,
             k=K, beam=_b, expansions=_e, degree=adj.shape[1],
             entry_points=min(gi.params.entry_points, _b), metric=metric,
+            entry_probes=gi.params.entry_probes,
         )
 
     for ef in (128,):

@@ -95,6 +95,7 @@ class GraphParams:
         larger corpora and higher dims get wider graphs for equal recall."""
         n = n or 0
         nprobe = 8
+        entry_probes, entry_points = 2, 16
         if n >= 1_000_000:
             degree, knn_k = 64, 32
             # approx-kNN quality is the 1M-scale recall limiter: measured
@@ -104,6 +105,15 @@ class GraphParams:
             # gap is beam navigation, not the build). Build cost scales
             # ~linearly with nprobe x passes.
             nprobe = 32
+            # ENTRY coverage is the residual search-side limiter at 1M
+            # (measured r3c, same graph, ef=128: probes 2 -> 0.9145,
+            # 16 -> 0.9387, 32 -> 0.9500, 64 -> 0.9555; ef=256 matches
+            # ef=128 at probes=64 — the walk is entry-bound, not
+            # pool-bound). 32/64 is the knee: BALANCED meets its 0.95 bar.
+            # High dims keep a narrower scan: the entry gather reads
+            # probes * L * D * 4 bytes per query through XLA's row gather.
+            entry_probes = 32 if dim <= 256 else 8
+            entry_points = 64
         elif n >= 100_000:
             degree, knn_k = 48, 24
         else:
@@ -111,7 +121,8 @@ class GraphParams:
         if dim >= 1024:
             degree = max(degree, 48)
         return cls(degree=degree, knn_k=knn_k, build_nprobe=nprobe,
-                   build_passes=2 if n >= 1_000_000 else 1)
+                   build_passes=2 if n >= 1_000_000 else 1,
+                   entry_probes=entry_probes, entry_points=entry_points)
 
     def beam_for_ef(self, ef: int, k: int) -> tuple[int, int]:
         """Map an ef budget to (beam width L, expansions).
