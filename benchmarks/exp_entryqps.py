@@ -32,7 +32,8 @@ def main():
     ap.add_argument("--cache", default="/tmp/exp_graph_cache")
     ap.add_argument("--ef", type=int, default=128)
     ap.add_argument("--configs", default="2:16,16:64,32:64,64:64",
-                    help="probes:entries pairs")
+                    help="mode:probes:entries triples (mode optional, "
+                         "legacy|xla|kernel; default legacy)")
     ap.add_argument("--batches", default="16,256")
     args = ap.parse_args()
 
@@ -80,28 +81,60 @@ def main():
     b_pad = 1 << (b - 1).bit_length()
     qp = jnp.asarray(np.pad(queries, ((0, b_pad - b), (0, 0))))
 
-    for pair in args.configs.split(","):
-        probes, entries = (int(x) for x in pair.split(":"))
+    from velesdb_tpu.ops.ivf_kernel import MAX_KERNEL_BATCH
 
-        def beam_fn(q, corp, adj, sn, vd, seeds, rc, rs, rr):
+    eiv = idx._entry_ivf
+    for triple in args.configs.split(","):
+        fields = triple.split(":")
+        mode = "legacy" if len(fields) == 2 else fields[0]
+        probes, entries = (int(x) for x in fields[-2:])
+        if mode != "legacy" and eiv is None:
+            print(f"{mode}: no entry IVF on this graph — skipped", flush=True)
+            continue
+
+        if mode == "kernel":
+            e_aux, e_frows = eiv._kernel_state()
+            extra = (eiv._centroids, eiv._cent_sq, eiv._parts, e_aux, e_frows)
+
+            def estate(rest):
+                return tuple(rest)
+        elif mode == "xla":
+            extra = (eiv._centroids, eiv._cent_sq, eiv._parts,
+                     eiv._part_scale, eiv._part_minv, eiv._part_rows,
+                     eiv._part_sq)
+
+            def estate(rest):
+                return (rest[0], rest[1], (rest[2], rest[3], rest[4]),
+                        rest[5], rest[6])
+        else:
+            extra, estate = (), None
+
+        def beam_fn(q, corp, adj, sn, vd, seeds, rc, rs, rr, *rest):
             return gmod._beam_search(
                 q, corp, adj, sn, vd, seeds, None, None, (rc, rs, rr),
+                estate(rest) if estate else None,
                 k=args.k, beam=beam, expansions=expansions,
                 degree=idx._adj.shape[1],
                 entry_points=min(entries, beam), metric=metric,
-                entry_probes=probes,
+                entry_probes=min(probes, eiv.c) if eiv is not None else probes,
+                entry_mode=mode,
             )
 
         arrays = (idx._corpus, idx._adj, idx._sqnorm, idx._valid,
-                  idx._seed_ids) + router_args
-        _, pidx = beam_fn(qp, *arrays)
-        pidx = np.asarray(pidx)[:b]
-        rec = np.mean(
-            [len(set(pidx[i][pidx[i] >= 0]) & set(gt[i])) / args.k
-             for i in range(b)]
-        )
-        line = f"probes={probes} entries={entries} ef={args.ef}: recall={rec:.4f}"
+                  idx._seed_ids) + router_args + extra
+        rec = None
+        if mode != "kernel" or b <= MAX_KERNEL_BATCH:
+            _, pidx = beam_fn(qp, *arrays)
+            pidx = np.asarray(pidx)[:b]
+            rec = np.mean(
+                [len(set(pidx[i][pidx[i] >= 0]) & set(gt[i])) / args.k
+                 for i in range(b)]
+            )
+        line = (f"mode={mode} probes={probes} entries={entries} "
+                f"ef={args.ef}: recall={'%.4f' % rec if rec is not None else 'n/a'}")
         for bsz in (int(x) for x in args.batches.split(",")):
+            if mode == "kernel" and bsz > MAX_KERNEL_BATCH:
+                continue
             qps, qps_med = scan_stats(beam_fn, arrays, queries, bsz, args.d)
             line += f"  b={bsz}: {qps/1e3:.2f}K qps (med {qps_med/1e3:.2f}K)"
         print(line, flush=True)

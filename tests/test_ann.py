@@ -231,6 +231,68 @@ def test_wide_entry_probes_lift_recall(monkeypatch):
     assert recalls[8] >= 0.9, recalls
 
 
+def test_entry_ivf_kernel_matches_xla(monkeypatch):
+    """The SQ8 entry-IVF serves the wide entry scan two ways — Pallas probe
+    kernel (small batch, TPU) and XLA partition scan. Both must seed the
+    beam identically: same graph, same queries, interpret-mode kernel vs
+    XLA entry results must agree."""
+    import jax.numpy as jnp
+
+    from velesdb_tpu.index import graph_index as gmod
+
+    monkeypatch.setattr(GraphIndex, "EXACT_KNN_MAX_ROWS", 2_000)
+    rng = np.random.default_rng(13)
+    corpus, centers = clustered(rng, 12_000, 64, n_clusters=16)
+    queries, _ = clustered(rng, 16, 64, centers=centers)
+    valid = np.ones(len(corpus), bool)
+    metric = DistanceMetric.EUCLIDEAN
+
+    gi = GraphIndex(
+        64, metric,
+        GraphParams(degree=32, knn_k=16, entry_probes=8, entry_points=32),
+    )
+    gi.build(corpus, valid)
+    eiv = gi._entry_ivf
+    assert eiv is not None, "entry_probes >= 8 must build the entry IVF"
+    assert eiv.storage == "sq8"
+
+    qp = jnp.asarray(queries)
+    common = dict(
+        k=10, beam=64, expansions=64, degree=gi._adj.shape[1],
+        entry_points=32, metric=metric,
+        entry_probes=min(8, eiv.c),
+    )
+    base = (
+        qp, gi._corpus, gi._adj, gi._sqnorm, gi._valid, gi._seed_ids,
+        None, None, None,
+    )
+    aux, frows = eiv._kernel_state()
+    vk, ik = gmod.beam_search_impl(
+        *base,
+        (eiv._centroids, eiv._cent_sq, eiv._parts, aux, frows),
+        entry_mode="kernel", entry_interpret=True, **common,
+    )
+    vx, ix = gmod.beam_search_impl(
+        *base,
+        (eiv._centroids, eiv._cent_sq,
+         (eiv._parts, eiv._part_scale, eiv._part_minv),
+         eiv._part_rows, eiv._part_sq),
+        entry_mode="xla", **common,
+    )
+    # entry selection is coarse-SQ8 in both; scores then rescore exactly —
+    # ids must match row-for-row up to coarse-score near-ties
+    agree = np.mean(
+        [len(set(np.asarray(ik)[i]) & set(np.asarray(ix)[i])) / 10
+         for i in range(len(queries))]
+    )
+    assert agree >= 0.95, agree
+    np.testing.assert_allclose(
+        np.sort(np.asarray(vk), axis=1),
+        np.sort(np.asarray(vx), axis=1),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_quantized_traversal_capacity_mode(corpus_and_truth):
     """traversal_rerank=False drops the f32 corpus entirely (true 4x graph
     capacity); recall holds a slightly lower bar without the head rerank."""

@@ -44,6 +44,10 @@ __all__ = ["GraphIndex", "beam_search_impl"]
 _INF = jnp.float32(jnp.inf)
 EXPAND_WIDTH = 4  # candidates expanded per beam iteration (CAGRA-style)
 
+# sticky kill-switch for the ENTRY probe kernel only (scoped per ADVICE r2:
+# a Mosaic failure must not disable the XLA entry scan or the beam itself)
+_ENTRY_KERNEL_OK = [True]
+
 
 def _pad_pow2(n: int, minimum: int = 8) -> int:
     return 1 << (max(n, minimum) - 1).bit_length()
@@ -78,6 +82,9 @@ class GraphIndex:
         self._route_csq = None  # [P] f32
         self._route_rows = None  # [P, L] int32
         self._route_host = None  # host copies (save path, no D2H)
+        # SQ8 entry-IVF (r3c): quantized upper layer serving the wide
+        # entry scan — kernel-probed at small batch, XLA-scanned otherwise
+        self._entry_ivf = None
         self._dirty = True
 
     # ------------------------------------------------------------------
@@ -196,6 +203,33 @@ class GraphIndex:
                 # capacity mode: codes+affine only resident (true 4x);
                 # final head-rerank is skipped
                 self._corpus = None
+        # SQ8 entry-IVF (r3c): when the wide entry scan is on, the entry
+        # stage probes a quantized IVF over the corpus instead of f32-row
+        # gathering entry_probes * L rows (see beam_search_impl stage 1).
+        # ~0.27x corpus bytes; kmeans reuses the device corpus (one-time).
+        self._entry_ivf = None
+        if self.params.entry_probes >= 8 and n >= 4096:
+            from velesdb_tpu.index.ivf import IvfIndex
+            from velesdb_tpu.ops.quantization import sq8_quantize
+
+            sq8src = self._sq8trav
+            if sq8src is None:
+                sq8src = sq8_quantize(
+                    self._corpus
+                    if self._corpus is not None
+                    else jax.device_put(
+                        jnp.asarray(
+                            np.pad(
+                                np.asarray(corpus, np.float32),
+                                ((0, pad), (0, 0)),
+                            )
+                        )
+                    )
+                )
+            eiv = IvfIndex(self.dim, self.metric)
+            eiv.build(sq8src, valid_p)
+            if eiv._parts is not None:
+                self._entry_ivf = eiv
         if router is not None:
             cents, rows = router
             # both arrive as host arrays (build readback / load file): keep
@@ -263,29 +297,87 @@ class GraphIndex:
         b_pad = _pad_pow2(b)
         qp = jnp.asarray(np.pad(q, ((0, b_pad - b), (0, 0))))
         quant = getattr(self, "_sq8trav", None)
-        vals, idx = _beam_search(
-            qp,
-            quant if quant is not None else self._corpus,
-            self._adj,
-            self._sqnorm,
-            self._valid,
-            self._seed_ids,
-            mask,
-            self._corpus if quant is not None else None,
-            (
-                (self._route_cents, self._route_csq, self._route_rows)
-                if self._route_cents is not None
-                else None
-            ),
-            k=min(k, beam),
-            beam=beam,
-            expansions=expansions,
-            degree=self._adj.shape[1],
-            entry_points=min(self.params.entry_points, beam),
-            metric=self.metric,
-            restarts=restarts,
-            entry_probes=self.params.entry_probes,
-        )
+
+        # entry-stage mode (r3c): quantized entry-IVF when built — Pallas
+        # probe kernel at small batch, XLA SQ8 partition scan otherwise;
+        # legacy f32 candidate gather only without an entry IVF or with
+        # multi-restart banding (restart entries need partition ranks).
+        entry_mode, entry_state, ep_eff = "legacy", None, self.params.entry_probes
+        eiv = self._entry_ivf
+        if eiv is not None and restarts == 1:
+            from velesdb_tpu.ops.ivf_kernel import (
+                MAX_KERNEL_BATCH,
+                ivf_probe_supported,
+            )
+            from velesdb_tpu.ops.pallas_kernels import use_pallas
+
+            ep_eff = min(self.params.entry_probes, eiv.c)
+            # measured (1M x 128D, probes=32/entries=64, b=16 / b=256):
+            # kernel 2.38K / — · xla 2.06K / 0.84K · legacy f32 gather
+            # 1.14K / 1.00K QPS — the SQ8 entry scan wins only in the
+            # small-batch regime the graph engine serves; above the kernel
+            # batch cap the batched f32 gather amortizes better
+            if b_pad > MAX_KERNEL_BATCH:
+                eiv = None
+            elif (
+                _ENTRY_KERNEL_OK[0]
+                and use_pallas()
+                and ivf_probe_supported(b_pad, eiv.part_len, self.dim, 1)
+            ):
+                e_aux, e_frows = eiv._kernel_state()
+                entry_state = (
+                    eiv._centroids, eiv._cent_sq, eiv._parts, e_aux, e_frows
+                )
+                entry_mode = "kernel"
+            else:
+                entry_state = (
+                    eiv._centroids, eiv._cent_sq,
+                    (eiv._parts, eiv._part_scale, eiv._part_minv),
+                    eiv._part_rows, eiv._part_sq,
+                )
+                entry_mode = "xla"
+
+        def run(mode, state, probes):
+            return _beam_search(
+                qp,
+                quant if quant is not None else self._corpus,
+                self._adj,
+                self._sqnorm,
+                self._valid,
+                self._seed_ids,
+                mask,
+                self._corpus if quant is not None else None,
+                (
+                    (self._route_cents, self._route_csq, self._route_rows)
+                    if self._route_cents is not None
+                    else None
+                ),
+                state,
+                k=min(k, beam),
+                beam=beam,
+                expansions=expansions,
+                degree=self._adj.shape[1],
+                entry_points=min(self.params.entry_points, beam),
+                metric=self.metric,
+                restarts=restarts,
+                entry_probes=probes,
+                entry_mode=mode,
+            )
+
+        try:
+            vals, idx = run(entry_mode, entry_state, ep_eff)
+        except Exception:
+            if entry_mode != "kernel":
+                raise
+            # Mosaic kill-switch scoped to the entry kernel only: fall back
+            # to the XLA SQ8 entry scan, never to silent engine loss
+            _ENTRY_KERNEL_OK[0] = False
+            entry_state = (
+                eiv._centroids, eiv._cent_sq,
+                (eiv._parts, eiv._part_scale, eiv._part_minv),
+                eiv._part_rows, eiv._part_sq,
+            )
+            vals, idx = run("xla", entry_state, ep_eff)
         return vals[:b], idx[:b]
 
     # ------------------------------------------------------------------
@@ -463,6 +555,7 @@ def beam_search_impl(
     mask,  # [N_pad] bool or None — result filter
     rerank_corpus=None,  # [N_pad, D] f32 — f32-rescore the final pool
     router=None,  # (cents [P,D], cent_sq [P], part_rows [P,L]) — IVF entry
+    entry_state=None,  # SQ8 entry-IVF arrays (see entry_mode)
     *,
     k: int,
     beam: int,
@@ -472,6 +565,8 @@ def beam_search_impl(
     metric: DistanceMetric,
     restarts: int = 1,
     entry_probes: int = 2,
+    entry_mode: str = "legacy",
+    entry_interpret: bool = False,
 ):
     """Batched best-first beam search (the ``search_layer`` hot loop of
     ``graph.rs:438`` re-phrased as fixed-shape tensor ops).
@@ -547,7 +642,43 @@ def beam_search_impl(
         return -dots
 
     # ---- stage 1: entry points ----
-    if router is not None:
+    if entry_state is not None and entry_mode != "legacy":
+        # SQ8 entry-IVF (upper-layer descent analog v3, r3c): the wide
+        # routed entry scan that closed the 1M recall gap reads
+        # entry_probes * L rows per query — as an f32 row gather that costs
+        # ~2x graph QPS (XLA gathers run 2-8GB/s). Instead the entry scan
+        # probes a quantized IVF over the same corpus: 1/4 the bytes, and
+        # at small batch the scalar-prefetch Pallas kernel reads partitions
+        # at DMA speed (ops/ivf_kernel.py). The coarse SQ8 top-E is
+        # f32-rescored below before seeding the beam, so pool distances
+        # stay exact (eps-recall of SQ8 coarse->exact rerank ~1.0, r3b).
+        if entry_mode == "kernel":
+            from velesdb_tpu.ops.ivf_kernel import ivf_probe_topk
+
+            e_cents, e_csq, e_words, e_aux, e_frows = entry_state
+            e = entry_points
+            _, cand_ids = ivf_probe_topk(
+                qn, e_cents, e_csq, e_words, e_aux, e_frows,
+                k=e, nprobe=entry_probes, metric=metric,
+                interpret=entry_interpret,
+            )
+        else:  # "xla": any batch size, SQ8 partition scan
+            from velesdb_tpu.index.ivf import ivf_search_impl
+
+            e_cents, e_csq, e_parts, e_prows, e_psq = entry_state
+            e = entry_points
+            _, cand_ids = ivf_search_impl(
+                qn, e_cents, e_csq, e_parts, e_prows, e_psq, None,
+                k=e, nprobe=entry_probes, metric=metric,
+            )
+        # exact rescore (coarse SQ8 scores only ranked the candidates):
+        # the beam pool must carry the same distances q_dist produces
+        init_ids = cand_ids  # [B, E] global rows, -1 empty
+        cd = q_dist(init_ids)
+        badc = (init_ids < 0) | ~valid[jnp.maximum(init_ids, 0)]
+        init_d = jnp.where(badc, _INF, cd)
+        init_ids = jnp.where(badc, -1, init_ids)
+    elif router is not None:
         # IVF-routed entries (upper-layer descent analog v2): one [B, P]
         # routing matmul picks each query's top partitions; their rows score
         # exactly and the best become the beam seeds — entries start inside
@@ -764,6 +895,6 @@ _beam_search = functools.partial(
     jax.jit,
     static_argnames=(
         "k", "beam", "expansions", "degree", "entry_points", "metric",
-        "restarts", "entry_probes",
+        "restarts", "entry_probes", "entry_mode", "entry_interpret",
     ),
 )(beam_search_impl)

@@ -109,11 +109,14 @@ class GraphParams:
             # (measured r3c, same graph, ef=128: probes 2 -> 0.9145,
             # 16 -> 0.9387, 32 -> 0.9500, 64 -> 0.9555; ef=256 matches
             # ef=128 at probes=64 — the walk is entry-bound, not
-            # pool-bound). 32/64 is the knee: BALANCED meets its 0.95 bar.
-            # High dims keep a narrower scan: the entry gather reads
-            # probes * L * D * 4 bytes per query through XLA's row gather.
-            entry_probes = 32 if dim <= 256 else 8
-            entry_points = 64
+            # pool-bound). The SQ8 entry-IVF makes the wide scan nearly
+            # free at serving batch (probe kernel: 2.26K QPS b=16 at
+            # probes=64/entries=96 vs 2.42K at the old probes=2 — and
+            # recall 0.9555 vs 0.9145): BALANCED clears its 0.95 bar at
+            # full speed. High dims keep a narrower scan (entry bytes
+            # scale with D; unmeasured regime — conservative).
+            entry_probes = 64 if dim <= 256 else 8
+            entry_points = 96
         elif n >= 100_000:
             degree, knn_k = 48, 24
         else:
