@@ -377,7 +377,7 @@ def run_config(name, n, d, metric_name, batch=256):
         _jax.jit,
         static_argnames=(
             "k", "beam", "expansions", "degree", "entry_points", "metric",
-            "entry_probes",
+            "entry_probes", "entry_mode",
         ),
     )(beam_search_impl)
     has_router = gi._route_cents is not None
@@ -403,6 +403,36 @@ def run_config(name, n, d, metric_name, batch=256):
             + router_args,
             batches=(batch, 16) if ef == 128 else (batch,),
             latency=(ef == 128),
+        )
+
+    # SQ8 entry-IVF probe-kernel serve path (r3c): the default small-batch
+    # graph engine at n >= 1M — coarse SQ8 entry probe at DMA speed, exact
+    # f32 rescore of the seeds, then the beam
+    if gi._entry_ivf is not None and use_pallas():
+        eiv = gi._entry_ivf
+        e_aux, e_frows = eiv._kernel_state()
+
+        def beam_ke_fn(q, corp, adj, sn, vd, seeds, ec, ecsq, ew, ea, efr,
+                       *rest, _b, _e):
+            router = tuple(rest[:3]) if has_router else None
+            return _beam(
+                q, corp, adj, sn, vd, seeds, None, None, router,
+                (ec, ecsq, ew, ea, efr),
+                k=K, beam=_b, expansions=_e, degree=adj.shape[1],
+                entry_points=min(gi.params.entry_points, _b), metric=metric,
+                entry_probes=min(gi.params.entry_probes, eiv.c),
+                entry_mode="kernel",
+            )
+
+        beam, expansions = gi.params.beam_for_ef(128, K)
+        measure(
+            "graph-kernel-entry", "ef=128",
+            functools.partial(beam_ke_fn, _b=beam, _e=expansions),
+            (gi._corpus, gi._adj, gi._sqnorm, gi._valid, gi._seed_ids,
+             eiv._centroids, eiv._cent_sq, eiv._parts, e_aux, e_frows)
+            + router_args,
+            batches=(16,),
+            latency=True,
         )
 
     # dual-precision beam: SQ8 gathers + f32 final rerank (round-3)

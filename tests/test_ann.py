@@ -231,6 +231,34 @@ def test_wide_entry_probes_lift_recall(monkeypatch):
     assert recalls[8] >= 0.9, recalls
 
 
+def test_entry_ivf_survives_save_load(tmp_path, monkeypatch):
+    """The entry-IVF kmeans recipe persists next to the graph artifact;
+    load re-assembles it without re-clustering and search results match."""
+    import os
+
+    monkeypatch.setattr(GraphIndex, "EXACT_KNN_MAX_ROWS", 2_000)
+    rng = np.random.default_rng(17)
+    corpus, centers = clustered(rng, 8_000, 32, n_clusters=16)
+    queries, _ = clustered(rng, 32, 32, centers=centers)
+    valid = np.ones(len(corpus), bool)
+    params = GraphParams(degree=32, knn_k=16, entry_probes=8, entry_points=32)
+
+    gi = GraphIndex(32, DistanceMetric.EUCLIDEAN, params)
+    gi.build(corpus, valid)
+    assert gi._entry_ivf is not None
+    _, got = gi.search(queries, 10, quality=SearchQuality.BALANCED)
+
+    p = str(tmp_path / "ann.npz")
+    gi.save(p, version=1)
+    assert os.path.exists(GraphIndex._entry_path(p))
+
+    gi2 = GraphIndex(32, DistanceMetric.EUCLIDEAN, params)
+    assert gi2.load(p, corpus, valid, version=1)
+    assert gi2._entry_ivf is not None, "entry IVF must re-assemble on load"
+    _, got2 = gi2.search(queries, 10, quality=SearchQuality.BALANCED)
+    assert np.array_equal(np.asarray(got), np.asarray(got2))
+
+
 def test_entry_ivf_kernel_matches_xla(monkeypatch):
     """The SQ8 entry-IVF serves the wide entry scan two ways — Pallas probe
     kernel (small batch, TPU) and XLA partition scan. Both must seed the

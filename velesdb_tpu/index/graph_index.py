@@ -174,7 +174,8 @@ class GraphIndex:
         )[:n]
         return np.where(keep, fwd, -1)
 
-    def _upload(self, corpus, valid, adj, dev=None, router=None) -> None:
+    def _upload(self, corpus, valid, adj, dev=None, router=None,
+                entry_ivf_path=None) -> None:
         n = corpus.shape[0]
         # keep the HOST copy of the adjacency (it is assembled host-side
         # anyway): save() then never reads hundreds of MB back through the
@@ -227,7 +228,14 @@ class GraphIndex:
                     )
                 )
             eiv = IvfIndex(self.dim, self.metric)
-            eiv.build(sq8src, valid_p)
+            loaded = False
+            if entry_ivf_path is not None:
+                try:  # recipe reload skips the kmeans (assembly-only)
+                    loaded = eiv.load(entry_ivf_path, sq8src, valid_p)
+                except Exception:
+                    loaded = False
+            if not loaded:
+                eiv.build(sq8src, valid_p)
             if eiv._parts is not None:
                 self._entry_ivf = eiv
         if router is not None:
@@ -405,6 +413,16 @@ class GraphIndex:
             version=version,
             **extra,
         )
+        if self._entry_ivf is not None:
+            # entry-IVF kmeans recipe (~2MB): load() re-assembles on device
+            # without re-clustering
+            self._entry_ivf.save(self._entry_path(path), version=version)
+        elif os.path.exists(self._entry_path(path)):
+            os.remove(self._entry_path(path))  # stale recipe from prior params
+
+    @staticmethod
+    def _entry_path(path: str) -> str:
+        return path + ".entry.npz"
 
     def load(
         self, path: str, corpus: np.ndarray, valid: np.ndarray, version: int = 0
@@ -423,8 +441,9 @@ class GraphIndex:
             degree=int(data["degree"]),
             knn_k=int(data["knn_k"]),
             alpha=float(data["alpha"]),
-            entry_points=int(data["entry_points"]),
             # runtime knobs, not graph properties: keep the caller's settings
+            # (entry_points/entry_probes size the ENTRY SCAN, not the graph)
+            entry_points=self.params.entry_points,
             quantized_traversal=self.params.quantized_traversal,
             traversal_rerank=self.params.traversal_rerank,
             restarts=self.params.restarts,
@@ -434,7 +453,8 @@ class GraphIndex:
         router = None
         if "route_cents" in data:
             router = (data["route_cents"], data["route_rows"])
-        self._upload(corpus, valid, data["adj"], router=router)
+        self._upload(corpus, valid, data["adj"], router=router,
+                     entry_ivf_path=self._entry_path(path))
         self._dirty = False
         return True
 
