@@ -481,6 +481,17 @@ class Collection:
             ann_path = os.path.join(self.path, "ann.npz")
             version = self.vectors.version
             want = GraphParams.auto(self.dim, used)
+            # entry-scan knobs are runtime (load keeps the caller's): lift
+            # defaults to the auto sizing so a REOPENED 1M collection gets
+            # the wide SQ8 entry-IVF, honoring user-raised values (r3c)
+            import dataclasses as _dc
+
+            cur = self.ann.params
+            self.ann.params = _dc.replace(
+                cur,
+                entry_probes=max(cur.entry_probes, want.entry_probes),
+                entry_points=max(cur.entry_points, want.entry_points),
+            )
             if (
                 not self.ann.load(ann_path, slots, valid, version=version)
                 or self.ann.params.degree < want.degree
