@@ -385,54 +385,55 @@ def run_config(name, n, d, metric_name, batch=256):
         (gi._route_cents, gi._route_csq, gi._route_rows) if has_router else ()
     )
 
-    def beam_fn(q, corp, adj, sn, vd, seeds, *rest, _b, _e):
-        router = tuple(rest[:3]) if has_router else None
+    # the graph SERVE path (r3c): SQ8 entry-IVF probed by the
+    # scalar-prefetch kernel at every batch size when the index carries
+    # one (n >= 100K auto); the narrow legacy entry rides as a comparison
+    # point at ef=128
+    eiv = gi._entry_ivf
+    kernel_entry = eiv is not None and use_pallas()
+    if kernel_entry:
+        e_aux, e_frows = eiv._kernel_state()
+        entry_args = (eiv._centroids, eiv._cent_sq, eiv._parts, e_aux,
+                      e_frows)
+    else:
+        entry_args = ()
+
+    def beam_fn(q, corp, adj, sn, vd, seeds, *rest, _b, _e, _mode, _probes):
+        off = 3 if has_router else 0
+        router = tuple(rest[:off]) if has_router else None
+        estate = tuple(rest[off:off + 5]) if _mode == "kernel" else None
         return _beam(
-            q, corp, adj, sn, vd, seeds, None, None, router, k=K, beam=_b,
-            expansions=_e, degree=adj.shape[1],
+            q, corp, adj, sn, vd, seeds, None, None, router, estate,
+            k=K, beam=_b, expansions=_e, degree=adj.shape[1],
             entry_points=min(gi.params.entry_points, _b), metric=metric,
-            entry_probes=gi.params.entry_probes,
+            entry_probes=_probes, entry_mode=_mode,
         )
 
+    serve_mode = "kernel" if kernel_entry else "legacy"
+    serve_probes = (
+        min(gi.params.entry_probes, eiv.c) if kernel_entry
+        else gi.params.entry_probes
+    )
     for ef in (64, 128, 256):
         beam, expansions = gi.params.beam_for_ef(ef, K)
         measure(
-            "graph", f"ef={ef}",
-            functools.partial(beam_fn, _b=beam, _e=expansions),
+            "graph", f"ef={ef}" + ("+entry-kernel" if kernel_entry else ""),
+            functools.partial(beam_fn, _b=beam, _e=expansions,
+                              _mode=serve_mode, _probes=serve_probes),
             (gi._corpus, gi._adj, gi._sqnorm, gi._valid, gi._seed_ids)
-            + router_args,
+            + router_args + entry_args,
             batches=(batch, 16) if ef == 128 else (batch,),
             latency=(ef == 128),
         )
-
-    # SQ8 entry-IVF probe-kernel serve path (r3c): the default small-batch
-    # graph engine at n >= 1M — coarse SQ8 entry probe at DMA speed, exact
-    # f32 rescore of the seeds, then the beam
-    if gi._entry_ivf is not None and use_pallas():
-        eiv = gi._entry_ivf
-        e_aux, e_frows = eiv._kernel_state()
-
-        def beam_ke_fn(q, corp, adj, sn, vd, seeds, ec, ecsq, ew, ea, efr,
-                       *rest, _b, _e):
-            router = tuple(rest[:3]) if has_router else None
-            return _beam(
-                q, corp, adj, sn, vd, seeds, None, None, router,
-                (ec, ecsq, ew, ea, efr),
-                k=K, beam=_b, expansions=_e, degree=adj.shape[1],
-                entry_points=min(gi.params.entry_points, _b), metric=metric,
-                entry_probes=min(gi.params.entry_probes, eiv.c),
-                entry_mode="kernel",
-            )
-
+    if kernel_entry:
         beam, expansions = gi.params.beam_for_ef(128, K)
         measure(
-            "graph-kernel-entry", "ef=128",
-            functools.partial(beam_ke_fn, _b=beam, _e=expansions),
-            (gi._corpus, gi._adj, gi._sqnorm, gi._valid, gi._seed_ids,
-             eiv._centroids, eiv._cent_sq, eiv._parts, e_aux, e_frows)
-            + router_args,
+            "graph-legacy-entry", "ef=128",
+            functools.partial(beam_fn, _b=beam, _e=expansions,
+                              _mode="legacy", _probes=2),
+            (gi._corpus, gi._adj, gi._sqnorm, gi._valid, gi._seed_ids)
+            + router_args + entry_args,
             batches=(16,),
-            latency=True,
         )
 
     # dual-precision beam: SQ8 gathers + f32 final rerank (round-3)
@@ -441,21 +442,24 @@ def run_config(name, n, d, metric_name, batch=256):
     sqt = sq8_quantize(gi._corpus)
 
     def beam_sq8_fn(q, cd, sc, mn, corp, adj, sn, vd, seeds, *rest, _b, _e):
-        router = tuple(rest[:3]) if has_router else None
+        off = 3 if has_router else 0
+        router = tuple(rest[:off]) if has_router else None
+        estate = tuple(rest[off:off + 5]) if kernel_entry else None
         return _beam(
             q, SQ8Vectors(cd, sc, mn), adj, sn, vd, seeds, None, corp, router,
+            estate,
             k=K, beam=_b, expansions=_e, degree=adj.shape[1],
             entry_points=min(gi.params.entry_points, _b), metric=metric,
-            entry_probes=gi.params.entry_probes,
+            entry_probes=serve_probes, entry_mode=serve_mode,
         )
 
     for ef in (128,):
         beam, expansions = gi.params.beam_for_ef(ef, K)
         measure(
-            "graph-sq8", f"ef={ef}",
+            "graph-sq8", f"ef={ef}" + ("+entry-kernel" if kernel_entry else ""),
             functools.partial(beam_sq8_fn, _b=beam, _e=expansions),
             (sqt.codes, sqt.scale, sqt.minv, gi._corpus, gi._adj, gi._sqnorm,
-             gi._valid, gi._seed_ids) + router_args,
+             gi._valid, gi._seed_ids) + router_args + entry_args,
             batches=(batch, 16),
             latency=True,
         )

@@ -35,6 +35,9 @@ def main():
                     help="mode:probes:entries triples (mode optional, "
                          "legacy|xla|kernel; default legacy)")
     ap.add_argument("--batches", default="16,256")
+    ap.add_argument("--build-probes", type=int, default=0,
+                    help="override GraphParams entry_probes at build time "
+                         "(forces the entry-IVF even where auto keeps 2)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +63,15 @@ def main():
     tag = f"{args.n}_{args.d}_{args.metric}"
     gpath = os.path.join(args.cache, f"graph_{tag}.npz")
     gtpath = os.path.join(args.cache, f"gt_{tag}.npz")
-    idx = GraphIndex(args.d, metric, GraphParams.auto(args.d, args.n))
+    params = GraphParams.auto(args.d, args.n)
+    if args.build_probes:
+        import dataclasses
+
+        params = dataclasses.replace(
+            params, entry_probes=args.build_probes,
+            entry_points=max(params.entry_points, 96),
+        )
+    idx = GraphIndex(args.d, metric, params)
     t0 = time.perf_counter()
     if not idx.load(gpath, corpus, valid):
         corpus_dev = jax.device_put(corpus)
@@ -122,19 +133,17 @@ def main():
 
         arrays = (idx._corpus, idx._adj, idx._sqnorm, idx._valid,
                   idx._seed_ids) + router_args + extra
-        rec = None
-        if mode != "kernel" or b <= MAX_KERNEL_BATCH:
-            _, pidx = beam_fn(qp, *arrays)
-            pidx = np.asarray(pidx)[:b]
-            rec = np.mean(
-                [len(set(pidx[i][pidx[i] >= 0]) & set(gt[i])) / args.k
-                 for i in range(b)]
-            )
+        # recall eval runs the kernel above its serving batch cap too — the
+        # cap is dispatch policy, not a kernel limit
+        _, pidx = beam_fn(qp, *arrays)
+        pidx = np.asarray(pidx)[:b]
+        rec = np.mean(
+            [len(set(pidx[i][pidx[i] >= 0]) & set(gt[i])) / args.k
+             for i in range(b)]
+        )
         line = (f"mode={mode} probes={probes} entries={entries} "
                 f"ef={args.ef}: recall={'%.4f' % rec if rec is not None else 'n/a'}")
         for bsz in (int(x) for x in args.batches.split(",")):
-            if mode == "kernel" and bsz > MAX_KERNEL_BATCH:
-                continue
             qps, qps_med = scan_stats(beam_fn, arrays, queries, bsz, args.d)
             line += f"  b={bsz}: {qps/1e3:.2f}K qps (med {qps_med/1e3:.2f}K)"
         print(line, flush=True)

@@ -315,35 +315,36 @@ class GraphIndex:
         if eiv is not None and restarts == 1:
             from velesdb_tpu.ops.ivf_kernel import (
                 MAX_KERNEL_BATCH,
-                ivf_probe_supported,
+                MIN_BLOCK_BYTES as _ENTRY_MIN_BLOCK,
             )
             from velesdb_tpu.ops.pallas_kernels import use_pallas
 
             ep_eff = min(self.params.entry_probes, eiv.c)
-            # measured (1M x 128D, probes=32/entries=64, b=16 / b=256):
-            # kernel 2.38K / — · xla 2.06K / 0.84K · legacy f32 gather
-            # 1.14K / 1.00K QPS — the SQ8 entry scan wins only in the
-            # small-batch regime the graph engine serves; above the kernel
-            # batch cap the batched f32 gather amortizes better
-            if b_pad > MAX_KERNEL_BATCH:
-                eiv = None
-            elif (
+            # measured (1M x 128D, probes=64/entries=96, ef=128, b=16 /
+            # b=256 QPS): kernel 2.26K / 2.52K · xla 1.67K / 0.50K ·
+            # legacy f32 gather 0.72K / 0.57K (2.42K / 2.49K at the old
+            # narrow probes=2, recall 0.9145 vs 0.9555) — the probe kernel
+            # wins at EVERY batch size, so it serves unconditionally when
+            # it lowers; the XLA SQ8 scan only beats the gather at small
+            # batch (its per-probe slice loop re-gathers per query row)
+            if (
                 _ENTRY_KERNEL_OK[0]
                 and use_pallas()
-                and ivf_probe_supported(b_pad, eiv.part_len, self.dim, 1)
+                and eiv.part_len * self.dim >= _ENTRY_MIN_BLOCK
             ):
                 e_aux, e_frows = eiv._kernel_state()
                 entry_state = (
                     eiv._centroids, eiv._cent_sq, eiv._parts, e_aux, e_frows
                 )
                 entry_mode = "kernel"
-            else:
+            elif b_pad <= MAX_KERNEL_BATCH:
                 entry_state = (
                     eiv._centroids, eiv._cent_sq,
                     (eiv._parts, eiv._part_scale, eiv._part_minv),
                     eiv._part_rows, eiv._part_sq,
                 )
                 entry_mode = "xla"
+            # else: legacy f32 gather (no kernel + large batch)
 
         def run(mode, state, probes):
             return _beam_search(

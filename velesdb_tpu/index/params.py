@@ -114,11 +114,16 @@ class GraphParams:
             # probes=64/entries=96 vs 2.42K at the old probes=2 — and
             # recall 0.9555 vs 0.9145): BALANCED clears its 0.95 bar at
             # full speed. High dims keep a narrower scan (entry bytes
-            # scale with D; unmeasured regime — conservative).
-            entry_probes = 64 if dim <= 256 else 8
+            # scale with D; probes=16 measured at 100Kx768 — see below).
+            entry_probes = 64 if dim <= 256 else 16
             entry_points = 96
         elif n >= 100_000:
             degree, knn_k = 48, 24
+            # measured 100Kx768 cosine b=16: kernel probes=16/entries=96
+            # serves 0.9676 @ef=64 at 5.27K QPS — beating the narrow-entry
+            # ef=128 point (0.9586 @ 2.45K) on BOTH axes; ef=128 lifts to
+            # 0.9676 @ 2.48K (entry-bound here too)
+            entry_probes, entry_points = 16, 96
         else:
             degree, knn_k = 32, 16
         if dim >= 1024:
