@@ -42,6 +42,31 @@ def test_sharded_ann_recall(rng, metric, dp):
         np.testing.assert_allclose(vals, expect, rtol=1e-3, atol=1e-3)
 
 
+def test_sharded_ann_entry_ivf(rng):
+    """Per-shard SQ8 entry IVFs (r3c) shard over rows and serve the beam
+    entry stage via the XLA SQ8 scan inside shard_map; recall must hold and
+    returned scores stay exact."""
+    mesh = make_mesh(8)
+    n, d, k = 40_000, 32, 10  # 5K rows/shard >= the 4096 entry-IVF gate
+    corpus = _clustered(rng, n, d)
+    queries = _clustered(rng, 64, d)
+    idx = ShardedGraphIndex(
+        mesh, d, DistanceMetric.EUCLIDEAN,
+        params=GraphParams(degree=24, knn_k=12, entry_probes=8,
+                           entry_points=32),
+    )
+    idx.build(corpus)
+    assert idx._entry is not None, "per-shard entry IVFs must assemble"
+    vals, rows = idx.search(queries, k, ef=128)
+    assert rows.min() >= 0 and rows.max() < n
+    _, gt = brute_force_topk(queries, corpus, k, DistanceMetric.EUCLIDEAN)
+    recall = np.mean(
+        [len(set(rows[i].tolist()) & set(gt[i].tolist())) / k
+         for i in range(len(queries))]
+    )
+    assert recall >= 0.9, f"sharded entry-IVF recall {recall:.3f}"
+
+
 def test_sharded_ann_uneven_rows(rng):
     mesh = make_mesh(8)
     n, d, k = 1003, 16, 5  # not divisible by 8 -> padded shards

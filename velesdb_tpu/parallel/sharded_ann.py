@@ -56,6 +56,10 @@ class ShardedGraphIndex:
         self._valid = None  # [S*n_local]
         self._seeds = None  # [S*E] sharded, local indices
         self._row_of = None  # host: global row -> original corpus row
+        # per-shard SQ8 entry-IVF (r3c), geometry-unified across shards and
+        # sharded over rows; None when sub-builds keep the seed-scan entry
+        self._entry = None  # (cents, csq, words, scale, minv, prows, psq)
+        self._entry_c = 0  # partitions per shard (padded uniform)
 
     # -- build ---------------------------------------------------------------
 
@@ -74,10 +78,12 @@ class ShardedGraphIndex:
         corpus_blocks, adj_blocks, valid_blocks, seed_blocks = [], [], [], []
         row_of = np.full(s * n_local, -1, np.int64)
         seeds_per_shard = None
+        sub_entries = []
         for shard in range(s):
             rows = np.arange(shard, n, s)  # round-robin partition
             sub = GraphIndex(self.dim, self.metric, params=self.params)
             sub.build(corpus[rows], valid[rows])
+            sub_entries.append(sub._entry_ivf)
             pad = n_local - len(rows)
             row_of[shard * n_local : shard * n_local + len(rows)] = rows
             corpus_blocks.append(
@@ -110,6 +116,48 @@ class ShardedGraphIndex:
             vec_spec,
         )
         self._seeds = jax.device_put(np.concatenate(seed_blocks), vec_spec)
+        self._entry, self._entry_c = None, 0
+        if all(e is not None for e in sub_entries):
+            self._upload_entry(sub_entries, shard_spec)
+
+    def _upload_entry(self, subs, shard_spec) -> None:
+        """Geometry-unify the per-shard SQ8 entry IVFs ([C, L] padded to the
+        max across shards — pad partitions duplicate the first centroid and
+        carry -1 rows, which the entry scan masks) and shard over rows."""
+        s = self.n_shards
+        c_max = max(e.c for e in subs)
+        l_max = max(e.part_len for e in subs)
+        w = np.asarray(subs[0]._parts).shape[-1]
+        cents = np.zeros((s, c_max, self.dim), np.float32)
+        words = np.zeros((s, c_max, l_max, w), np.int32)
+        scale = np.zeros((s, c_max, l_max), np.float32)
+        minv = np.zeros((s, c_max, l_max), np.float32)
+        prows = np.full((s, c_max, l_max), -1, np.int32)
+        psq = np.zeros((s, c_max, l_max), np.float32)
+        for i, e in enumerate(subs):
+            c, L = e.c, e.part_len
+            cents[i, :c] = np.asarray(e._centroids)
+            cents[i, c:] = cents[i, 0]
+            words[i, :c, :L] = np.asarray(e._parts)
+            scale[i, :c, :L] = np.asarray(e._part_scale)
+            minv[i, :c, :L] = np.asarray(e._part_minv)
+            prows[i, :c, :L] = np.asarray(e._part_rows)  # LOCAL row ids
+            psq[i, :c, :L] = np.asarray(e._part_sq)
+        spec3 = NamedSharding(self.mesh, P("rows", None, None))
+        self._entry = (
+            jax.device_put(cents.reshape(s * c_max, self.dim), shard_spec),
+            jax.device_put(
+                np.sum(cents.astype(np.float64) ** 2, axis=2)
+                .astype(np.float32).reshape(s * c_max),
+                NamedSharding(self.mesh, P("rows")),
+            ),
+            jax.device_put(words.reshape(s * c_max, l_max, w), spec3),
+            jax.device_put(scale.reshape(s * c_max, l_max), shard_spec),
+            jax.device_put(minv.reshape(s * c_max, l_max), shard_spec),
+            jax.device_put(prows.reshape(s * c_max, l_max), shard_spec),
+            jax.device_put(psq.reshape(s * c_max, l_max), shard_spec),
+        )
+        self._entry_c = c_max
 
     # -- search ---------------------------------------------------------------
 
@@ -140,6 +188,7 @@ class ShardedGraphIndex:
             self._sqnorm,
             self._valid,
             self._seeds,
+            self._entry,
             mesh=self.mesh,
             k=min(k, beam),
             beam=beam,
@@ -148,6 +197,7 @@ class ShardedGraphIndex:
             entry_points=min(self.params.entry_points, beam),
             metric=self.metric,
             n_local=self.n_local,
+            entry_probes=min(self.params.entry_probes, max(self._entry_c, 1)),
         )
         vals, gidx = np.asarray(vals[:b]), np.asarray(gidx[:b])
         # map padded global rows back to original corpus rows
@@ -166,17 +216,26 @@ class ShardedGraphIndex:
         "entry_points",
         "metric",
         "n_local",
+        "entry_probes",
     ),
 )
 def _sharded_beam(
-    queries, corpus, adj, sqnorm, valid, seeds, *,
+    queries, corpus, adj, sqnorm, valid, seeds, entry, *,
     mesh, k, beam, expansions, degree, entry_points, metric, n_local,
+    entry_probes=2,
 ):
-    def kernel(q, c, a, sn, v, sd):
+    def kernel(q, c, a, sn, v, sd, *ent):
+        if ent:
+            ec, ecsq, ew, esc, emn, epr, epsq = ent
+            estate = (ec, ecsq, (ew, esc, emn), epr, epsq)
+            emode = "xla"  # pure-XLA SQ8 scan composes with shard_map
+        else:
+            estate, emode = None, "legacy"
         lv, li = beam_search_impl(
-            q, c, a, sn, v, sd, None,
+            q, c, a, sn, v, sd, None, None, None, estate,
             k=k, beam=beam, expansions=expansions, degree=degree,
             entry_points=entry_points, metric=metric,
+            entry_probes=entry_probes, entry_mode=emode,
         )
         shard = jax.lax.axis_index("rows")
         gi = jnp.where(li >= 0, li + shard * n_local, -1)
@@ -194,6 +253,13 @@ def _sharded_beam(
         out_i = jnp.where(jnp.isinf(mv), -1, out_i)
         return out_v, out_i
 
+    ent_arrays = tuple(entry) if entry is not None else ()
+    ent_specs = (
+        (P("rows", None), P("rows"), P("rows", None, None),
+         P("rows", None), P("rows", None), P("rows", None), P("rows", None))
+        if entry is not None
+        else ()
+    )
     return jax.shard_map(
         kernel,
         mesh=mesh,
@@ -204,7 +270,7 @@ def _sharded_beam(
             P("rows"),
             P("rows"),
             P("rows"),
-        ),
+        ) + ent_specs,
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False,
-    )(queries, corpus, adj, sqnorm, valid, seeds)
+    )(queries, corpus, adj, sqnorm, valid, seeds, *ent_arrays)
