@@ -235,7 +235,13 @@ class GraphIndex:
                 except Exception:
                     loaded = False
             if not loaded:
-                eiv.build(sq8src, valid_p)
+                if router is not None:
+                    # the approx build's router IS a kmeans clustering of
+                    # this corpus: seed the entry IVF from its centroids —
+                    # assembly-only (the kmeans re-run tripled warm builds)
+                    eiv.build_from_centroids(sq8src, valid_p, router[0])
+                else:
+                    eiv.build(sq8src, valid_p)
             if eiv._parts is not None:
                 self._entry_ivf = eiv
         if router is not None:
