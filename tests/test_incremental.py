@@ -138,6 +138,47 @@ def test_ivf_delta_search(db):
     assert 5003 not in [r.id for r in res]
 
 
+def test_planner_downshift_ef():
+    """Calibrated ef downshift (r3c): the smallest calibrated ef clearing
+    the profile's bar serves; explicit/requested ef is the ceiling."""
+    from velesdb_tpu.velesql.planner import QueryPlanner
+
+    p = QueryPlanner()
+    assert p.downshift_ef("graph", 128, 0.95) == 128  # no data -> as asked
+    p.record_recall("graph", 0.968, ef=64)
+    p.record_recall("graph", 0.980, ef=128)
+    p.record_recall("graph", 0.985, ef=256)
+    assert p.downshift_ef("graph", 128, 0.95) == 64
+    assert p.downshift_ef("graph", 256, 0.95) == 64
+    # 0.968 misses bar+margin at ef=64; 0.980 clears it at ef=128
+    assert p.downshift_ef("graph", 256, 0.97) == 128
+    assert p.downshift_ef("graph", 64, 0.95) == 64  # never above request
+    p.record_recall("graph", 0.91, ef=64)
+    assert p.downshift_ef("graph", 128, 0.95) == 128  # weak ef skipped
+
+
+def test_collection_downshifts_profile_ef(db):
+    """A profile-driven search serves the downshifted ef; an explicit ef
+    is honored as-is."""
+    coll, vecs, _ = _mk(db)
+    coll.index_kind = "graph"
+    coll.search_batch(vecs[:1], k=3)  # builds + calibrates per profile ef
+    # force a decisive calibration picture: ef=64 clears BALANCED's bar
+    coll.planner.record_recall("graph", 0.99, ef=64)
+    served = {}
+    orig = coll._ann_delta_search
+
+    def spy(engine, q, k_fetch, ef, mask):
+        served["ef"] = ef
+        return orig(engine, q, k_fetch, ef, mask)
+
+    coll._ann_delta_search = spy
+    coll.search_batch(vecs[:1], k=3, quality="balanced")
+    assert served["ef"] == 64, served
+    coll.search_batch(vecs[:1], k=3, ef=128)
+    assert served["ef"] == 128, served  # explicit ef never downshifts
+
+
 def test_planner_recall_gate_demotes_weak_engine(db):
     """VERDICT r2 weak #2 (honesty gate): an engine whose post-build
     calibration probe measures below the quality profile's recall bar is

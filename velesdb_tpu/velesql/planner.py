@@ -126,6 +126,24 @@ class QueryPlanner:
             ]
             return min(cands)[1] if cands else None
 
+    def downshift_ef(self, engine: str, ef: int, bar: float,
+                     margin: float = 0.005) -> int:
+        """Smallest CALIBRATED ef that still clears the profile's recall
+        bar (never above the requested ef). With wide entry scans the
+        measured recall is often ef-independent (entry-bound, r3c:
+        0.9676 at ef=64 AND ef=128 at 100Kx768) — serving the smaller ef
+        is then 2x+ QPS for free. ``margin`` guards calibration noise
+        (~128-query probe). No calibration data -> the requested ef."""
+        with self._lock:
+            cands = sorted(
+                (e, v) for (eng, e), v in self._recall.items()
+                if eng == engine and e is not None and e < ef
+            )
+        for e, v in cands:
+            if v >= bar + margin:
+                return e
+        return ef
+
     # -- decision ------------------------------------------------------------------
 
     def choose(
