@@ -194,6 +194,9 @@ class Bm25Index:
             n_pad=self.n_pad,
             k=k,
         )
+        # one round trip for both outputs (sequential np.asarray calls
+        # each pay a tunnel RTT — see collection.search_batch, r3c)
+        vals, slots = jax.device_get((vals, slots))
         return np.asarray(vals), np.asarray(slots, np.int64)
 
     def search(self, query: str, k: int, n_slots: int, mask=None):
