@@ -92,8 +92,6 @@ def main():
     b_pad = 1 << (b - 1).bit_length()
     qp = jnp.asarray(np.pad(queries, ((0, b_pad - b), (0, 0))))
 
-    from velesdb_tpu.ops.ivf_kernel import MAX_KERNEL_BATCH
-
     eiv = idx._entry_ivf
     for triple in args.configs.split(","):
         fields = triple.split(":")
