@@ -377,7 +377,7 @@ def run_config(name, n, d, metric_name, batch=256):
         _jax.jit,
         static_argnames=(
             "k", "beam", "expansions", "degree", "entry_points", "metric",
-            "entry_probes", "entry_mode",
+            "entry_probes", "entry_mode", "expand_width",
         ),
     )(beam_search_impl)
     has_router = gi._route_cents is not None
@@ -407,6 +407,7 @@ def run_config(name, n, d, metric_name, batch=256):
             k=K, beam=_b, expansions=_e, degree=adj.shape[1],
             entry_points=min(gi.params.entry_points, _b), metric=metric,
             entry_probes=_probes, entry_mode=_mode,
+            expand_width=gi.params.expand_width,
         )
 
     serve_mode = "kernel" if kernel_entry else "legacy"
@@ -414,7 +415,9 @@ def run_config(name, n, d, metric_name, batch=256):
         min(gi.params.entry_probes, eiv.c) if kernel_entry
         else gi.params.entry_probes
     )
-    for ef in (64, 128, 256):
+    # 16/32 are the calibrated-downshift serving rungs (r3d: entry-bound
+    # graphs are ef-FLAT, so the downshift serves ef=16 at 3x the QPS)
+    for ef in (16, 32, 64, 128, 256):
         beam, expansions = gi.params.beam_for_ef(ef, K)
         measure(
             "graph", f"ef={ef}" + ("+entry-kernel" if kernel_entry else ""),
@@ -422,7 +425,7 @@ def run_config(name, n, d, metric_name, batch=256):
                               _mode=serve_mode, _probes=serve_probes),
             (gi._corpus, gi._adj, gi._sqnorm, gi._valid, gi._seed_ids)
             + router_args + entry_args,
-            batches=(batch, 16) if ef == 128 else (batch,),
+            batches=(batch, 16) if ef in (16, 128) else (batch,),
             latency=(ef == 128),
         )
     if kernel_entry:
@@ -451,6 +454,7 @@ def run_config(name, n, d, metric_name, batch=256):
             k=K, beam=_b, expansions=_e, degree=adj.shape[1],
             entry_points=min(gi.params.entry_points, _b), metric=metric,
             entry_probes=serve_probes, entry_mode=serve_mode,
+            expand_width=gi.params.expand_width,
         )
 
     for ef in (128,):

@@ -348,3 +348,22 @@ def test_quantized_traversal_capacity_mode(corpus_and_truth):
         reranked.append(cand[np.argsort(d)][:10])
     r = recall_at_k(np.asarray(reranked), truth[metric], 10)
     assert r >= 0.93, f"capacity-mode reranked recall {r:.3f}"
+
+def test_expand_width_recall_invariant(corpus_and_truth):
+    """Wider multi-expansion must not cost recall (measured identical on
+    entry-bound graphs, r3d — this guards the fixed-shape plumbing)."""
+    corpus, queries, valid, truth = corpus_and_truth
+    metric = DistanceMetric.EUCLIDEAN
+    idx = GraphIndex(
+        64, metric, GraphParams(degree=32, knn_k=16, expand_width=16)
+    )
+    idx.build(corpus, valid)
+    _, got = idx.search(queries, 10, quality=SearchQuality.BALANCED)
+    r = recall_at_k(np.asarray(got), truth[metric], 10)
+    assert r >= 0.90, f"recall@10={r:.3f} below 0.90 at expand_width=16"
+
+
+def test_auto_params_expand_width():
+    assert GraphParams.auto(128, 1_000_000).expand_width == 16
+    assert GraphParams.auto(768, 100_000).expand_width == 16
+    assert GraphParams.auto(64, 20_000).expand_width == 4

@@ -377,6 +377,7 @@ class GraphIndex:
                 restarts=restarts,
                 entry_probes=probes,
                 entry_mode=mode,
+                expand_width=self.params.expand_width,
             )
 
         try:
@@ -594,6 +595,7 @@ def beam_search_impl(
     entry_probes: int = 2,
     entry_mode: str = "legacy",
     entry_interpret: bool = False,
+    expand_width: int | None = None,
 ):
     """Batched best-first beam search (the ``search_layer`` hot loop of
     ``graph.rs:438`` re-phrased as fixed-shape tensor ops).
@@ -809,7 +811,7 @@ def beam_search_impl(
     # multi-expansion (CAGRA-style): each iteration expands the E best
     # unvisited candidates at once — E x fewer sequential steps, the
     # dominant cost on TPU where each step is a latency-bound gather
-    ew = max(1, min(EXPAND_WIDTH, beam))
+    ew = max(1, min(expand_width or EXPAND_WIDTH, beam))
     rows = jnp.arange(b)[:, None]
 
     def body(_, state):
@@ -923,5 +925,6 @@ _beam_search = functools.partial(
     static_argnames=(
         "k", "beam", "expansions", "degree", "entry_points", "metric",
         "restarts", "entry_probes", "entry_mode", "entry_interpret",
+        "expand_width",
     ),
 )(beam_search_impl)

@@ -77,6 +77,13 @@ class GraphParams:
     # even at 2x budget two decorrelated 128-beams lose to one 256-beam)
     # — pool width binds, not basin capture. Kept as an expert knob for
     # other topologies; do not enable by default.
+    expand_width: int = 4  # beam candidates expanded per iteration (CAGRA
+    # multi-expand). Sequential beam steps = ceil(expansions / expand_width),
+    # and each step is a latency-bound gather round trip — wider expansion
+    # trades steps for per-step bytes. Measured on the ENTRY-BOUND graphs
+    # auto builds (1M x 128D ef=128 b=16): ew 4 -> 16 is 2.28K -> 2.92K QPS
+    # (+28%) at IDENTICAL recall (0.9551 at every width; the walk verifies
+    # entry candidates, so expansion ORDER doesn't matter). auto() sets 16.
     build_nprobe: int = 8  # partitions probed per row in the approx-kNN build
     build_passes: int = 1  # decorrelated IVF clusterings unioned in the build
     refine_rounds: int = 0  # NN-descent rounds on the approx kNN. Lifts
@@ -128,9 +135,18 @@ class GraphParams:
             degree, knn_k = 32, 16
         if dim >= 1024:
             degree = max(degree, 48)
+        # expand_width=16 on entry-bound graphs (>=100K rows build an entry
+        # scan wide enough that beam recall is expansion-order-independent):
+        # measured ef=128 b=16 QPS +28% at 1Mx128D (2.28K -> 2.92K) and +24%
+        # at 100Kx768D (2.48K -> 3.07K) at IDENTICAL recall; ew=32 regresses
+        # (2.61K at 1M — per-step bytes overtake the saved round trips).
+        # Small corpora keep the narrow default: their legacy 2-probe entry
+        # leaves recall walk-dependent, where expansion order still matters.
+        ew = 16 if n >= 100_000 else cls.expand_width
         return cls(degree=degree, knn_k=knn_k, build_nprobe=nprobe,
                    build_passes=2 if n >= 1_000_000 else 1,
-                   entry_probes=entry_probes, entry_points=entry_points)
+                   entry_probes=entry_probes, entry_points=entry_points,
+                   expand_width=ew)
 
     def beam_for_ef(self, ef: int, k: int) -> tuple[int, int]:
         """Map an ef budget to (beam width L, expansions).
