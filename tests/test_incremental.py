@@ -163,7 +163,11 @@ def test_collection_downshifts_profile_ef(db):
     coll, vecs, _ = _mk(db)
     coll.index_kind = "graph"
     coll.search_batch(vecs[:1], k=3)  # builds + calibrates per profile ef
-    # force a decisive calibration picture: ef=64 clears BALANCED's bar
+    # force a decisive calibration picture: ef=64 is the SMALLEST rung
+    # clearing BALANCED's bar (the r3d ladder also calibrates 16/32 —
+    # pin them below the bar so the expected downshift target is unique)
+    coll.planner.record_recall("graph", 0.80, ef=16)
+    coll.planner.record_recall("graph", 0.80, ef=32)
     coll.planner.record_recall("graph", 0.99, ef=64)
     served = {}
     orig = coll._ann_delta_search
@@ -202,3 +206,16 @@ def test_planner_recall_gate_demotes_weak_engine(db):
     coll.index_kind = "graph"
     res = coll.search_batch(vecs[:1], k=3)
     assert len(res[0]) == 3
+
+
+def test_calibration_runs_on_direct_index_build(db):
+    """An explicit index build BEFORE any search must still calibrate:
+    r3d found the NN-distance probe crashing on unset brute device state
+    (the advisory except then silently disabled the recall gate)."""
+    coll, vecs, _ = _mk(db)
+    coll.index_kind = "graph"
+    coll._ensure_ann(force=True)  # no search_batch ran -> no refresh yet
+    assert getattr(coll, "last_calibration_error", None) is None
+    for ef in (16, 32, 64, 128, 256):
+        r = coll.planner.engine_recall("graph", ef=ef)
+        assert r is not None and 0.0 <= r <= 1.0, (ef, r)

@@ -535,6 +535,11 @@ class Collection:
         used = self.vectors.used_slots
         if used < 32:
             return
+        # the NN-distance probe below goes through the brute engine — make
+        # sure device state exists (a caller driving _ensure_ann directly,
+        # e.g. an explicit index build before any search, reaches here with
+        # _brute._full unset; r3d: that silently disabled the recall gate)
+        self.refresh_device()
         take = min(sample, used)
         slots = np.linspace(0, used - 1, take).astype(np.int64)
         base = np.array(self.vectors.slot_view()[slots])
@@ -552,27 +557,72 @@ class Collection:
             noise = rngc.standard_normal(base.shape).astype(np.float32)
             noise /= np.maximum(np.linalg.norm(noise, axis=1, keepdims=True), 1e-9)
             q = base + noise * d1
-            _, ei = self._brute.search(q, k)
-            ei = np.asarray(ei)
-            for quality in (
-                SearchQuality.FAST,
-                SearchQuality.BALANCED,
-                SearchQuality.ACCURATE,
-            ):
+            # Scoring basis (r3c metrology fix): id-match against the DEVICE
+            # brute oracle caps exact-grade engines at ~0.96 on clustered
+            # data — MXU f32 (~3e-4) swaps near-ties DIFFERENTLY per engine,
+            # so a host-perfect engine failed the ACCURATE profile's 0.97
+            # bar. Calibrate on the HOST basis instead: eps-recall vs the
+            # host-f32 kth score (curve.py's recall_eps, the primary
+            # artifact metric since r3b). Falls back to device id-match only
+            # when the host corpus copy would be unreasonable (capacity
+            # collections are quantized and covered by calibrate_storage).
+            host_basis = used * self.dim * 4 <= 4 << 30
+            kth = ei = None
+            hib = self.metric.higher_is_better
+            if host_basis:
+                view = self.vectors.slot_view()
+                corpus_h = np.asarray(view[:used], np.float32)
+                _, live = self.vectors.occupancy()
+                live = np.asarray(live[:used], bool)
+                dead = -np.inf if hib else np.inf
+                kth = np.empty(take, np.float32)
+                for i in range(take):
+                    s = _host_scores(q[i], corpus_h, self.metric)
+                    s = np.where(live, s, dead)
+                    kth[i] = (
+                        np.partition(-s if hib else s, k - 1)[k - 1]
+                    ) * (-1.0 if hib else 1.0)
+            else:
+                _, ei = self._brute.search(q, k)
+                ei = np.asarray(ei)
+            # ladder includes sub-FAST efs (16, 32): entry-bound graphs are
+            # ef-FLAT (r3d sweep: 1Mx128D ef=16 == ef=128 recall 0.954 at
+            # 7.6K vs 2.3K QPS b=16) — calibrating the low rungs lets
+            # downshift_ef serve them; rungs that DON'T clear the profile
+            # bar are simply never picked, so small/walk-bound graphs are
+            # unaffected by construction.
+            for ef_probe in (16, 32, 64, 128, 256):
                 if engine == "ivf":
-                    _, ai = self.ivf.search(q, k, ef=quality.ef)
+                    _, ai = self.ivf.search(q, k, ef=ef_probe)
                 else:
-                    _, ai = self.ann.search(q, k, ef=quality.ef)
+                    _, ai = self.ann.search(q, k, ef=ef_probe)
                 ai = np.asarray(ai)
-                hits = sum(
-                    len(set(ai[i][ai[i] >= 0]) & set(ei[i][ei[i] >= 0]))
-                    for i in range(take)
-                )
+                hits = 0
+                if host_basis:
+                    for i in range(take):
+                        ids = ai[i][ai[i] >= 0]
+                        if len(ids) == 0:
+                            continue
+                        s = _host_scores(q[i], corpus_h[ids], self.metric)
+                        if hib:
+                            hits += int(
+                                np.sum(s >= kth[i] - 1e-3 * abs(kth[i]) - 1e-9)
+                            )
+                        else:
+                            hits += int(np.sum(s <= kth[i] * 1.001 + 1e-9))
+                else:
+                    hits = sum(
+                        len(set(ai[i][ai[i] >= 0]) & set(ei[i][ei[i] >= 0]))
+                        for i in range(take)
+                    )
                 self.planner.record_recall(
-                    engine, hits / float(take * k), ef=quality.ef
+                    engine, min(hits / float(take * k), 1.0), ef=ef_probe
                 )
-        except Exception:
-            pass  # calibration is advisory; the engine still serves
+        except Exception as e:  # calibration is advisory; the engine serves
+            # ...but a swallowed error means NO recall gate at all — keep
+            # the last failure inspectable (stats/debugging) instead of
+            # vanishing it (r3d: a silent AttributeError disabled the gate)
+            self.last_calibration_error = repr(e)
 
     def calibrate_storage(self, sample: int = 128):
         """True-recall probe of QUANTIZED storage (SQ8/binary): the default
