@@ -367,3 +367,20 @@ def test_auto_params_expand_width():
     assert GraphParams.auto(128, 1_000_000).expand_width == 16
     assert GraphParams.auto(768, 100_000).expand_width == 16
     assert GraphParams.auto(64, 20_000).expand_width == 4
+
+
+def test_load_keeps_runtime_expand_width(tmp_path, corpus_and_truth):
+    """load() restores GRAPH properties from disk but must keep the
+    caller's runtime knobs — r3d: expand_width was silently reset to the
+    dataclass default (4), costing reopened collections the ew=16 speed."""
+    corpus, _, valid, _ = corpus_and_truth
+    metric = DistanceMetric.EUCLIDEAN
+    p = GraphParams(degree=32, knn_k=16, expand_width=16)
+    idx = GraphIndex(64, metric, p)
+    idx.build(corpus, valid)
+    path = str(tmp_path / "g.npz")
+    idx.save(path)
+    idx2 = GraphIndex(64, metric, GraphParams(degree=32, knn_k=16,
+                                              expand_width=16))
+    assert idx2.load(path, corpus, valid)
+    assert idx2.params.expand_width == 16

@@ -456,6 +456,7 @@ class GraphIndex:
             traversal_rerank=self.params.traversal_rerank,
             restarts=self.params.restarts,
             entry_probes=self.params.entry_probes,
+            expand_width=self.params.expand_width,
         )
         self.n = corpus.shape[0]
         router = None
