@@ -198,6 +198,7 @@ class ShardedGraphIndex:
             metric=self.metric,
             n_local=self.n_local,
             entry_probes=min(self.params.entry_probes, max(self._entry_c, 1)),
+            expand_width=self.params.expand_width,
         )
         vals, gidx = np.asarray(vals[:b]), np.asarray(gidx[:b])
         # map padded global rows back to original corpus rows
@@ -217,12 +218,13 @@ class ShardedGraphIndex:
         "metric",
         "n_local",
         "entry_probes",
+        "expand_width",
     ),
 )
 def _sharded_beam(
     queries, corpus, adj, sqnorm, valid, seeds, entry, *,
     mesh, k, beam, expansions, degree, entry_points, metric, n_local,
-    entry_probes=2,
+    entry_probes=2, expand_width=None,
 ):
     def kernel(q, c, a, sn, v, sd, *ent):
         if ent:
@@ -236,6 +238,7 @@ def _sharded_beam(
             k=k, beam=beam, expansions=expansions, degree=degree,
             entry_points=entry_points, metric=metric,
             entry_probes=entry_probes, entry_mode=emode,
+            expand_width=expand_width,
         )
         shard = jax.lax.axis_index("rows")
         gi = jnp.where(li >= 0, li + shard * n_local, -1)
