@@ -92,17 +92,18 @@ def main():
     gpath = os.path.join(args.cache, f"graph_{tag}.npz")
     gtpath = os.path.join(args.cache, f"gt_{tag}.npz")
 
-    t0 = time.perf_counter()
-    corpus_dev = jax.device_put(corpus)
-    jax.block_until_ready(corpus_dev)
-    print(f"H2D upload: {time.perf_counter()-t0:.1f}s", flush=True)
-
     idx = GraphIndex(D, metric, GraphParams.auto(D, N))
     t0 = time.perf_counter()
     if idx.load(gpath, corpus, valid):
         print(f"graph loaded ({time.perf_counter()-t0:.1f}s)", flush=True)
     else:
+        t0 = time.perf_counter()
+        corpus_dev = jax.device_put(corpus)
+        jax.block_until_ready(corpus_dev)
+        print(f"H2D upload: {time.perf_counter()-t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
         idx.build(corpus, valid, corpus_dev=corpus_dev)
+        del corpus_dev  # idx._corpus is its own padded copy; free 5.1GB
         print(f"graph built ({time.perf_counter()-t0:.1f}s = "
               f"{N/(time.perf_counter()-t0)/1e3:.1f}K vec/s)", flush=True)
         t0 = time.perf_counter()

@@ -119,7 +119,18 @@ class GraphIndex:
             return
         dev = None
         if corpus_dev is not None:
-            dev = jnp.asarray(corpus_dev)[:n].astype(jnp.float32)
+            if (
+                isinstance(corpus_dev, jax.Array)
+                and corpus_dev.shape[0] == n
+                and corpus_dev.dtype == jnp.float32
+            ):
+                # alias, don't copy: the eager [:n] full slice materializes
+                # a second full corpus on device — at 10M x 128D that is
+                # +5.1GB before the build's own partition copy, which OOMed
+                # the 16GB chip (r3d)
+                dev = corpus_dev
+            else:
+                dev = jnp.asarray(corpus_dev)[:n].astype(jnp.float32)
         knn_k = min(p.knn_k, max(1, int(valid.sum()) - 1))
         router = None
         # 1. kNN graph (self-edges excluded) — ONE device program
