@@ -144,9 +144,16 @@ class GraphIndex:
             from velesdb_tpu.index.ivf import nn_descent_round
 
             src = corpus if dev is None else dev
+            # IvfIndex caps partitions at 8192 (serving economics), which
+            # makes partition length L grow linearly past ~2M rows — at 8M
+            # the [L, nprobe*L] neighborhood blocks crashed the compile
+            # helper (r3d). The BUILD kNN wants bounded L instead: scale
+            # the partition count so L stays ~256 at any N.
+            build_c = n // 256 if n // 256 > 8192 else None
             knn_idx, router = ivf_self_knn(
                 src, knn_k, self.metric,
                 valid=valid, nprobe=p.build_nprobe, passes=p.build_passes,
+                n_clusters=build_c,
                 return_router=True,
             )
             for _ in range(p.refine_rounds):

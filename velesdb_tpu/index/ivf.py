@@ -109,6 +109,11 @@ def kmeans(
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
     rng = np.random.default_rng(seed)
+    if train_sample is not None:
+        # keep >=32 training points per centroid: the fixed 256K sample is
+        # 8/centroid at the 31K-partition builds (r3d uncapped build kNN),
+        # which leaves most centroids at their init row
+        train_sample = max(train_sample, 32 * k)
     init = x[jnp.asarray(rng.choice(n, size=k, replace=n < k))]
 
     def to_chunks(arr):
