@@ -384,3 +384,22 @@ def test_load_keeps_runtime_expand_width(tmp_path, corpus_and_truth):
                                               expand_width=16))
     assert idx2.load(path, corpus, valid)
     assert idx2.params.expand_width == 16
+
+
+def test_sq8_knn_build_graph_recall(corpus_and_truth, monkeypatch):
+    """The SQ8 bucketed self-kNN build (auto past SQ8_BUILD_MIN_ROWS,
+    r3d: the f32 partition copy OOMed one-chip builds at >=8M rows) must
+    produce a graph of equivalent recall to the f32 build."""
+    import velesdb_tpu.index.graph_index as gmod
+
+    corpus, queries, valid, truth = corpus_and_truth
+    metric = DistanceMetric.EUCLIDEAN
+    monkeypatch.setattr(gmod.GraphIndex, "EXACT_KNN_MAX_ROWS", 4096)
+    import velesdb_tpu.index.ivf as ivfmod
+
+    monkeypatch.setattr(ivfmod, "SQ8_BUILD_MIN_ROWS", 0)
+    idx = GraphIndex(64, metric, GraphParams(degree=32, knn_k=16))
+    idx.build(corpus, valid)
+    _, got = idx.search(queries, 10, quality=SearchQuality.BALANCED)
+    r = recall_at_k(np.asarray(got), truth[metric], 10)
+    assert r >= 0.90, f"sq8-built graph recall@10={r:.3f}"

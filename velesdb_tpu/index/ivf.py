@@ -1012,10 +1012,78 @@ def _bucketed_self_knn(parts, part_rows, part_sq, cents, *, k, nprobe, metric):
     return vals, out
 
 
+def _bucketed_self_knn_sq8(parts_w, pscale, pminv, part_rows, part_sq,
+                           cents, *, k, nprobe, metric, d):
+    """SQ8 variant of :func:`_bucketed_self_knn`: partitions stay packed
+    int32 words in HBM ([P, L, W] = 1/4 the f32 partition bytes) and each
+    scan step unpacks + dequantizes only its [~nprobe*L, D_pad] working
+    set. This is what lets graph builds past ~4M rows fit one chip: the
+    f32 partition copy next to the f32 corpus was the OOM at 8M x 128D
+    (r3d). Scoring quality: SQ8 coarse selection equals f32 at these
+    densities (r3b, host-basis), and the kNN is refined by the alpha-prune
+    + beam rescore downstream.
+
+    ``d``: true (unpadded) dim. Unpacked layouts are PLANE-ordered
+    (dim 4i+j lands at j*W+i); both sides of every dot share the
+    permutation, so scores are unaffected — but padded dims dequantize to
+    ``minv`` (code 0), so they are masked to 0 to match ``part_sq``
+    (computed on unpadded codes at assembly).
+    """
+    P, L, W = parts_w.shape
+    # static plane-order validity mask for the [W*4] unpacked layout
+    dim_of = np.concatenate([4 * np.arange(W) + j for j in range(4)])
+    dmask = jnp.asarray((dim_of < d).astype(np.float32))
+    cc = jnp.sum(cents * cents, axis=1)
+    aff = cents @ cents.T
+    if metric is DistanceMetric.EUCLIDEAN:
+        aff = aff - 0.5 * cc[None, :]
+    _, probe = jax.lax.top_k(aff, min(nprobe, P))  # [P, nprobe] (incl. self)
+
+    def deq(words, sc, mn):
+        codes = sq8_unpack_words(words, jnp.float32)  # [rows, W*4]
+        return (codes * sc[:, None] + mn[:, None]) * dmask[None, :]
+
+    def body(_, p):
+        q = deq(parts_w[p], pscale[p], pminv[p])  # [L, D_pad]
+        qrows = part_rows[p]
+        cw = parts_w[probe[p]].reshape(-1, W)
+        cand = deq(cw, pscale[probe[p]].reshape(-1),
+                   pminv[probe[p]].reshape(-1))
+        crows = part_rows[probe[p]].reshape(-1)
+        csq = part_sq[probe[p]].reshape(-1)
+        dots = jax.lax.dot_general(
+            q, cand, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [L, nprobe*L]
+        if metric is DistanceMetric.EUCLIDEAN:
+            s = 2.0 * dots - csq[None, :]
+        elif metric is DistanceMetric.COSINE:
+            qs = part_sq[p]
+            s = (
+                dots
+                * jax.lax.rsqrt(jnp.maximum(qs, 1e-30))[:, None]
+                * jax.lax.rsqrt(jnp.maximum(csq, 1e-30))[None, :]
+            )
+        else:
+            s = dots
+        ok = (crows[None, :] >= 0) & (crows[None, :] != qrows[:, None])
+        s = jnp.where(ok, s, -jnp.inf)
+        v, i = jax.lax.top_k(s, k)
+        nbr = jnp.where(v == -jnp.inf, -1, crows[i])
+        return None, (v, nbr)
+
+    _, (vals, out) = jax.lax.scan(body, None, jnp.arange(P, dtype=jnp.int32))
+    return vals, out
+
+
+SQ8_BUILD_MIN_ROWS = int(os.environ.get("VELESDB_SQ8_BUILD_MIN_ROWS",
+                                         4_000_000))
+
+
 def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
                  nprobe: int = 8, qblock: int = 1024,
                  n_clusters: int | None = None, passes: int = 1,
-                 return_router: bool = False):
+                 return_router: bool = False, sq8: bool | None = None):
     """Approximate kNN graph of a corpus against itself: ``[N, k] int32``.
 
     The scalable build path for the graph index (VERDICT round-1 #2a):
@@ -1029,6 +1097,12 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
     ``return_router=True`` additionally returns the first pass's routing
     structure ``(centroids [P, D], part_rows [P, L])`` — free at build time,
     used by the graph engine for IVF-routed beam entries.
+
+    ``sq8`` (default: auto at n >= SQ8_BUILD_MIN_ROWS): build the
+    partitioned corpus copy in packed SQ8 words (1/4 the HBM) and score
+    the bucketed kNN on per-step dequantized blocks — the f32 partition
+    copy next to the f32 corpus is what OOMed one-chip builds past ~4M
+    rows (r3d).
     """
     del qblock
     router = None
@@ -1036,14 +1110,25 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
         corpus if isinstance(corpus, jax.Array) else np.asarray(corpus, np.float32)
     )
     n = corpus_in.shape[0]
+    d_true = corpus_in.shape[1]
     metric = DistanceMetric(metric)
+    if sq8 is None:
+        sq8 = n >= SQ8_BUILD_MIN_ROWS
+    sq_src = None
+    if sq8:
+        from velesdb_tpu.ops.quantization import sq8_quantize
+
+        sq_src = sq8_quantize(
+            corpus_in if isinstance(corpus_in, jax.Array)
+            else jnp.asarray(corpus_in)
+        )
     valid_np = np.ones(n, bool) if valid is None else np.asarray(valid, bool)
     pass_vals, pass_ids = [], []
     for p in range(max(passes, 1)):
         ivf = IvfIndex(
             corpus_in.shape[1], metric, n_clusters=n_clusters, kmeans_seed=p
         )
-        ivf.build(corpus_in, valid_np)
+        ivf.build(sq_src if sq8 else corpus_in, valid_np)
         if ivf._parts is None:
             empty = np.full((n, k), -1, np.int32)
             return (empty, None) if return_router else empty
@@ -1054,10 +1139,17 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
             )
         nprobe_p = int(min(max(nprobe, 1), ivf.c))
         k_eff = min(k, max(nprobe_p * ivf.part_len - 1, 1))
-        vals_d, nbr_d = _bucketed_self_knn(
-            ivf._parts, ivf._part_rows, ivf._part_sq, ivf._centroids,
-            k=k_eff, nprobe=nprobe_p, metric=metric,
-        )  # [P, L, k] each
+        if sq8:
+            vals_d, nbr_d = _bucketed_self_knn_sq8(
+                ivf._parts, ivf._part_scale, ivf._part_minv,
+                ivf._part_rows, ivf._part_sq, ivf._centroids,
+                k=k_eff, nprobe=nprobe_p, metric=metric, d=d_true,
+            )
+        else:
+            vals_d, nbr_d = _bucketed_self_knn(
+                ivf._parts, ivf._part_rows, ivf._part_sq, ivf._centroids,
+                k=k_eff, nprobe=nprobe_p, metric=metric,
+            )  # [P, L, k] each
         rows = np.asarray(ivf._part_rows).reshape(-1)
         live = rows >= 0
         out_i = np.full((n, k), -1, np.int32)
