@@ -496,7 +496,9 @@ class IvfIndex:
             minv = jnp.asarray(sq.minv, jnp.float32)[jnp.asarray(rows)]
         n_live = codes.shape[0]
         rng = np.random.default_rng(self.kmeans_seed)
-        take = min(262_144, n_live)
+        # >=32 training points per centroid (mirrors kmeans()'s floor —
+        # this path passes train_sample=None, so scale the sample here)
+        take = min(max(262_144, 32 * c), n_live)
         sample = jnp.asarray(rng.choice(n_live, size=take, replace=False))
         deq_sample = (
             codes[sample].astype(jnp.float32)
@@ -967,6 +969,30 @@ def ivf_search_impl(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
     return vals, idx
 
 
+@functools.partial(jax.jit, static_argnames=("nprobe", "metric", "chunk"))
+def _probe_parts(cents, *, nprobe, metric, chunk=2048):
+    """Top-``nprobe`` nearest partitions per partition, computed in row
+    chunks: the full ``[P, P]`` affinity is 4.6GB at the 34K-partition
+    builds the uncapped kNN produces (r3d OOM) — each chunk holds only
+    ``[chunk, P]``."""
+    P, d = cents.shape
+    cc = jnp.sum(cents * cents, axis=1)
+    P_pad = _round_up(P, chunk)
+    cpad = (
+        jnp.concatenate([cents, jnp.broadcast_to(cents[0], (P_pad - P, d))])
+        if P_pad != P else cents
+    )
+
+    def body(_, blk):
+        aff = blk @ cents.T
+        if metric is DistanceMetric.EUCLIDEAN:
+            aff = aff - 0.5 * cc[None, :]
+        return None, jax.lax.top_k(aff, min(nprobe, P))[1]
+
+    _, idx = jax.lax.scan(body, None, cpad.reshape(-1, chunk, d))
+    return idx.reshape(P_pad, -1)[:P]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
 def _bucketed_self_knn(parts, part_rows, part_sq, cents, *, k, nprobe, metric):
     """Partition-bucketed approximate self-kNN: each partition scores its
@@ -975,11 +1001,8 @@ def _bucketed_self_knn(parts, part_rows, part_sq, cents, *, k, nprobe, metric):
     each partition once per querying row — 100-250x more HBM traffic).
     Returns ``[P, L, k]`` neighbor row ids (-1 = none)."""
     P, L, D = parts.shape
-    cc = jnp.sum(cents * cents, axis=1)
-    aff = cents @ cents.T
-    if metric is DistanceMetric.EUCLIDEAN:
-        aff = aff - 0.5 * cc[None, :]
-    _, probe = jax.lax.top_k(aff, min(nprobe, P))  # [P, nprobe] (incl. self)
+    probe = _probe_parts(cents, nprobe=nprobe, metric=metric,
+                         chunk=min(2048, _round_up(P, 8)))
 
     def body(_, p):
         q = parts[p]  # [L, D]
@@ -1012,6 +1035,7 @@ def _bucketed_self_knn(parts, part_rows, part_sq, cents, *, k, nprobe, metric):
     return vals, out
 
 
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric", "d"))
 def _bucketed_self_knn_sq8(parts_w, pscale, pminv, part_rows, part_sq,
                            cents, *, k, nprobe, metric, d):
     """SQ8 variant of :func:`_bucketed_self_knn`: partitions stay packed
@@ -1033,11 +1057,8 @@ def _bucketed_self_knn_sq8(parts_w, pscale, pminv, part_rows, part_sq,
     # static plane-order validity mask for the [W*4] unpacked layout
     dim_of = np.concatenate([4 * np.arange(W) + j for j in range(4)])
     dmask = jnp.asarray((dim_of < d).astype(np.float32))
-    cc = jnp.sum(cents * cents, axis=1)
-    aff = cents @ cents.T
-    if metric is DistanceMetric.EUCLIDEAN:
-        aff = aff - 0.5 * cc[None, :]
-    _, probe = jax.lax.top_k(aff, min(nprobe, P))  # [P, nprobe] (incl. self)
+    probe = _probe_parts(cents, nprobe=nprobe, metric=metric,
+                         chunk=min(2048, _round_up(P, 8)))
 
     def deq(words, sc, mn):
         codes = sq8_unpack_words(words, jnp.float32)  # [rows, W*4]
