@@ -1035,30 +1035,20 @@ def _bucketed_self_knn(parts, part_rows, part_sq, cents, *, k, nprobe, metric):
     return vals, out
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric", "d"))
-def _bucketed_self_knn_sq8(parts_w, pscale, pminv, part_rows, part_sq,
-                           cents, *, k, nprobe, metric, d):
-    """SQ8 variant of :func:`_bucketed_self_knn`: partitions stay packed
-    int32 words in HBM ([P, L, W] = 1/4 the f32 partition bytes) and each
-    scan step unpacks + dequantizes only its [~nprobe*L, D_pad] working
-    set. This is what lets graph builds past ~4M rows fit one chip: the
-    f32 partition copy next to the f32 corpus was the OOM at 8M x 128D
-    (r3d). Scoring quality: SQ8 coarse selection equals f32 at these
-    densities (r3b, host-basis), and the kNN is refined by the alpha-prune
-    + beam rescore downstream.
-
-    ``d``: true (unpadded) dim. Unpacked layouts are PLANE-ordered
-    (dim 4i+j lands at j*W+i); both sides of every dot share the
-    permutation, so scores are unaffected — but padded dims dequantize to
-    ``minv`` (code 0), so they are masked to 0 to match ``part_sq``
-    (computed on unpadded codes at assembly).
-    """
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "metric", "d", "count")
+)
+def _sq8_knn_block(parts_w, pscale, pminv, part_rows, part_sq, probe,
+                   start, *, k, nprobe, metric, d, count):
+    """One bounded dispatch of the SQ8 bucketed self-kNN: partitions
+    ``[start, start+count)`` scored against their probed neighborhoods.
+    The single whole-corpus scan program (36K steps at 8M rows) crashed
+    the TPU worker (watchdog-scale runtime, r3d) — the host loop in
+    :func:`_bucketed_self_knn_sq8` keeps every dispatch a few thousand
+    steps and reads each block back as it lands."""
     P, L, W = parts_w.shape
-    # static plane-order validity mask for the [W*4] unpacked layout
     dim_of = np.concatenate([4 * np.arange(W) + j for j in range(4)])
     dmask = jnp.asarray((dim_of < d).astype(np.float32))
-    probe = _probe_parts(cents, nprobe=nprobe, metric=metric,
-                         chunk=min(2048, _round_up(P, 8)))
 
     def deq(words, sc, mn):
         codes = sq8_unpack_words(words, jnp.float32)  # [rows, W*4]
@@ -1093,8 +1083,49 @@ def _bucketed_self_knn_sq8(parts_w, pscale, pminv, part_rows, part_sq,
         nbr = jnp.where(v == -jnp.inf, -1, crows[i])
         return None, (v, nbr)
 
-    _, (vals, out) = jax.lax.scan(body, None, jnp.arange(P, dtype=jnp.int32))
+    steps = start + jnp.arange(count, dtype=jnp.int32)
+    _, (vals, out) = jax.lax.scan(body, None, steps)
     return vals, out
+
+
+def _bucketed_self_knn_sq8(parts_w, pscale, pminv, part_rows, part_sq,
+                           cents, *, k, nprobe, metric, d,
+                           block_parts=4096):
+    """SQ8 variant of :func:`_bucketed_self_knn`: partitions stay packed
+    int32 words in HBM ([P, L, W] = 1/4 the f32 partition bytes) and each
+    scan step unpacks + dequantizes only its [~nprobe*L, D_pad] working
+    set. This is what lets graph builds past ~4M rows fit one chip: the
+    f32 partition copy next to the f32 corpus was the OOM at 8M x 128D
+    (r3d). Scoring quality: SQ8 coarse selection equals f32 at these
+    densities (r3b, host-basis), and the kNN is refined by the alpha-prune
+    + beam rescore downstream.
+
+    ``d``: true (unpadded) dim. Unpacked layouts are PLANE-ordered
+    (dim 4i+j lands at j*W+i); both sides of every dot share the
+    permutation, so scores are unaffected — but padded dims dequantize to
+    ``minv`` (code 0), so they are masked to 0 to match ``part_sq``
+    (computed on unpadded codes at assembly).
+
+    Returns HOST arrays ``(vals [P, L, k] f32, nbr [P, L, k] int32)`` —
+    execution is chunked over partition blocks (watchdog + readback
+    bounds), so results land on host block by block.
+    """
+    P, L, W = parts_w.shape
+    probe = _probe_parts(cents, nprobe=nprobe, metric=metric,
+                         chunk=min(2048, _round_up(P, 8)))
+    count = min(block_parts, P)
+    vals_h = np.empty((P, L, k), np.float32)
+    nbr_h = np.empty((P, L, k), np.int32)
+    for s0 in range(0, P, count):
+        st = min(s0, P - count)  # tail overlap recomputes identical rows
+        v, nb = jax.device_get(_sq8_knn_block(
+            parts_w, pscale, pminv, part_rows, part_sq, probe,
+            jnp.int32(st), k=k, nprobe=nprobe, metric=metric, d=d,
+            count=count,
+        ))
+        vals_h[st:st + count] = v
+        nbr_h[st:st + count] = nb
+    return vals_h, nbr_h
 
 
 SQ8_BUILD_MIN_ROWS = int(os.environ.get("VELESDB_SQ8_BUILD_MIN_ROWS",
