@@ -68,7 +68,9 @@ def main():
     from velesdb_tpu.index.params import GraphParams
     from velesdb_tpu.ops import DistanceMetric
 
-    N, D, K = args.n, args.d, args.k
+    # align N to the graph pad quantum: the padded device corpus then
+    # ALIASES the build upload instead of copying 4GB+ (r3d OOM)
+    N, D, K = (args.n // 1024) * 1024, args.d, args.k
     metric = DistanceMetric.EUCLIDEAN
     rng = np.random.default_rng(42)
     # cluster sizes match the 1M flagship recipe (64 centers per 1M rows)

@@ -199,10 +199,17 @@ class GraphIndex:
         # anyway): save() then never reads hundreds of MB back through the
         # tunnel — large D2H transfers are its wedge-prone operation
         self._adj_host = np.asarray(adj, np.int32)[:n]
-        self.n_pad = _pad_pow2(n, 1024)
+        # multiple-of-1024 padding, NOT pow2: pow2 padding wastes up to 2x
+        # corpus HBM just past a power of two (at 8M x 128D it also forced
+        # a 388K-row padded COPY next to the caller's aliased upload, r3d);
+        # nothing in the beam/entry path needs a pow2 row count
+        self.n_pad = ((n + 1023) // 1024) * 1024
         pad = self.n_pad - n
         if dev is not None:
-            self._corpus = jnp.pad(dev, ((0, pad), (0, 0)))
+            # pad==0: alias the caller's array — jnp.pad copies even for
+            # zero pad, and a second full corpus next to the caller's
+            # reference OOMs large builds (8M x 128D, r3d)
+            self._corpus = dev if pad == 0 else jnp.pad(dev, ((0, pad), (0, 0)))
         else:
             corpus_p = np.pad(np.asarray(corpus, np.float32), ((0, pad), (0, 0)))
             self._corpus = jax.device_put(jnp.asarray(corpus_p))
