@@ -1351,7 +1351,7 @@ class Collection:
             self.payloads.close()
 
     def info(self) -> dict[str, Any]:
-        return {
+        out = {
             "name": self.name,
             "dim": self.dim,
             "metric": self.metric.value,
@@ -1359,6 +1359,13 @@ class Collection:
             "collection_type": self.collection_type,
             "count": self.count(),
         }
+        err = getattr(self, "last_calibration_error", None)
+        if err is not None:
+            # a failed calibration probe means the planner recall gate is
+            # flying blind for this collection — surface it (r3d: a silent
+            # failure disabled the gate for a whole session)
+            out["last_calibration_error"] = err
+        return out
 
 
 def _host_scores(q: np.ndarray, vecs: np.ndarray, metric: DistanceMetric):
