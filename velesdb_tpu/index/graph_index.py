@@ -263,8 +263,19 @@ class GraphIndex:
                 if router is not None:
                     # the approx build's router IS a kmeans clustering of
                     # this corpus: seed the entry IVF from its centroids —
-                    # assembly-only (the kmeans re-run tripled warm builds)
-                    eiv.build_from_centroids(sq8src, valid_p, router[0])
+                    # assembly-only (the kmeans re-run tripled warm builds).
+                    # Uncapped large builds carry 30K+ router centroids
+                    # (r3d); the entry scan only probes entry_probes of
+                    # them, so subsample to the serving cap — fewer, larger
+                    # partitions scan DMA-efficiently and the aux tables
+                    # stay bounded.
+                    cents_e = router[0]
+                    if cents_e.shape[0] > 8192:
+                        stride = np.linspace(
+                            0, cents_e.shape[0] - 1, 8192
+                        ).astype(np.int64)
+                        cents_e = cents_e[stride]
+                    eiv.build_from_centroids(sq8src, valid_p, cents_e)
                 else:
                     eiv.build(sq8src, valid_p)
             if eiv._parts is not None:
