@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--queries", type=int, default=128)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--cache", default="/tmp/exp_graph_cache")
+    ap.add_argument("--capacity", action="store_true",
+                    help="quantized traversal, no f32 corpus at serve "
+                         "(true 4x rows/chip; required for 10M x 128D)")
     args = ap.parse_args()
 
     import jax
@@ -94,7 +97,16 @@ def main():
     gpath = os.path.join(args.cache, f"graph_{tag}.npz")
     gtpath = os.path.join(args.cache, f"gt_{tag}.npz")
 
-    idx = GraphIndex(D, metric, GraphParams.auto(D, N))
+    params = GraphParams.auto(D, N)
+    if args.capacity:
+        # quantized traversal, no f32 corpus at serve: SQ8 codes 1.28GB +
+        # adjacency 2.56GB at 10M x 128D vs 5.1GB for the f32 corpus alone
+        import dataclasses
+
+        params = dataclasses.replace(
+            params, quantized_traversal=True, traversal_rerank=False
+        )
+    idx = GraphIndex(D, metric, params)
     t0 = time.perf_counter()
     if idx.load(gpath, corpus, valid):
         print(f"graph loaded ({time.perf_counter()-t0:.1f}s)", flush=True)
@@ -166,32 +178,61 @@ def main():
           flush=True)
 
     n_router = 3 if router is not None else 0
+    # capacity mode: SQ8 codes ARE the traversal corpus, no f32 rerank head
+    corpus_op = idx._sq8trav if idx._sq8trav is not None else idx._corpus
+    rerank_op = idx._corpus if idx._sq8trav is not None else None
 
     def beam_fn(q, corp, adj, sn, vd, seeds, *rest, _b, _e):
         rt = tuple(rest[:n_router]) if router is not None else None
         estate = tuple(rest[n_router:n_router + 5]) if mode == "kernel" else None
         return _beam(
-            q, corp, adj, sn, vd, seeds, None, None, rt, estate,
+            q, corp, adj, sn, vd, seeds, None, rerank_op, rt, estate,
             k=K, beam=_b, expansions=_e, degree=adj.shape[1],
             entry_points=min(idx.params.entry_points, _b), metric=metric,
             entry_probes=probes, entry_mode=mode,
             expand_width=idx.params.expand_width,
         )
 
-    ops = ((idx._corpus, idx._adj, idx._sqnorm, idx._valid, idx._seed_ids)
+    def direct_qps(fn, ops, batch, reps=4):
+        """Big-batch direct-dispatch timing: no lax.scan (XLA relayouts the
+        giant read-only operands into padded scan-constant copies — +11GB
+        at 6M, r3d). At batch>=1024 device time >> tunnel RTT, so a direct
+        dispatch is within ~20% of the scan protocol; treat as a LOWER
+        bound. Unique inputs per rep + forced readback per the protocol."""
+        rng_t = np.random.default_rng(11)
+        best = float("inf")
+        qb = np.resize(queries, (batch, D))
+        for r in range(reps + 1):
+            qx = jnp.asarray(
+                qb + rng_t.standard_normal((batch, D)).astype(np.float32) * 0.01
+            )
+            t0 = time.perf_counter()
+            v, i = fn(qx, *ops)
+            jax.device_get((v[0, 0], i[0, 0]))
+            dt = time.perf_counter() - t0
+            if r > 0:  # rep 0 pays compile
+                best = min(best, dt)
+        return batch / best
+
+    ops = ((corpus_op, idx._adj, idx._sqnorm, idx._valid, idx._seed_ids)
            + (tuple(router) if router else ()) + entry_args)
     for ef in (16, 64):
         beam, exp = idx.params.beam_for_ef(ef, K)
         fn = functools.partial(beam_fn, _b=beam, _e=exp)
-        # recall on the real query set
+        # recall on the real query set — print BEFORE timing so a timing
+        # failure cannot lose it
         qp = jnp.asarray(queries)
         _, pidx = fn(qp, *ops)
-        rid, reps = score(np.asarray(pidx))
-        for b in (16, 256):
-            qps, qps_med = scan_stats(fn, ops, queries, b, D)
-            print(f"graph ef={ef} b={b}: {qps/1e3:.2f}K qps "
-                  f"(med {qps_med/1e3:.2f}K) recall={rid:.4f} "
-                  f"eps={reps:.4f}", flush=True)
+        rid, reps_r = score(np.asarray(pidx))
+        print(f"graph ef={ef}: recall={rid:.4f} eps={reps_r:.4f}",
+              flush=True)
+        # b=1024 is the largest batch whose [B, probes] i32 entry table
+        # fits the SMEM prefetch budget (ops/ivf_kernel.SMEM_PROBE_BYTES;
+        # b=4096 failed Mosaic compile on-chip)
+        for b in (1024,):
+            qps = direct_qps(fn, ops, b, reps=6)
+            print(f"graph ef={ef} b={b} (direct): {qps/1e3:.2f}K qps",
+                  flush=True)
 
     # -- SQ8 int8-direct scan comparison ---------------------------------
     from velesdb_tpu.ops.bucket_kernel import (
@@ -199,13 +240,27 @@ def main():
     )
     from velesdb_tpu.ops.quantization import sq8_dequantize, sq8_quantize
 
-    sq8 = sq8_quantize(idx._corpus)
+    # capacity mode already holds the SQ8 codes; otherwise quantize the f32
+    sq8 = idx._sq8trav if idx._sq8trav is not None else sq8_quantize(idx._corpus)
     rows8 = sq8_int8_rows(sq8.codes)
-    deq = sq8_dequantize(sq8)
-    dn = jnp.sum(deq * deq, axis=1)
-    n_pad = idx._corpus.shape[0]
+    n_pad = sq8.codes.shape[0]
+    if n_pad * D * 4 > 2 << 30:
+        # chunked dequantized norms: the full 10M x 128D f32 dequantize is
+        # a 5.1GB transient next to the resident graph arrays
+        dn = jnp.concatenate([
+            jnp.sum(
+                (sq8.codes[s:s + 1_048_576].astype(jnp.float32)
+                 * sq8.scale[s:s + 1_048_576, None]
+                 + sq8.minv[s:s + 1_048_576, None]) ** 2,
+                axis=1,
+            )
+            for s in range(0, n_pad, 1_048_576)
+        ])
+    else:
+        deq = sq8_dequantize(sq8)
+        dn = jnp.sum(deq * deq, axis=1)
+        del deq
     pen = jnp.where(idx._valid, dn, jnp.inf)
-    del deq
     for b in (16, 256):
         chunk = min(bucket_chunk_for(b, ((D + 127) // 128) * 128, 1), n_pad)
         fn = functools.partial(sq8i_bucket_topk, k=K, metric=metric,
@@ -213,10 +268,11 @@ def main():
         sops = (rows8, sq8.scale.astype(jnp.float32),
                 sq8.minv.astype(jnp.float32), pen)
         _, pidx = fn(jnp.asarray(queries), *sops)
-        rid, reps = score(np.asarray(pidx))
+        rid, reps_r = score(np.asarray(pidx))
+        print(f"sq8-int8: recall={rid:.4f} eps={reps_r:.4f}", flush=True)
         qps, qps_med = scan_stats(fn, sops, queries, b, D)
-        print(f"sq8-int8 b={b}: {qps/1e3:.2f}K qps (med {qps_med/1e3:.2f}K) "
-              f"recall={rid:.4f} eps={reps:.4f}", flush=True)
+        print(f"sq8-int8 b={b}: {qps/1e3:.2f}K qps (med {qps_med/1e3:.2f}K)",
+              flush=True)
 
 
 if __name__ == "__main__":

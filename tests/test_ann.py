@@ -403,3 +403,94 @@ def test_sq8_knn_build_graph_recall(corpus_and_truth, monkeypatch):
     _, got = idx.search(queries, 10, quality=SearchQuality.BALANCED)
     r = recall_at_k(np.asarray(got), truth[metric], 10)
     assert r >= 0.90, f"sq8-built graph recall@10={r:.3f}"
+
+
+def test_entry_kernel_smem_gate(monkeypatch):
+    """The [b_pad, probes] entry table is scalar-prefetched into SMEM
+    (1MB on v5e, 2x allocation for prefetch buffering); oversized tables
+    must reroute to the XLA partition scan instead of failing the Mosaic
+    compile — on-chip, b=4096 x probes=64 (1MB of i32) surfaced as a 2MB
+    SMEM allocation and was rejected."""
+    from velesdb_tpu.index import graph_index as gmod
+    from velesdb_tpu.ops import ivf_kernel, pallas_kernels
+
+    # boundary: the proven-on-chip 1024x64 table fits; 4096x64 does not
+    assert ivf_kernel.probe_table_fits(1024, 64)
+    assert not ivf_kernel.probe_table_fits(4096, 64)
+
+    monkeypatch.setattr(GraphIndex, "EXACT_KNN_MAX_ROWS", 2_000)
+    rng = np.random.default_rng(5)
+    corpus, centers = clustered(rng, 12_000, 64, n_clusters=16)
+    queries, _ = clustered(rng, 24, 64, centers=centers)
+    valid = np.ones(len(corpus), bool)
+    gi = GraphIndex(
+        64, DistanceMetric.EUCLIDEAN,
+        GraphParams(degree=32, knn_k=16, entry_probes=8, entry_points=32),
+    )
+    gi.build(corpus, valid)
+    assert gi._entry_ivf is not None
+
+    modes = []
+    real = gmod._beam_search
+
+    def spy(*a, **kw):
+        modes.append(kw.get("entry_mode"))
+        # record the dispatch decision, then run the always-lowerable
+        # legacy path — the kernel itself can't lower on the CPU backend
+        a = a[:9] + (None,) + a[10:]
+        kw["entry_mode"] = "legacy"
+        return real(*a, **kw)
+
+    monkeypatch.setattr(gmod, "_beam_search", spy)
+    monkeypatch.setattr(pallas_kernels, "use_pallas", lambda: True)
+    monkeypatch.setattr(ivf_kernel, "MIN_BLOCK_BYTES", 0)
+
+    gi.search(queries, 5)  # b_pad=32 x probes=8 = 1KB table: fits
+    assert modes[-1] == "kernel"
+
+    monkeypatch.setattr(ivf_kernel, "SMEM_PROBE_BYTES", 512)
+    gi.search(queries, 5)  # 1KB > 512B budget: reroute to the XLA scan
+    assert modes[-1] == "xla"
+
+
+def test_entry_batch_stitching(monkeypatch):
+    """Batches beyond the entry-stage dispatch cap must stitch chunked
+    dispatches, each served by a bounded entry mode (r3e on-chip: a
+    4096-query legacy gather at probes=64 was a 69.8GB HBM allocation).
+    Without the probe kernel the cap is MAX_KERNEL_BATCH, so b=100 splits
+    into 64+36 XLA-scan dispatches."""
+    from velesdb_tpu.index import graph_index as gmod
+
+    monkeypatch.setattr(GraphIndex, "EXACT_KNN_MAX_ROWS", 2_000)
+    rng = np.random.default_rng(9)
+    corpus, centers = clustered(rng, 12_000, 64, n_clusters=16)
+    queries, _ = clustered(rng, 100, 64, centers=centers)
+    valid = np.ones(len(corpus), bool)
+    gi = GraphIndex(
+        64, DistanceMetric.EUCLIDEAN,
+        GraphParams(degree=32, knn_k=16, entry_probes=8, entry_points=32),
+    )
+    gi.build(corpus, valid)
+    assert gi._entry_ivf is not None
+    assert gi._dispatch_cap() == 64  # no Pallas on CPU -> XLA-scan cap
+
+    modes, widths = [], []
+    real = gmod._beam_search
+
+    def spy(*a, **kw):
+        modes.append(kw.get("entry_mode"))
+        widths.append(a[0].shape[0])
+        return real(*a, **kw)
+
+    monkeypatch.setattr(gmod, "_beam_search", spy)
+    vals, ids = gi.search(queries, 10)
+    assert np.asarray(ids).shape == (100, 10)
+    assert modes == ["xla", "xla"] and widths == [64, 64]  # 64 + pad(36)
+
+    # stitched results must equal the per-chunk searches
+    v1, i1 = gi.search(queries[:64], 10)
+    v2, i2 = gi.search(queries[64:], 10)
+    assert np.array_equal(np.asarray(ids), np.concatenate(
+        [np.asarray(i1), np.asarray(i2)]))
+    np.testing.assert_allclose(np.asarray(vals), np.concatenate(
+        [np.asarray(v1), np.asarray(v2)]), rtol=1e-5, atol=1e-5)

@@ -48,6 +48,10 @@ EXPAND_WIDTH = 4  # candidates expanded per beam iteration (CAGRA-style)
 # a Mosaic failure must not disable the XLA entry scan or the beam itself)
 _ENTRY_KERNEL_OK = [True]
 
+# per-dispatch budget for the legacy entry row gather ([B, probes*L, D] f32);
+# search() chunks query batches so one dispatch never exceeds it
+_ENTRY_GATHER_BUDGET = 1 << 30
+
 
 def _pad_pow2(n: int, minimum: int = 8) -> int:
     return 1 << (max(n, minimum) - 1).bit_length()
@@ -205,11 +209,19 @@ class GraphIndex:
         # nothing in the beam/entry path needs a pow2 row count
         self.n_pad = ((n + 1023) // 1024) * 1024
         pad = self.n_pad - n
+        cap_mode = (
+            self.params.quantized_traversal and not self.params.traversal_rerank
+        )
         if dev is not None:
             # pad==0: alias the caller's array — jnp.pad copies even for
             # zero pad, and a second full corpus next to the caller's
             # reference OOMs large builds (8M x 128D, r3d)
             self._corpus = dev if pad == 0 else jnp.pad(dev, ((0, pad), (0, 0)))
+        elif cap_mode:
+            # capacity mode with no resident device corpus (load path):
+            # never materialize f32 on device — at 10M x 128D the transient
+            # alone is 5.1GB next to the adjacency + SQ8 arrays (r3e)
+            self._corpus = None
         else:
             corpus_p = np.pad(np.asarray(corpus, np.float32), ((0, pad), (0, 0)))
             self._corpus = jax.device_put(jnp.asarray(corpus_p))
@@ -217,15 +229,46 @@ class GraphIndex:
         adj_p = np.pad(adj, ((0, pad), (0, 0)), constant_values=-1)
         self._adj = jax.device_put(jnp.asarray(adj_p))
         self._valid = jax.device_put(jnp.asarray(valid_p))
-        self._sqnorm = jnp.sum(self._corpus * self._corpus, axis=-1)
+        if self._corpus is not None:
+            self._sqnorm = jnp.sum(self._corpus * self._corpus, axis=-1)
+        else:
+            c32 = np.asarray(corpus, np.float32)
+            sn = np.zeros(self.n_pad, np.float32)
+            sn[:n] = np.einsum("nd,nd->n", c32, c32)
+            self._sqnorm = jax.device_put(jnp.asarray(sn))
         # dual-precision shadow copy: SQ8 codes for beam gathers (1/4 HBM
         # bytes per step); the f32 corpus is retained for the final rerank
         self._sq8trav = None
         if self.params.quantized_traversal:
-            from velesdb_tpu.ops.quantization import sq8_quantize
+            from velesdb_tpu.ops.quantization import SQ8Vectors, sq8_quantize
 
-            self._sq8trav = jax.device_put(sq8_quantize(self._corpus))
-            if not self.params.traversal_rerank:
+            if self._corpus is not None:
+                self._sq8trav = jax.device_put(sq8_quantize(self._corpus))
+            else:
+                # host-side chunked quantize (same affine as sq8_quantize:
+                # per-row min/max, round-half-even codes); uploads 1B/dim
+                # instead of 4B/dim through the tunnel
+                d = corpus.shape[1]
+                codes = np.zeros((self.n_pad, d), np.uint8)
+                scale = np.ones(self.n_pad, np.float32)
+                minv = np.zeros(self.n_pad, np.float32)
+                c32 = np.asarray(corpus, np.float32)
+                step = 1 << 20
+                for s in range(0, n, step):
+                    blk = c32[s : s + step]
+                    mn, mx = blk.min(axis=1), blk.max(axis=1)
+                    sc = np.where(mx > mn, (mx - mn) / 255.0, 1.0)
+                    codes[s : s + len(blk)] = np.clip(
+                        np.round((blk - mn[:, None]) / sc[:, None]), 0, 255
+                    ).astype(np.uint8)
+                    scale[s : s + len(blk)] = sc
+                    minv[s : s + len(blk)] = mn
+                self._sq8trav = SQ8Vectors(
+                    codes=jax.device_put(jnp.asarray(codes)),
+                    scale=jax.device_put(jnp.asarray(scale)),
+                    minv=jax.device_put(jnp.asarray(minv)),
+                )
+            if cap_mode:
                 # capacity mode: codes+affine only resident (true 4x);
                 # final head-rerank is skipped
                 self._corpus = None
@@ -318,6 +361,45 @@ class GraphIndex:
     # search
     # ------------------------------------------------------------------
 
+    def _dispatch_cap(self) -> int:
+        """Largest per-dispatch query batch the entry stage can serve.
+
+        Wide-entry searches materialize per-query candidate tables — a
+        ``[b_pad, probes]`` i32 SMEM prefetch in the probe kernel, a
+        ``[B, probes*L, D]`` f32 row gather on the legacy path. Verified
+        on-chip (r3e): a 4096-query dispatch at probes=64 is a 2MB SMEM
+        reject (kernel) or a 69.8GB HBM allocation (legacy gather at
+        L=520). :meth:`search` stitches larger batches into chunks of
+        this size.
+        """
+        eiv = self._entry_ivf
+        if eiv is not None and self.params.restarts == 1:
+            from velesdb_tpu.ops.ivf_kernel import (
+                MAX_KERNEL_BATCH,
+                MIN_BLOCK_BYTES,
+                SMEM_PROBE_BYTES,
+            )
+            from velesdb_tpu.ops.pallas_kernels import use_pallas
+
+            if (
+                _ENTRY_KERNEL_OK[0]
+                and use_pallas()
+                and eiv.part_len * self.dim >= MIN_BLOCK_BYTES
+            ):
+                ep = max(1, min(self.params.entry_probes, eiv.c))
+                cap = SMEM_PROBE_BYTES // (4 * ep)
+                return 1 << max(5, cap.bit_length() - 1)  # pow2 floor
+            # no kernel: chunks of <= MAX_KERNEL_BATCH keep the XLA SQ8
+            # partition scan serving (the wide-probe f32 gather it
+            # replaces needs probes * L * D * 4 bytes PER QUERY)
+            return MAX_KERNEL_BATCH
+        if self._route_rows is not None:
+            ep = max(1, self.params.entry_probes) * max(1, self.params.restarts)
+            rows = ep * self._route_rows.shape[1]
+            cap = _ENTRY_GATHER_BUDGET // max(1, rows * self.dim * 4)
+            return 1 << max(5, cap.bit_length() - 1)
+        return 8192  # dense seed entry: no per-query materialization
+
     def search(
         self,
         queries: np.ndarray,
@@ -336,6 +418,20 @@ class GraphIndex:
         if quality is not None:
             ef = SearchQuality.parse(quality).ef
         ef = ef or 128
+        q_arr = np.atleast_2d(np.asarray(queries, np.float32))
+        cap = self._dispatch_cap()
+        if q_arr.shape[0] > cap:
+            # stitch fixed-size sub-dispatches: full chunks share ONE
+            # compile; results concatenate on device
+            outs = [
+                self.search(q_arr[s : s + cap], k, ef=ef, mask=mask)
+                for s in range(0, q_arr.shape[0], cap)
+            ]
+            return (
+                jnp.concatenate([o[0] for o in outs], axis=0),
+                jnp.concatenate([o[1] for o in outs], axis=0),
+            )
+        queries = q_arr
         beam, expansions = self.params.beam_for_ef(ef, k)
         restarts = max(1, self.params.restarts)
         if restarts > 1:
@@ -358,6 +454,7 @@ class GraphIndex:
             from velesdb_tpu.ops.ivf_kernel import (
                 MAX_KERNEL_BATCH,
                 MIN_BLOCK_BYTES as _ENTRY_MIN_BLOCK,
+                probe_table_fits,
             )
             from velesdb_tpu.ops.pallas_kernels import use_pallas
 
@@ -373,6 +470,7 @@ class GraphIndex:
                 _ENTRY_KERNEL_OK[0]
                 and use_pallas()
                 and eiv.part_len * self.dim >= _ENTRY_MIN_BLOCK
+                and probe_table_fits(b_pad, ep_eff)
             ):
                 e_aux, e_frows = eiv._kernel_state()
                 entry_state = (

@@ -61,6 +61,18 @@ def _round_up(x: int, m: int) -> int:
 MIN_BLOCK_BYTES = 65536     # L * D below this: per-step overhead dominates
 MAX_KERNEL_BATCH = 64       # probing only wins at small batch anyway
 
+# The probe table is scalar-prefetched into SMEM (1MB on v5e); Mosaic
+# rejects the compile outright when the prefetched allocation exceeds it —
+# measured on-chip: b=4096 x probes=64 (1MB of i32) surfaces as a 2MB SMEM
+# allocation (2x for prefetch buffering) vs the 1MB budget. b=1024 x 64
+# (256KB) compiles and runs; cap the table there.
+SMEM_PROBE_BYTES = 256 * 1024
+
+
+def probe_table_fits(b: int, nprobe: int) -> bool:
+    """True when the scalar-prefetched [b, nprobe] i32 table fits SMEM."""
+    return b * nprobe * 4 <= SMEM_PROBE_BYTES
+
 
 def ivf_probe_supported(b: int, L: int, d: int, itemsize: int = 1) -> bool:
     """``itemsize``: partition bytes per dim (1 = SQ8 codes, 4 = f32)."""
