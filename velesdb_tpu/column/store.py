@@ -33,6 +33,15 @@ __all__ = ["ColumnStore", "StringTable", "Column"]
 
 _GROW = 1024
 
+_CMP_UFUNC = {
+    "eq": np.equal,
+    "neq": np.not_equal,
+    "gt": np.greater,
+    "gte": np.greater_equal,
+    "lt": np.less,
+    "lte": np.less_equal,
+}
+
 
 class StringTable:
     """String interning: value <-> int32 code (``column_store`` StringTable)."""
@@ -191,10 +200,10 @@ class ColumnStore:
 
     def mask_for_filter(self, filt: dict, n_rows: int) -> np.ndarray:
         """Vectorized condition tree -> bool mask over ``n_rows`` slots."""
-        import json
-
         cond = normalize_filter(filt)
-        key = json.dumps(cond, sort_keys=True) + f"#{n_rows}#{self._version}"
+        # repr is ~4x cheaper than canonical json here; a key-order mismatch
+        # between equal trees only costs a redundant miss, never a wrong hit
+        key = f"{cond!r}#{n_rows}#{self._version}"
         cached = self._mask_cache.get(key)
         if cached is not None:
             self._mask_cache.move_to_end(key)
@@ -212,19 +221,29 @@ class ColumnStore:
         return col
 
     def _eval(self, cond: dict, n: int) -> np.ndarray:
+        # INVARIANT: every branch returns a freshly-allocated array the
+        # caller owns — and/or fold in-place into the first child's result
         t = cond["type"]
         if t == "and":
-            out = np.ones(n, bool)
-            for c in cond.get("conditions", []):
+            kids = cond.get("conditions", [])
+            if not kids:
+                return np.ones(n, bool)
+            out = self._eval(kids[0], n)
+            for c in kids[1:]:
                 out &= self._eval(c, n)
             return out
         if t == "or":
-            out = np.zeros(n, bool)
-            for c in cond.get("conditions", []):
+            kids = cond.get("conditions", [])
+            if not kids:
+                return np.zeros(n, bool)
+            out = self._eval(kids[0], n)
+            for c in kids[1:]:
                 out |= self._eval(c, n)
             return out
         if t == "not":
-            return ~self._eval(cond["condition"], n)
+            out = self._eval(cond["condition"], n)
+            np.logical_not(out, out=out)
+            return out
 
         field = cond["field"]
         col = self._col(field, n)
@@ -281,19 +300,12 @@ class ColumnStore:
             )
         except (TypeError, ValueError):
             return np.zeros(n, bool) if op != "neq" else valid.copy()
-        if op == "eq":
-            return valid & (data == value)
-        if op == "neq":
-            return valid & (data != value)
-        if op == "gt":
-            return valid & (data > value)
-        if op == "gte":
-            return valid & (data >= value)
-        if op == "lt":
-            return valid & (data < value)
-        if op == "lte":
-            return valid & (data <= value)
-        raise FilterError(f"bad scalar op {op}")
+        ufunc = _CMP_UFUNC.get(op)
+        if ufunc is None:
+            raise FilterError(f"bad scalar op {op}")
+        out = ufunc(data, value)  # fresh array; fold validity in-place
+        out &= valid
+        return out
 
     def _string_pred(self, col: Column, n: int, pred) -> np.ndarray:
         """Apply a string predicate once per *distinct* interned value, then
