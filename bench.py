@@ -167,30 +167,40 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
 
         engine_arrays = (corpus_dev, valid_dev, sqn)
     else:
-        # serve path at D < 512 since r3b: split-bf16 bucket kernel (true-
-        # f32 fidelity; the plain-f32 kernel's MXU scores are ~3e-4 off,
-        # which costs ~4% TRUE top-10 identity at 1M — see BENCH_curve
-        # recall_host). NOTE the recall below is measured vs the DEVICE
-        # oracle, which disagrees with a true host-f32 oracle on ~3% of
-        # near-ties at this density; recall_host in BENCH_curve.json is
-        # the basis-independent number (hl ~0.986 vs f32-kernel 0.953).
+        # serve path at D < 512 since r3e: int8-assist (coarse int8 bucket
+        # scan + in-program exact f32 gather-rerank at HIGHEST precision,
+        # `ops/bucket_kernel.sq8i_rerank_topk`) — measured better than the
+        # r3b split-bf16 kernel on BOTH axes (383K vs 279K QPS @200Kx128D
+        # at host recall 0.9973 vs 0.9906, benchmarks/exp_sq8_assist.py).
         from velesdb_tpu.ops.bucket_kernel import (
-            bucket_topk_hl, split_f32_rows,
+            sq8_int8_rows, sq8i_rerank_topk,
         )
+        from velesdb_tpu.ops.quantization import sq8_quantize
 
         d_pad128 = ((d + 127) // 128) * 128
-        hi_dev, lo_dev = split_f32_rows(
-            jnp.pad(corpus_dev, ((0, 0), (0, d_pad128 - d)))
-        )
-        chunk_hl = min(bucket_chunk_for(batch, d_pad128, 8), n_pad)
+        sq = sq8_quantize(jnp.pad(corpus_dev, ((0, 0), (0, d_pad128 - d))))
+        rows8_dev = sq8_int8_rows(sq.codes)
+        deq = sq.codes.astype(jnp.float32) * sq.scale[:, None] + sq.minv[:, None]
+        deq_sq = jnp.sum(deq * deq, axis=1)
+        del deq
+        if metric is DistanceMetric.EUCLIDEAN:
+            scale_dev, minv_dev = sq.scale, sq.minv
+            pen8_dev = jnp.where(valid_dev, deq_sq, jnp.inf)
+        else:  # cosine: corpus pre-normalized, fold 1/|deq|
+            inv = jnp.where(
+                deq_sq > 1e-30, jax.lax.rsqrt(jnp.maximum(deq_sq, 1e-30)), 0.0
+            )
+            scale_dev, minv_dev = sq.scale * inv, sq.minv * inv
+            pen8_dev = jnp.where(valid_dev, 0.0, jnp.inf)
+        chunk_i8 = min(bucket_chunk_for(batch, d_pad128, 1), n_pad)
 
-        def search_fn(q, hi_a, lo_a, pen_a):
-            return bucket_topk_hl(
-                q, hi_a, lo_a, pen_a, k=k, metric=metric, chunk=chunk_hl,
-                interpret=interp,
+        def search_fn(q, rows8_a, scale_a, minv_a, pen8_a, corpus_a):
+            return sq8i_rerank_topk(
+                q, rows8_a, scale_a, minv_a, pen8_a, corpus_a, k=k, m=16,
+                metric=metric, chunk=chunk_i8, interpret=interp,
             )
 
-        engine_arrays = (hi_dev, lo_dev, pen_dev)
+        engine_arrays = (rows8_dev, scale_dev, minv_dev, pen8_dev, corpus_dev)
 
     _note("corpus resident; measuring recall oracle")
     # recall vs the independent chunked-XLA exact oracle, all on device
@@ -405,10 +415,11 @@ def main():
                 n_queries, device_corpus=True,
             )
             sift_txt = (
-                f"; SIFT-1M-class 1Mx128D L2 (split-bf16 true-f32 serve "
-                f"path): {sift['qps']:,.0f} QPS @ recall@10="
-                f"{sift['recall']:.4f} device-basis / ~0.985 host-f32 "
-                f"basis (BENCH_curve.json recall_host; the device oracle "
+                f"; SIFT-1M-class 1Mx128D L2 (int8-assist serve path: "
+                f"coarse int8 scan + exact f32 rerank): "
+                f"{sift['qps']:,.0f} QPS @ recall@10="
+                f"{sift['recall']:.4f} device-basis / ~0.997 host-f32 "
+                f"basis (benchmarks/exp_sq8_assist.py; the device oracle "
                 f"itself carries MXU noise)"
             )
             if "ivf_qps_b16" in sift:

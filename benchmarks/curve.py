@@ -318,6 +318,23 @@ def run_config(name, n, d, metric_name, batch=256):
         batches=(batch, 16),
         latency=True,
     )
+
+    # int8-assist: coarse int8 scan + exact f32 gather-rerank in one
+    # program — the FULL-collection serve default at D < 512 since r3e
+    # (`index/brute.py`; benchmarks/exp_sq8_assist.py for the A/B)
+    from velesdb_tpu.ops.bucket_kernel import sq8i_rerank_topk
+
+    measure(
+        "exact-assist", f"m=16 chunk={sq8i_chunk}",
+        functools.partial(
+            sq8i_rerank_topk, k=K, m=16, metric=metric, chunk=sq8i_chunk,
+            interpret=interp,
+        ),
+        (rows8, s2.astype(jnp.float32), m2.astype(jnp.float32), sq8_pen,
+         norm_dev),
+        batches=(batch, 16),
+        latency=True,
+    )
     del rows8
 
     ivf = IvfIndex(d, metric)

@@ -102,6 +102,7 @@ class BruteForceIndex:
         self._sq8_words = None  # [N_pad, D/4] int32 block-packed codes
         self._sq8_rows8 = None  # [N_pad, D_pad] int8 rows (int8-direct kernel)
         self._full_hl = None  # (hi, lo) bf16 pair (split-bf16 bucket kernel)
+        self._assist = None  # (rows8, scale, minv, pen) int8-assist shadow
         self._sq8_scale = None  # [N_pad] f32 (cosine: scale/|c| folded)
         self._sq8_minv = None  # [N_pad] f32 (cosine: minv/|c| folded)
         self._sq8_pen = None  # [N_pad] f32 additive penalty
@@ -147,35 +148,76 @@ class BruteForceIndex:
             self._bucket_pen = jax.device_put(
                 jnp.where(self._valid, base, jnp.inf)
             )
-            # split-bf16 scoring copy for the bucket kernel (true-f32
-            # fidelity at the same bytes/dim; see bucket_topk_hl). Kept
-            # ALONGSIDE the f32 corpus (streamed fallback, rerank gathers,
-            # sharded paths read f32) — +4 bytes/dim at D < 512 FULL
-            # collections, the bucket kernel's serve regime.
+            # Serve shadow for the bucket regime (FULL, D < 512). Since
+            # r3e the default is the int8-ASSIST shadow: a coarse int8
+            # bucket scan (1/4 the f32 HBM bytes, int8 MXU dots) picks
+            # top-m, then the SAME program gathers the m winners from the
+            # resident f32 corpus and rescores exactly
+            # (``sq8i_rerank_topk``). Measured on v5e (64-batch protocol,
+            # benchmarks/exp_sq8_assist.py): 383K QPS @200Kx128D at host-
+            # oracle recall 0.9973 vs the split-bf16 kernel's 279K @
+            # 0.9906 — better on BOTH axes, at 1/4 the shadow bytes
+            # (+1B/dim vs hl's +4B/dim). r3b's "94K QPS gather cap" that
+            # originally measured this path out was a partition-slice
+            # artifact: per-ROW gathers pipeline at the ~9GB/s
+            # transaction wall (exp_gather_kernel.py), so the [B, m, D]
+            # candidate gather costs ~0.06ms/256-batch, not 1.8ms.
+            # The split-bf16 (hi, lo) copy is built only when the int8
+            # kernel family is unavailable (reference analog for both:
+            # ``dual_precision.rs`` int8 traversal + f32 rerank).
             self._full_hl = None
+            self._assist = None
             if (
                 mode is StorageMode.FULL
-                and _HL_OK[0]
                 and use_pallas()
                 and self.dim < 512
                 and self.n_pad >= BUCKET_MIN_ROWS
             ):
-                from velesdb_tpu.ops.bucket_kernel import split_f32_rows
+                if _SQ8I_OK[0] and self.dim < _SQ8I_MAX_DIM[0]:
+                    from velesdb_tpu.ops.bucket_kernel import sq8_int8_rows
 
-                d_pad = ((self.dim + 127) // 128) * 128
-                padded = jnp.pad(slots_f32, ((0, 0), (0, d_pad - self.dim)))
-                hi, lo = split_f32_rows(padded)
-                self._full_hl = (jax.device_put(hi), jax.device_put(lo))
-                del padded
-            # An int8 "assist" shadow (coarse int8 scan + f32 gather-rerank
-            # for FULL collections, ops/bucket_kernel.sq8i_rerank_topk) was
-            # built and MEASURED OUT here: quality is exact-grade (0.998
-            # recall / 1.000 eps-recall vs the TRUE host oracle at 1M —
-            # early 0.96 readings were device-oracle near-tie artifacts)
-            # but XLA's ~3GB/s row slice-gather of the [B, m, D]
-            # candidates caps it at 94K QPS, below the f32 bucket
-            # kernel's 215.9K. Revisit with a DMA-scheduled gather
-            # (cf. ops/ivf_kernel.py). Primitive stays available.
+                    sq = sq8_quantize(slots_f32)
+                    rows8 = jax.device_put(sq8_int8_rows(sq.codes))
+                    deq = (
+                        sq.codes.astype(jnp.float32) * sq.scale[:, None]
+                        + sq.minv[:, None]
+                    )
+                    deq_sq = jnp.sum(deq * deq, axis=1)
+                    del deq
+                    if self.metric is DistanceMetric.COSINE:
+                        # slots_f32 is pre-normalized, so |deq| ~ 1; the
+                        # fold keeps the coarse scores exactly cosine
+                        inv = jnp.where(
+                            deq_sq > 1e-30,
+                            jax.lax.rsqrt(jnp.maximum(deq_sq, 1e-30)),
+                            0.0,
+                        )
+                        scale2, minv2 = sq.scale * inv, sq.minv * inv
+                        pen_base = jnp.zeros(self.n_pad, jnp.float32)
+                    elif self.metric is DistanceMetric.EUCLIDEAN:
+                        scale2, minv2 = sq.scale, sq.minv
+                        pen_base = deq_sq
+                    else:
+                        scale2, minv2 = sq.scale, sq.minv
+                        pen_base = jnp.zeros(self.n_pad, jnp.float32)
+                    self._assist = (
+                        rows8,
+                        jax.device_put(scale2.astype(jnp.float32)),
+                        jax.device_put(minv2.astype(jnp.float32)),
+                        jax.device_put(
+                            jnp.where(self._valid, pen_base, jnp.inf)
+                        ),
+                    )
+                elif _HL_OK[0]:
+                    from velesdb_tpu.ops.bucket_kernel import split_f32_rows
+
+                    d_pad = ((self.dim + 127) // 128) * 128
+                    padded = jnp.pad(
+                        slots_f32, ((0, 0), (0, d_pad - self.dim))
+                    )
+                    hi, lo = split_f32_rows(padded)
+                    self._full_hl = (jax.device_put(hi), jax.device_put(lo))
+                    del padded
         elif mode is StorageMode.SQ8:
             sq = sq8_quantize(jnp.asarray(slots))
             self._sq8 = jax.device_put(sq)
@@ -418,6 +460,30 @@ class BruteForceIndex:
         # 338K vs 252K) where the MXU matmul dominates and XLA's pipelining
         # beats the hand-tiled kernel
         prefer_streamed = self.dim >= 512
+        if not prefer_streamed and _SQ8I_OK[0] and self._assist is not None:
+            # int8-assist serve default (see rebuild): coarse top-m int8
+            # scan + exact f32 rerank in one program. m = 16 measured best
+            # at k=10 (oversample ~1.6x; larger m only pays more gather —
+            # recall is already 0.997+ host-basis at m=16); scale with k
+            # but keep the coarse pass inside the bucket-collision guard.
+            m = min(max(2 * k - 4, 16), 128)
+            chunk_i8 = min(bucket_chunk_for(b_pad, d_pad, 1), self.n_pad)
+            if _bucket_safe(self.n_pad, chunk_i8, m):
+                try:
+                    from velesdb_tpu.ops.bucket_kernel import (
+                        sq8i_rerank_topk,
+                    )
+
+                    rows8, sc, mv, pen8 = self._assist
+                    if mask_dev is not None:
+                        pen8 = jnp.where(mask_dev, pen8, jnp.inf)
+                    return sq8i_rerank_topk(
+                        queries, rows8, sc, mv, pen8, self._full,
+                        k=k, m=m, metric=self.metric, chunk=chunk_i8,
+                        interpret=False,
+                    )
+                except Exception:
+                    _SQ8I_OK[0] = False
         if not prefer_streamed and _HL_OK[0] and self._full_hl is not None:
             # split-bf16 scoring: true-f32 fidelity at f32-kernel speed
             # (host-oracle identity 0.953 -> 0.986 measured at 1M x 128D)

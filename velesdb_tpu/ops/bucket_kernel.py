@@ -674,13 +674,17 @@ def sq8i_rerank_topk(queries, rows8, scale, minv, penalty, corpus, *, k, m,
     MEASURED ENVELOPE (v5e, 1M x 128D dense clustered): quality is
     exact-grade — 0.998 recall / 1.000 eps-recall(0.1%) vs the TRUE
     host-f32 oracle at m=40 (early "0.96" readings were device-oracle
-    near-tie artifacts; MXU f32 swaps ~3% of concentrated top-10). It is
-    still NOT the automatic serve path for FULL collections because
-    XLA's row slice-gather runs at ~3GB/s: the [B, m, D] candidate
-    gather adds ~1.8ms/256-batch, capping it at 94K QPS vs the f32
-    bucket kernel's 215.9K. Wire it in if/when the gather gets a
-    DMA-scheduled kernel (cf. ops/ivf_kernel.py, which fixed the same
-    gather wall for IVF partitions).
+    near-tie artifacts; MXU f32 swaps ~3% of concentrated top-10).
+    Since r3e this IS the serve default for FULL collections at D < 512
+    (`index/brute.py`): r3b's "94K QPS gather cap" reading was a
+    partition-slice artifact — per-ROW gathers pipeline at the ~9GB/s
+    transaction wall (benchmarks/exp_gather_kernel.py), so the
+    [B, m, D] candidate gather costs ~0.06ms per 256-batch at m=16 and
+    the assist path measures 383K QPS @200Kx128D at host-oracle recall
+    0.9973 vs the split-bf16 kernel's 279K @ 0.9906
+    (benchmarks/exp_sq8_assist.py). The rerank einsum runs at HIGHEST
+    MXU precision (true-f32 emulation; it is O(B*m*D), a rounding error
+    next to the scan) so rescored values are genuinely exact.
 
     Reference analog: ``dual_precision.rs`` int8 scan + f32 rerank, fused
     into one XLA program instead of two passes.
@@ -700,7 +704,8 @@ def sq8i_rerank_topk(queries, rows8, scale, minv, penalty, corpus, *, k, m,
     else:
         qn = queries
     dots = jnp.einsum(
-        "bd,bmd->bm", qn, cand, preferred_element_type=jnp.float32
+        "bd,bmd->bm", qn, cand, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     if metric is DistanceMetric.EUCLIDEAN:
         qq = jnp.sum(qn * qn, axis=1, keepdims=True)
