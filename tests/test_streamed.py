@@ -332,3 +332,47 @@ def test_split_bf16_bucket_kernel_interpret(data, metric):
     agree = bi[:, 0] == gi[:, 0]
     assert agree.mean() >= 0.95
     np.testing.assert_allclose(bv[agree, 0], gv[agree, 0], rtol=2e-4, atol=2e-4)
+
+
+def test_full_mode_builds_int8_assist_shadow(monkeypatch):
+    """FULL collections at D<512 past the bucket threshold build the
+    int8-assist shadow (r3e serve default) INSTEAD of the split-bf16 copy,
+    with per-metric affine folding identical to the SQ8-mode block."""
+    import jax.numpy as jnp
+
+    from velesdb_tpu.index import brute as brute_mod
+    from velesdb_tpu.index.brute import BruteForceIndex
+    from velesdb_tpu.ops import StorageMode
+
+    monkeypatch.setattr(brute_mod, "use_pallas", lambda: True)
+    monkeypatch.setattr(brute_mod, "BUCKET_MIN_ROWS", 1024)
+
+    rng = np.random.default_rng(5)
+    n, d = 900, 32
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[7] = False
+
+    for metric in ("euclidean", "cosine", "dot"):
+        idx = BruteForceIndex(d, DistanceMetric.parse(metric), StorageMode.FULL)
+        idx.rebuild(xs, valid)
+        assert idx._assist is not None, metric
+        assert idx._full_hl is None, metric
+        rows8, scale, minv, pen = idx._assist
+        assert rows8.dtype == jnp.int8
+        assert rows8.shape == (idx.n_pad, 128)  # dim padded to lane multiple
+        # tombstoned + padded rows knocked out via +inf penalty
+        pen_h = np.asarray(pen)
+        assert np.isinf(pen_h[7]) and np.isinf(pen_h[n:]).all()
+        assert np.isfinite(pen_h[:n][valid[:n]]).all()
+        if metric == "euclidean":
+            # penalty base = dequantized squared norms (match SQ8 mode)
+            assert pen_h[0] > 0
+        else:
+            assert pen_h[0] == 0.0
+
+    # below the bucket threshold: no shadow at all
+    monkeypatch.setattr(brute_mod, "BUCKET_MIN_ROWS", 1 << 20)
+    idx = BruteForceIndex(d, DistanceMetric.EUCLIDEAN, StorageMode.FULL)
+    idx.rebuild(xs, valid)
+    assert idx._assist is None and idx._full_hl is None
