@@ -63,6 +63,15 @@ _BINARY_OK = [True]  # Hamming kernels
 _SQ8I_MAX_DIM = [1 << 30]
 
 
+@jax.jit
+def _deq_sqnorm(codes, scale, minv):
+    """Squared norms of the dequantized rows WITHOUT materializing the
+    ``[N, D]`` f32 dequantized copy (eager mode would double peak HBM at
+    build time; under jit the cast/affine fuse into the reduction)."""
+    deq = codes.astype(jnp.float32) * scale[:, None] + minv[:, None]
+    return jnp.sum(deq * deq, axis=1)
+
+
 def _bucket_safe(n_pad: int, chunk: int, k: int) -> bool:
     """Collision-recall guard shared by every bucket-kernel dispatch: one
     winner per 128-lane bucket loses ~(k-1)/(2*nbuckets) of the true top-k;
@@ -178,12 +187,7 @@ class BruteForceIndex:
 
                     sq = sq8_quantize(slots_f32)
                     rows8 = jax.device_put(sq8_int8_rows(sq.codes))
-                    deq = (
-                        sq.codes.astype(jnp.float32) * sq.scale[:, None]
-                        + sq.minv[:, None]
-                    )
-                    deq_sq = jnp.sum(deq * deq, axis=1)
-                    del deq
+                    deq_sq = _deq_sqnorm(sq.codes, sq.scale, sq.minv)
                     if self.metric is DistanceMetric.COSINE:
                         # slots_f32 is pre-normalized, so |deq| ~ 1; the
                         # fold keeps the coarse scores exactly cosine
@@ -221,8 +225,7 @@ class BruteForceIndex:
         elif mode is StorageMode.SQ8:
             sq = sq8_quantize(jnp.asarray(slots))
             self._sq8 = jax.device_put(sq)
-            deq = sq.codes.astype(jnp.float32) * sq.scale[:, None] + sq.minv[:, None]
-            deq_sq = jnp.sum(deq * deq, axis=-1)
+            deq_sq = _deq_sqnorm(sq.codes, sq.scale, sq.minv)
             if self.metric is DistanceMetric.EUCLIDEAN:
                 self._sq_norm = jax.device_put(deq_sq)
             elif self.metric is DistanceMetric.COSINE:
@@ -466,9 +469,9 @@ class BruteForceIndex:
             # at k=10 (oversample ~1.6x; larger m only pays more gather —
             # recall is already 0.997+ host-basis at m=16); scale with k
             # but keep the coarse pass inside the bucket-collision guard.
-            m = min(max(2 * k - 4, 16), 128)
+            m = min(max(2 * k - 4, 16), 256)
             chunk_i8 = min(bucket_chunk_for(b_pad, d_pad, 1), self.n_pad)
-            if _bucket_safe(self.n_pad, chunk_i8, m):
+            if m >= k and _bucket_safe(self.n_pad, chunk_i8, m):
                 try:
                     from velesdb_tpu.ops.bucket_kernel import (
                         sq8i_rerank_topk,
