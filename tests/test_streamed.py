@@ -376,3 +376,37 @@ def test_full_mode_builds_int8_assist_shadow(monkeypatch):
     idx = BruteForceIndex(d, DistanceMetric.EUCLIDEAN, StorageMode.FULL)
     idx.rebuild(xs, valid)
     assert idx._assist is None and idx._full_hl is None
+
+
+def test_serve_engine_observability(monkeypatch):
+    """`BruteForceIndex.serve_engine` mirrors the dispatch order and
+    surfaces through `Collection.info()['exact_serve']`."""
+    from velesdb_tpu.index import brute as brute_mod
+    from velesdb_tpu.index.brute import BruteForceIndex
+    from velesdb_tpu.ops import StorageMode
+
+    rng = np.random.default_rng(3)
+    xs = rng.standard_normal((600, 32)).astype(np.float32)
+    valid = np.ones(600, bool)
+
+    idx = BruteForceIndex(32, DistanceMetric.COSINE, StorageMode.FULL)
+    idx.rebuild(xs, valid)
+    assert idx.serve_engine() == "fused-xla"  # CPU: no Pallas
+
+    import tempfile
+
+    from velesdb_tpu.database import Database
+
+    db = Database(tempfile.mkdtemp(prefix="obs_db_"))
+    col = db.create_collection("obs", dim=8)
+    col.upsert_bulk([1, 2], np.eye(8, dtype=np.float32)[:2])
+    assert col.info()["exact_serve"] == "fused-xla"
+
+    monkeypatch.setattr(brute_mod, "use_pallas", lambda: True)
+    monkeypatch.setattr(brute_mod, "BUCKET_MIN_ROWS", 1024)
+    idx = BruteForceIndex(32, DistanceMetric.COSINE, StorageMode.FULL)
+    idx.rebuild(xs, valid)
+    assert idx.serve_engine() == "int8-assist"
+    idx768 = BruteForceIndex(768, DistanceMetric.COSINE, StorageMode.FULL)
+    idx768.rebuild(rng.standard_normal((600, 768)).astype(np.float32), valid)
+    assert idx768.serve_engine() == "streamed-scan"

@@ -1359,6 +1359,10 @@ class Collection:
             "collection_type": self.collection_type,
             "count": self.count(),
         }
+        # which exact kernel a plain search dispatches to (r3e: the serve
+        # default is state-dependent — int8-assist needs its shadow built,
+        # and sticky Mosaic kill-switches can demote)
+        out["exact_serve"] = self._brute.serve_engine()
         err = getattr(self, "last_calibration_error", None)
         if err is not None:
             # a failed calibration probe means the planner recall gate is

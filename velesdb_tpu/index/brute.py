@@ -273,6 +273,34 @@ class BruteForceIndex:
         else:
             raise ValueError(f"unsupported storage mode {mode}")
 
+    def serve_engine(self) -> str:
+        """Name of the kernel a plain ``search`` would dispatch to right
+        now (observability — surfaced via ``Collection.info()``). Mirrors
+        the dispatch order in :meth:`search`/:meth:`_search_streaming`
+        without running it."""
+        mode = self.storage_mode
+        if not use_pallas():
+            return "fused-xla"
+        if mode in (StorageMode.FULL, StorageMode.F16, StorageMode.BF16):
+            if self.dim >= 512:
+                return "streamed-scan"
+            if _SQ8I_OK[0] and self._assist is not None:
+                return "int8-assist"
+            if _HL_OK[0] and self._full_hl is not None:
+                return "split-bf16"
+            if _PALLAS_OK[0] and self.n_pad >= BUCKET_MIN_ROWS:
+                return "bucket-f32"
+            return "streamed-scan"
+        if mode is StorageMode.SQ8:
+            if _SQ8I_OK[0] and self._sq8_rows8 is not None:
+                return "sq8-int8"
+            if _SQ8_BUCKET_OK[0] and self._sq8_words is not None:
+                return "sq8-bucket"
+            return "sq8-streamed"
+        if mode is StorageMode.BINARY:
+            return "hamming-bucket" if _BINARY_OK[0] else "fused-xla"
+        return "fused-xla"
+
     # -- search ------------------------------------------------------------
 
     def scores(self, queries: jax.Array) -> jax.Array:
