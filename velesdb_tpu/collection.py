@@ -1369,6 +1369,13 @@ class Collection:
             # flying blind for this collection — surface it (r3d: a silent
             # failure disabled the gate for a whole session)
             out["last_calibration_error"] = err
+        # sticky kernel kill-switch trips (process-wide): mirror the
+        # calibration-error surfacing so demoted serving is never silent
+        from velesdb_tpu.ops.demotions import demotions
+
+        dem = demotions()
+        if dem:
+            out["kernel_demotions"] = dem
         return out
 
 

@@ -39,6 +39,7 @@ from velesdb_tpu.ops.bucket_kernel import (
     bucket_topk_entry,
     hamming_bucket_topk,
 )
+from velesdb_tpu.ops.demotions import record_demotion
 from velesdb_tpu.ops.pallas_kernels import hamming_topk, use_pallas
 from velesdb_tpu.ops.quantization import SQ8Vectors
 from velesdb_tpu.ops.streamed import sq8_streamed_topk, streamed_topk
@@ -273,32 +274,66 @@ class BruteForceIndex:
         else:
             raise ValueError(f"unsupported storage mode {mode}")
 
-    def serve_engine(self) -> str:
-        """Name of the kernel a plain ``search`` would dispatch to right
+    def serve_engine(self, k: int = 10) -> str:
+        """Name of the kernel a ``search(..., k)`` would dispatch to right
         now (observability — surfaced via ``Collection.info()``). Mirrors
         the dispatch order in :meth:`search`/:meth:`_search_streaming`
-        without running it."""
+        INCLUDING the per-call guards (``m >= k`` for the assist path,
+        ``_bucket_safe`` collision bounds, the Hamming bucket-vs-topk
+        split) so a large-``k`` search never reports a kernel it would not
+        actually run (ADVICE r3)."""
         mode = self.storage_mode
         if not use_pallas():
             return "fused-xla"
+        b_pad8 = 8  # guard shapes are batch-insensitive beyond padding
+        d_pad = ((self.dim + 127) // 128) * 128
         if mode in (StorageMode.FULL, StorageMode.F16, StorageMode.BF16):
             if self.dim >= 512:
                 return "streamed-scan"
             if _SQ8I_OK[0] and self._assist is not None:
-                return "int8-assist"
+                m = min(max(2 * k - 4, 16), 256)
+                chunk_i8 = min(bucket_chunk_for(b_pad8, d_pad, 1), self.n_pad)
+                if m >= k and _bucket_safe(self.n_pad, chunk_i8, m):
+                    return "int8-assist"
             if _HL_OK[0] and self._full_hl is not None:
-                return "split-bf16"
-            if _PALLAS_OK[0] and self.n_pad >= BUCKET_MIN_ROWS:
+                chunk_hl = min(bucket_chunk_for(b_pad8, d_pad, 8), self.n_pad)
+                if _bucket_safe(self.n_pad, chunk_hl, k):
+                    return "split-bf16"
+            itemsize = 4 if self._full is None else self._full.dtype.itemsize
+            chunk = min(bucket_chunk_for(b_pad8, d_pad, itemsize), self.n_pad)
+            if _PALLAS_OK[0] and _bucket_safe(self.n_pad, chunk, k):
                 return "bucket-f32"
             return "streamed-scan"
         if mode is StorageMode.SQ8:
-            if _SQ8I_OK[0] and self._sq8_rows8 is not None:
+            if (
+                _SQ8I_OK[0]
+                and self._sq8_rows8 is not None
+                and _bucket_safe(
+                    self.n_pad,
+                    min(bucket_chunk_for(b_pad8, d_pad, 1), self.n_pad),
+                    k,
+                )
+            ):
                 return "sq8-int8"
-            if _SQ8_BUCKET_OK[0] and self._sq8_words is not None:
+            if (
+                _SQ8_BUCKET_OK[0]
+                and self._sq8_words is not None
+                and _bucket_safe(
+                    self.n_pad,
+                    min(bucket_chunk_for(b_pad8, d_pad, 5), self.n_pad),
+                    k,
+                )
+            ):
                 return "sq8-bucket"
             return "sq8-streamed"
         if mode is StorageMode.BINARY:
-            return "hamming-bucket" if _BINARY_OK[0] else "fused-xla"
+            if _BINARY_OK[0]:
+                return (
+                    "hamming-bucket"
+                    if _bucket_safe(self.n_pad, 2048, min(k, self.n_pad))
+                    else "hamming-topk"
+                )
+            return "fused-xla"
         return "fused-xla"
 
     # -- search ------------------------------------------------------------
@@ -387,8 +422,9 @@ class BruteForceIndex:
                         ),
                         interpret=False,
                     )
-                except Exception:
+                except Exception as e:
                     _SQ8I_OK[0] = False
+                    record_demotion("sq8-int8", e)
             chunk = min(
                 bucket_chunk_for(
                     b_pad8,
@@ -415,8 +451,9 @@ class BruteForceIndex:
                         self._sq8_minv, pen, k=k_eff, metric=self.metric,
                         chunk=chunk, interpret=False,
                     )
-                except Exception:
+                except Exception as e:
                     _SQ8_BUCKET_OK[0] = False
+                    record_demotion("sq8-bucket", e)
             valid = self._valid
             if mask is not None:
                 valid = jnp.logical_and(valid, _pad_to(mask, self.n_pad))
@@ -451,8 +488,9 @@ class BruteForceIndex:
                     )
                     return vals, idx
                 return dist, idx
-            except Exception:
+            except Exception as e:
                 _BINARY_OK[0] = False
+                record_demotion("hamming-bucket", e)
         if mode in (StorageMode.FULL, StorageMode.F16, StorageMode.BF16):
             corpus_args = (self._full,)
         elif mode is StorageMode.SQ8:
@@ -513,8 +551,32 @@ class BruteForceIndex:
                         k=k, m=m, metric=self.metric, chunk=chunk_i8,
                         interpret=False,
                     )
-                except Exception:
+                except Exception as e:
                     _SQ8I_OK[0] = False
+                    record_demotion("int8-assist", e)
+                    # ADVICE r3: rebuild() builds the assist shadow INSTEAD
+                    # of the split-bf16 one, so on an assist kill-switch an
+                    # existing FULL collection would silently demote all the
+                    # way to the plain f32 bucket kernel (~0.953 host recall
+                    # at 1M vs 0.99+). Lazily build the hl shadow here so
+                    # the fallback keeps true-f32 fidelity.
+                    if _HL_OK[0] and self._full_hl is None and self._full is not None:
+                        try:
+                            from velesdb_tpu.ops.bucket_kernel import (
+                                split_f32_rows,
+                            )
+
+                            padded = jnp.pad(
+                                self._full.astype(jnp.float32),
+                                ((0, 0), (0, d_pad - self.dim)),
+                            )
+                            hi, lo = split_f32_rows(padded)
+                            self._full_hl = (
+                                jax.device_put(hi), jax.device_put(lo)
+                            )
+                            del padded
+                        except Exception:
+                            self._full_hl = None
         if not prefer_streamed and _HL_OK[0] and self._full_hl is not None:
             # split-bf16 scoring: true-f32 fidelity at f32-kernel speed
             # (host-oracle identity 0.953 -> 0.986 measured at 1M x 128D)
@@ -528,8 +590,9 @@ class BruteForceIndex:
                         self._bucket_pen, mask_dev, k=k, metric=self.metric,
                         chunk=chunk_hl, interpret=False,
                     )
-                except Exception:
+                except Exception as e:
                     _HL_OK[0] = False
+                    record_demotion("split-bf16", e)
         if (
             not prefer_streamed
             and _PALLAS_OK[0]
@@ -547,8 +610,9 @@ class BruteForceIndex:
                     interpret=False,
                     prenormalized=True,
                 )
-            except Exception:  # Mosaic failure: disable ONLY this kernel and
-                _PALLAS_OK[0] = False  # retry via the pure-XLA streamed path
+            except Exception as e:  # Mosaic failure: disable ONLY this kernel
+                _PALLAS_OK[0] = False  # and retry via the pure-XLA streamed path
+                record_demotion("bucket-f32", e)
         valid = self._valid
         if mask_dev is not None:
             valid = jnp.logical_and(valid, mask_dev)

@@ -516,12 +516,15 @@ class GraphIndex:
 
         try:
             vals, idx = run(entry_mode, entry_state, ep_eff)
-        except Exception:
+        except Exception as e:
             if entry_mode != "kernel":
                 raise
             # Mosaic kill-switch scoped to the entry kernel only: fall back
             # to the XLA SQ8 entry scan, never to silent engine loss
             _ENTRY_KERNEL_OK[0] = False
+            from velesdb_tpu.ops.demotions import record_demotion
+
+            record_demotion("graph-entry-kernel", e)
             entry_state = (
                 eiv._centroids, eiv._cent_sq,
                 (eiv._parts, eiv._part_scale, eiv._part_minv),

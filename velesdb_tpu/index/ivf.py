@@ -706,8 +706,11 @@ class IvfIndex:
                         self._parts, *kern,
                         k=k_fetch, nprobe=nprobe, metric=self.metric,
                     )
-                except Exception:
+                except Exception as e:
                     _IVF_KERNEL_OK[0] = False
+                    from velesdb_tpu.ops.demotions import record_demotion
+
+                    record_demotion("ivf-probe-kernel", e)
                     vals = idx = None
         if vals is None:
             parts = (
