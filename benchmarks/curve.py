@@ -490,6 +490,135 @@ def run_config(name, n, d, metric_name, batch=256):
             "samples": SAMPLES, "points": points}
 
 
+def run_config_binary(name, n, d, batch=256):
+    """Binary-Hamming serve curve (BASELINE config #3: GloVe-1.2M-class
+    100D angular — binary sign sketch + Hamming bucket prefilter + exact
+    f32 rerank). Engine rows: hamming-coarse (the prefilter alone) and
+    hamming-rerank at an oversample ladder (the serve path). Memory point:
+    packed sketch = 1 bit/dim (100D -> 16B/row padded vs 400B f32)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from velesdb_tpu.ops import DistanceMetric, binary_quantize
+    from velesdb_tpu.ops.bucket_kernel import (
+        hamming_bucket_topk,
+        hamming_rerank_topk,
+    )
+    from velesdb_tpu.ops.chunked import chunked_topk
+    from velesdb_tpu.ops.pallas_kernels import use_pallas
+
+    metric = DistanceMetric.COSINE
+    rng = np.random.default_rng(42)
+    # GloVe-like LOCAL neighborhoods: ~40 rows per cluster (a 1-bit/dim
+    # sketch separates clusters but cannot rank within dense near-tie
+    # blobs — giant-cluster synthetics measure an information limit, not
+    # the engine; see tests/test_recall_validation.py)
+    n_clusters = max(n // 40, 64)
+    n_pad = 1 << (n - 1).bit_length()
+
+    @jax.jit
+    def gen(seed):
+        k1, k2, k3, k4, k5 = jax.random.split(jax.random.key(seed), 5)
+        centers = jax.random.normal(k1, (n_clusters, d), jnp.float32) * 2.0
+        assign = jax.random.randint(k2, (n,), 0, n_clusters)
+        corpus = centers[assign] + jax.random.normal(k3, (n, d)) * 0.7
+        qassign = jax.random.randint(k4, (512,), 0, n_clusters)
+        qs = centers[qassign] + jax.random.normal(k5, (512, d)) * 0.7
+        return corpus, qs
+
+    corpus_dev, queries_dev = gen(0)
+    sq = jnp.sum(corpus_dev * corpus_dev, axis=1, keepdims=True)
+    norm_dev = jnp.pad(
+        corpus_dev * jax.lax.rsqrt(jnp.maximum(sq, 1e-30)),
+        ((0, n_pad - n), (0, 0)),
+    )
+    del corpus_dev
+    packed = binary_quantize(norm_dev)
+    valid = jnp.arange(n_pad) < n
+    pen = jnp.where(valid, 0.0, jnp.inf)
+    jax.block_until_ready(packed)
+    queries = np.asarray(queries_dev)
+
+    gt_q = jnp.asarray(queries[:batch])
+    _, gt = chunked_topk(gt_q, norm_dev, valid, K, metric,
+                         chunk=min(65536, n_pad))
+    gt = np.asarray(gt)
+    # host oracle on the normalized corpus (reads back 100D f32 once)
+    corpus_host = np.asarray(norm_dev[:n])
+    q_host = np.asarray(queries[:batch], np.float32)
+    q_host = q_host / np.maximum(
+        np.linalg.norm(q_host, axis=1, keepdims=True), 1e-30
+    )
+    kth = np.empty(batch, np.float64)
+    gt_host = np.empty((batch, K), np.int64)
+    for i in range(batch):
+        s = corpus_host @ q_host[i]
+        top = np.argpartition(-s, K - 1)[:K]
+        kth[i] = s[top].min()
+        gt_host[i] = top
+
+    points = []
+
+    def measure(engine, knob, fn, arrays, batches=(batch, 16), latency=False):
+        _, idx = fn(gt_q, *arrays)
+        idx = np.asarray(idx)
+        r = float(np.mean(
+            [len(set(idx[i]) & set(gt[i])) / K for i in range(batch)]
+        ))
+        r_host = float(np.mean(
+            [len(set(idx[i]) & set(gt_host[i])) / K for i in range(batch)]
+        ))
+        eps_hits = 0
+        for i in range(batch):
+            ids = idx[i][idx[i] >= 0]
+            if len(ids):
+                s = corpus_host[ids] @ q_host[i]
+                eps_hits += int(np.sum(s >= kth[i] - 1e-3 * abs(kth[i]) - 1e-9))
+        r_eps = eps_hits / float(batch * K)
+        for b in batches:
+            q_min, q_med = scan_stats(fn, arrays, queries, b, d)
+            pt = {"engine": engine, "knob": knob, "batch": b,
+                  "recall": round(r, 4), "recall_host": round(r_host, 4),
+                  "recall_eps": round(r_eps, 4),
+                  "qps": round(q_min), "qps_med": round(q_med)}
+            if latency and b == min(batches):
+                p50, p99 = latency_probe(fn, arrays, queries, d)
+                pt["b1_p50_ms"] = round(p50, 2)
+                pt["b1_p99_ms"] = round(p99, 2)
+            points.append(pt)
+            print(name, pt, flush=True)
+
+    interp = not use_pallas()
+
+    def coarse_fn(q, pk, pn):
+        pq = binary_quantize(q)
+        dist, idx = hamming_bucket_topk(pq, pk, pn, k=K, chunk=2048,
+                                        interpret=interp)
+        return 1.0 - dist / float(d), idx
+
+    measure("hamming-coarse", "prefilter-only", coarse_fn, (packed, pen),
+            latency=True)
+
+    for m in (40, 80, 160):
+        def rerank_fn(q, pk, pn, c, _m=m):
+            pq = binary_quantize(q)
+            return hamming_rerank_topk(
+                q, pq, pk, pn, c, k=K, m=_m, metric=metric, chunk=2048,
+                interpret=interp,
+            )
+
+        measure("hamming-rerank", f"m={m}", rerank_fn,
+                (packed, pen, norm_dev), latency=(m == 80))
+
+    return {"config": name, "n": n, "d": d, "metric": metric.value,
+            "batch": batch, "k": K, "iters_per_dispatch": ITERS,
+            "samples": SAMPLES,
+            "memory": "packed sketch 1 bit/dim + f32 rerank corpus",
+            "points": points}
+
+
 def main():
     which = os.environ.get("CURVE_CONFIG", "both")
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -510,6 +639,13 @@ def main():
         fresh.append(run_config("100Kx768D-cosine", 100_000, 768, "cosine"))
     if which in ("both", "sift"):
         fresh.append(run_config("1Mx128D-euclidean", 1_000_000, 128, "euclidean"))
+    if which in ("all", "glove"):
+        # BASELINE config #3 (binary-Hamming prefilter + f32 rerank)
+        fresh.append(run_config_binary("1.2Mx100D-angular-binary", 1_200_000, 100))
+    if which in ("all", "ref10k"):
+        # the reference's own flagship config (BASELINE config #1: 10Kx768D,
+        # 9.2K QPS @ 57us p50) — same-config comparison row (VERDICT r4 #10)
+        fresh.append(run_config("10Kx768D-cosine-ref", 10_000, 768, "cosine"))
     names = {c["config"] for c in fresh}
     out["configs"] = [c for c in out["configs"] if c["config"] not in names] + fresh
     with open(path, "w") as f:

@@ -1,0 +1,267 @@
+"""Filtered-ANN operating points (VERDICT r4 #4).
+
+Measures recall/QPS at filter selectivity {1%, 10%, 50%} for the
+exact-serve, IVF, and graph engines at a flagship config. Filters are
+masks evaluated INSIDE the kernels (the reference over-fetches 4x and
+post-filters, ``search/vector.rs:182``); the graph applies the mask at
+result selection, so its pool must be oversized by ~1/selectivity — the
+collection-layer guard (collection.py) bumps ef or falls back to the
+masked exact scan below the beam cap's coverage. This experiment measures
+exactly those served operating points.
+
+Run: python benchmarks/exp_filtered.py                (1M x 128D L2)
+     FILT_N=100000 FILT_D=768 FILT_METRIC=cosine ...  (other config)
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/velesdb_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+K = 10
+BATCH = 256
+ITERS = 32
+
+
+def scan_qps(fn, arrays, queries, batch, d):
+    import jax
+    import jax.numpy as jnp
+
+    big = np.resize(queries, (ITERS * batch, d))
+    big = big + np.random.default_rng(9).standard_normal(big.shape).astype(
+        np.float32
+    ) * 0.01
+    qs = jnp.asarray(big.reshape(ITERS, batch, d))
+
+    @jax.jit
+    def run_many(qs, *ops):
+        def body(_, q):
+            v, i = fn(q, *ops)
+            return None, (v[0, 0], i[0, 0])
+
+        _, outs = jax.lax.scan(body, None, qs)
+        return outs
+
+    jax.block_until_ready(run_many(qs, *arrays))
+    samples = []
+    for s in range(3):
+        qs_s = jax.block_until_ready(jnp.roll(qs, 1 + 7 * s, axis=0))
+        t0 = time.perf_counter()
+        outs = run_many(qs_s, *arrays)
+        np.asarray(outs[0])
+        samples.append(time.perf_counter() - t0)
+    return ITERS * batch / float(np.min(samples))
+
+
+def main():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from velesdb_tpu.index.brute import BruteForceIndex
+    from velesdb_tpu.index.graph_index import GraphIndex, beam_search_impl
+    from velesdb_tpu.index.ivf import IvfIndex, ivf_search_impl
+    from velesdb_tpu.index.params import GraphParams
+    from velesdb_tpu.ops import DistanceMetric, StorageMode
+    from velesdb_tpu.ops.chunked import chunked_topk
+    from velesdb_tpu.ops.pallas_kernels import use_pallas
+
+    n = int(os.environ.get("FILT_N", 1_000_000))
+    d = int(os.environ.get("FILT_D", 128))
+    metric = DistanceMetric.parse(os.environ.get("FILT_METRIC", "euclidean"))
+
+    @jax.jit
+    def gen(seed):
+        k1, k2, k3, k4, k5 = jax.random.split(jax.random.key(seed), 5)
+        centers = jax.random.normal(k1, (64, d), jnp.float32) * 2.0
+        assign = jax.random.randint(k2, (n,), 0, 64)
+        corpus = centers[assign] + jax.random.normal(k3, (n, d)) * 0.7
+        qa = jax.random.randint(k4, (512,), 0, 64)
+        qs = centers[qa] + jax.random.normal(k5, (512, d)) * 0.7
+        return corpus, qs
+
+    corpus_dev, queries_dev = gen(0)
+    if metric is DistanceMetric.COSINE:
+        sq = jnp.sum(corpus_dev * corpus_dev, axis=1, keepdims=True)
+        corpus_dev = corpus_dev * jax.lax.rsqrt(jnp.maximum(sq, 1e-30))
+    n_pad = 1 << (n - 1).bit_length()
+    corpus_dev = jnp.pad(corpus_dev, ((0, n_pad - n), (0, 0)))
+    valid = jnp.arange(n_pad) < n
+    jax.block_until_ready(corpus_dev)
+    queries = np.asarray(queries_dev)
+    gt_q = jnp.asarray(queries[:BATCH])
+
+    # engines (serve-path forms, mask-parametrized)
+    brute = BruteForceIndex(d, metric, StorageMode.FULL)
+    brute.rebuild(np.zeros((2, d), np.float32), np.ones(2, bool))  # shape init
+    # reuse the resident corpus without a host round trip
+    brute.n_pad = n_pad
+    brute._valid = valid
+    brute._full = corpus_dev
+    brute._full_sqnorm = jnp.sum(corpus_dev * corpus_dev, axis=1)
+    base = (
+        brute._full_sqnorm if metric is DistanceMetric.EUCLIDEAN
+        else jnp.zeros(n_pad, jnp.float32)
+    )
+    brute._bucket_pen = jnp.where(valid, base, jnp.inf)
+    brute._assist = None
+    brute._full_hl = None
+    if use_pallas() and d < 512:
+        from velesdb_tpu.index.brute import _deq_sqnorm
+        from velesdb_tpu.ops.bucket_kernel import sq8_int8_rows
+        from velesdb_tpu.ops.quantization import sq8_quantize
+
+        sq8 = sq8_quantize(corpus_dev)
+        rows8 = sq8_int8_rows(sq8.codes)
+        deq_sq = _deq_sqnorm(sq8.codes, sq8.scale, sq8.minv)
+        if metric is DistanceMetric.COSINE:
+            inv = jnp.where(deq_sq > 1e-30,
+                            jax.lax.rsqrt(jnp.maximum(deq_sq, 1e-30)), 0.0)
+            s2, m2 = sq8.scale * inv, sq8.minv * inv
+            pb = jnp.zeros(n_pad, jnp.float32)
+        else:
+            s2, m2 = sq8.scale, sq8.minv
+            pb = deq_sq
+        brute._assist = (rows8, s2.astype(jnp.float32), m2.astype(jnp.float32),
+                         jnp.where(valid, pb, jnp.inf))
+
+    ivf = IvfIndex(d, metric)
+    ivf.build(corpus_dev[:n], np.ones(n, bool))
+    nprobe = ivf.nprobe_for(128)
+
+    gi = GraphIndex(d, metric, GraphParams.auto(d, n))
+    gi.build(np.zeros((n, d), np.float32), np.ones(n, bool),
+             corpus_dev=corpus_dev[:n])
+
+    results = []
+    rng = np.random.default_rng(7)
+    for sel in (0.01, 0.10, 0.50):
+        mask_h = rng.random(n) < sel
+        mask = jnp.pad(jnp.asarray(mask_h), (0, n_pad - n))
+        # filtered exact oracle (device; HIGHEST adds nothing for overlap
+        # at these selectivities — near-ties are diluted by the filter)
+        _, gt = chunked_topk(gt_q, corpus_dev, valid & mask, K, metric,
+                             chunk=min(65536, n_pad))
+        gt = np.asarray(gt)
+
+        def rec(idx):
+            idx = np.asarray(idx)
+            ok = mask_h[np.maximum(idx, 0)] | (idx < 0)
+            assert ok.all(), "filter violated"
+            return float(np.mean(
+                [len(set(idx[i]) & set(gt[i])) / K for i in range(BATCH)]
+            ))
+
+        # exact serve path with in-kernel mask
+        def exact_fn(q, m):
+            return brute.search(q, K, mask=m)
+
+        _, ei = exact_fn(gt_q, mask)
+        r_ex = rec(ei)
+        qps_ex = scan_qps(exact_fn, (mask,), queries, BATCH, d)
+        results.append({"engine": "exact", "sel": sel,
+                        "recall": round(r_ex, 4), "qps": round(qps_ex)})
+        print(results[-1], flush=True)
+
+        # IVF with in-kernel mask
+        def ivf_fn(q, m):
+            return ivf.search(np.asarray(q), K, nprobe=nprobe, mask=np.asarray(m))
+
+        # ivf.search is host-orchestrated; measure via its jitted inner
+        mask_used = jnp.asarray(mask_h)
+        _ivf = functools.partial(
+            jax.jit, static_argnames=("k", "nprobe", "metric")
+        )(ivf_search_impl)
+        parts = (
+            (ivf._parts, ivf._part_scale, ivf._part_minv)
+            if ivf.storage == "sq8" else ivf._parts
+        )
+        mrow = jnp.pad(mask_used, (0, max(0, ivf.n - n)))
+
+        def ivf_jfn(q, *arr):
+            return _ivf(q, arr[0], arr[1], arr[2], arr[3], arr[4], arr[5],
+                        k=K, nprobe=nprobe, metric=metric)
+
+        ivf_arrays = (ivf._centroids, ivf._cent_sq, parts, ivf._part_rows,
+                      ivf._part_sq, mrow)
+        _, ii = ivf_jfn(gt_q, *ivf_arrays)
+        r_ivf = rec(ii)
+        qps_ivf = scan_qps(ivf_jfn, ivf_arrays, queries, BATCH, d)
+        results.append({"engine": "ivf", "sel": sel, "nprobe": nprobe,
+                        "recall": round(r_ivf, 4), "qps": round(qps_ivf)})
+        print(results[-1], flush=True)
+
+        # graph with the collection-layer guard semantics
+        k_fetch = min(4 * K, 128)
+        need = int(np.ceil(1.5 * k_fetch / sel))
+        if need > 512:
+            results.append({"engine": "graph", "sel": sel,
+                            "served_by": "exact-fallback (guard)"})
+            print(results[-1], flush=True)
+            continue
+        ef = max(128, ((need + 7) // 8) * 8)
+        beam, expansions = gi.params.beam_for_ef(ef, k_fetch)
+        gmask = jnp.pad(jnp.asarray(mask_h), (0, gi.n_pad - n))
+        eiv = gi._entry_ivf
+        kernel_entry = eiv is not None and use_pallas()
+        estate = None
+        emode = "legacy"
+        if kernel_entry:
+            e_aux, e_frows = eiv._kernel_state()
+            estate = (eiv._centroids, eiv._cent_sq, eiv._parts, e_aux, e_frows)
+            emode = "kernel"
+        router = (
+            (gi._route_cents, gi._route_csq, gi._route_rows)
+            if gi._route_cents is not None else None
+        )
+        _beam = functools.partial(
+            jax.jit,
+            static_argnames=(
+                "k", "beam", "expansions", "degree", "entry_points",
+                "metric", "entry_probes", "entry_mode", "expand_width",
+            ),
+        )(beam_search_impl)
+        n_router = 3 if router is not None else 0
+
+        def graph_fn(q, corp, adj, sn, vd, seeds, m, *rest):
+            rt = tuple(rest[:n_router]) if router is not None else None
+            es = tuple(rest[n_router:]) if emode == "kernel" else None
+            return _beam(
+                q, corp, adj, sn, vd, seeds, m, None, rt, es,
+                k=K, beam=beam, expansions=expansions,
+                degree=gi._adj.shape[1],
+                entry_points=min(gi.params.entry_points, beam),
+                metric=metric,
+                entry_probes=(
+                    min(gi.params.entry_probes, eiv.c) if kernel_entry
+                    else gi.params.entry_probes
+                ),
+                entry_mode=emode,
+                expand_width=gi.params.expand_width,
+            )
+
+        g_arrays = (gi._corpus, gi._adj, gi._sqnorm, gi._valid, gi._seed_ids,
+                    gmask) + (router if router is not None else ()) + (
+                        estate if emode == "kernel" else ())
+        _, gidx = graph_fn(gt_q, *g_arrays)
+        r_g = rec(gidx)
+        qps_g = scan_qps(
+            lambda q, *a: graph_fn(q, *a), g_arrays, queries, BATCH, d
+        )
+        results.append({"engine": "graph", "sel": sel, "ef": ef,
+                        "recall": round(r_g, 4), "qps": round(qps_g)})
+        print(results[-1], flush=True)
+
+    print(json.dumps({"n": n, "d": d, "metric": metric.value, "k": K,
+                      "batch": BATCH, "points": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -184,6 +184,41 @@ def main():
             flush=True,
         )
 
+    # ADVICE r3 #4: mid-range-k A/B of the serve oversample formula
+    # (m = min(max(2k-4, 16), 256)) — the heuristic is recall-validated at
+    # k=10 only; coarse int8 misses at k=50/100 would be unrecoverable by
+    # the exact rerank. hl (true-f32 fidelity) rides as the comparator.
+    for kk in (50, 100):
+        mm = min(max(2 * kk - 4, 16), 256)
+        gt_k = np.empty((B, kk), np.int64)
+        for i in range(B):
+            d2 = csq - 2.0 * dots[:, i].astype(np.float64)
+            part = np.argpartition(d2, kk)[:kk]
+            gt_k[i] = part[np.argsort(d2[part])]
+        _, ai = sq8i_rerank_topk(
+            qp, rows8, scale8, minv8, pen8, cf, k=kk, m=mm, metric=metric,
+            chunk=chunk_i8, interpret=False,
+        )
+        ai = np.asarray(ai)
+        r_a = float(np.mean(
+            [len(set(ai[i].tolist()) & set(gt_k[i].tolist())) / kk
+             for i in range(B)]
+        ))
+        _, hi_idx = bucket_topk_hl(
+            qp, hi, lo, pen, None, k=kk, metric=metric, chunk=chunk_hl,
+            interpret=False,
+        )
+        hi_idx = np.asarray(hi_idx)
+        r_h = float(np.mean(
+            [len(set(hi_idx[i].tolist()) & set(gt_k[i].tolist())) / kk
+             for i in range(B)]
+        ))
+        print(
+            f"[assist] k={kk} m={mm}: assist recall_host={r_a:.4f} "
+            f"vs hl {r_h:.4f}",
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -89,6 +89,48 @@ def main() -> int:
           flush=True)
     if not ok:
         return 1
+
+    # r4 #5: the DCN tier dispatches the ANN engines too — per-shard
+    # graphs/IVFs row-shard over ("dcn", "rows"); both processes build the
+    # same deterministic state, partials merge across the process boundary
+    from velesdb_tpu.index.params import GraphParams
+    from velesdb_tpu.parallel.sharded_ann import ShardedGraphIndex
+    from velesdb_tpu.parallel.sharded_ivf import ShardedIvfIndex
+
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 2.0
+    ccorpus = centers[rng.integers(0, 8, n)] + rng.standard_normal(
+        (n, d)
+    ).astype(np.float32) * 0.5
+    cq = ccorpus[:b] + 1e-3
+    cd2 = (
+        np.sum(cq**2, axis=1)[:, None]
+        + np.sum(ccorpus**2, axis=1)[None, :]
+        - 2.0 * cq @ ccorpus.T
+    )
+    cref = np.argsort(np.maximum(cd2, 0), axis=1)[:, :k]
+
+    gi = ShardedGraphIndex(
+        mesh, d, DistanceMetric.EUCLIDEAN,
+        params=GraphParams(degree=24, knn_k=12),
+    )
+    gi.build(ccorpus)
+    assert gi.n_shards == 8  # dcn(2) x rows(4)
+    _, grows = gi.search(cq, k, ef=128)
+    g_rec = np.mean([
+        len(set(grows[i].tolist()) & set(cref[i].tolist())) / k
+        for i in range(b)
+    ])
+    ivf = ShardedIvfIndex(mesh, d, DistanceMetric.EUCLIDEAN)
+    ivf.build(ccorpus)
+    _, irows = ivf.search(cq, k, nprobe=8)
+    i_rec = np.mean([
+        len(set(irows[i].tolist()) & set(cref[i].tolist())) / k
+        for i in range(b)
+    ])
+    print(f"proc{jax.process_index()}: dcn graph recall {g_rec:.3f} "
+          f"ivf recall {i_rec:.3f}", flush=True)
+    if g_rec < 0.9 or i_rec < 0.9:
+        return 1
     print(f"DCN_WORKER_OK:{jax.process_index()}", flush=True)
     return 0
 

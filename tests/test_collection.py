@@ -194,6 +194,45 @@ def test_ann_path_activates_and_matches_exact(tmp_db_dir, rng):
     db2.close()
 
 
+def test_graph_filtered_search_starvation_guard(tmp_db_dir, rng):
+    """VERDICT r3 #4: the graph engine filters at RESULT selection, so a
+    selective filter starves k unless the pool is oversized by
+    1/selectivity — the guard bumps ef (moderate selectivity) or falls
+    back to the masked exact scan (below the beam cap's coverage)."""
+    db = make_db(tmp_db_dir)
+    col = db.create_collection("fg", 32, metric="l2")
+    col.ann_min_rows = 4096
+    col.index_kind = "graph"
+    n = 6000
+    vecs = rng.standard_normal((n, 32)).astype(np.float32)
+    payloads = [{"grp": int(i % 100)} for i in range(n)]
+    col.upsert_bulk(range(n), vecs, payloads)
+
+    # 1% selectivity (grp == 7): need > beam cap -> exact fallback; all k
+    # results must pass the filter and match the exact filtered oracle
+    f1 = {"type": "eq", "field": "grp", "value": 7}
+    res = col.search_batch([vecs[107]], k=10, filter=f1)[0]
+    assert len(res) == 10
+    assert all(r["payload"]["grp"] == 7 for r in res)
+    assert res[0]["id"] == 107  # the query row itself passes grp==7
+
+    # ~30% selectivity (grp < 30): ef bump keeps the graph serving and
+    # still fills k with passing rows at high filtered recall
+    f30 = {"type": "lt", "field": "grp", "value": 30}
+    col.search(vecs[0], k=1)  # ensure the graph is built
+    assert col.ann is not None and not col.ann.dirty
+    res30 = col.search_batch([vecs[205]], k=10, filter=f30)[0]
+    assert len(res30) == 10
+    assert all(r["payload"]["grp"] < 30 for r in res30)
+    exact30 = col.search_batch(
+        [vecs[205]], k=10, filter=f30, quality="perfect"
+    )[0]
+    got = {r["id"] for r in res30}
+    want = {r["id"] for r in exact30}
+    assert len(got & want) >= 8  # filtered recall@10 >= 0.8
+    db.close()
+
+
 def test_perfect_quality_routes_through_host_rerank(tmp_db_dir, rng):
     """r3b: quality=perfect engages the host-f32 rerank pass on ANY storage
     mode — device engines select with MXU f32 (~0.2% distance error), so

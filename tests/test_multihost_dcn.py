@@ -50,6 +50,50 @@ def test_dcn_search_unit_axis(rng):
     assert np.array_equal(np.sort(idx, 1), np.sort(ref, 1))
 
 
+def test_dcn_graph_and_ivf_engines(rng):
+    """VERDICT r4 #5: the DCN tier dispatches ALL engines, not just exact —
+    ShardedGraphIndex / ShardedIvfIndex row-shard over ("dcn", "rows") on a
+    hybrid mesh and merge partials across both axes in one collective."""
+    from velesdb_tpu.index.params import GraphParams
+    from velesdb_tpu.parallel.sharded_ann import ShardedGraphIndex
+    from velesdb_tpu.parallel.sharded_ivf import ShardedIvfIndex
+
+    mesh = make_hybrid_mesh(dp=2)  # (dcn=1, dp=2, rows=4) on the CPU rig
+    n, d, k = 20_000, 32, 10
+    centers = rng.standard_normal((16, d)).astype(np.float32) * 2.0
+    corpus = centers[rng.integers(0, 16, n)] + rng.standard_normal(
+        (n, d)
+    ).astype(np.float32) * 0.5
+    queries = corpus[rng.integers(0, n, 32)] + 1e-3
+
+    from velesdb_tpu.ops.chunked import brute_force_topk
+
+    _, gt = brute_force_topk(queries, corpus, k, DistanceMetric.EUCLIDEAN)
+
+    gi = ShardedGraphIndex(
+        mesh, d, DistanceMetric.EUCLIDEAN,
+        params=GraphParams(degree=24, knn_k=12, entry_probes=8,
+                           entry_points=32),
+    )
+    gi.build(corpus)
+    assert gi.n_shards == 4
+    _, rows = gi.search(queries, k, ef=128)
+    recall = np.mean(
+        [len(set(rows[i].tolist()) & set(gt[i].tolist())) / k
+         for i in range(len(queries))]
+    )
+    assert recall >= 0.9, f"dcn-mesh graph recall {recall:.3f}"
+
+    ivf = ShardedIvfIndex(mesh, d, DistanceMetric.EUCLIDEAN)
+    ivf.build(corpus)
+    _, irows = ivf.search(queries, k, nprobe=16)
+    irecall = np.mean(
+        [len(set(irows[i].tolist()) & set(gt[i].tolist())) / k
+         for i in range(len(queries))]
+    )
+    assert irecall >= 0.9, f"dcn-mesh ivf recall {irecall:.3f}"
+
+
 @pytest.mark.slow
 def test_dcn_two_process_localhost():
     """Spawn coordinator + 2 jax.distributed CPU processes; each owns half

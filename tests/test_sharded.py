@@ -190,6 +190,41 @@ def test_sharded_sq8_masked(rng):
     assert mask[gidx[gidx >= 0]].all(), "masked-out rows must never surface"
 
 
+def test_sharded_assist_matches_exact(rng, monkeypatch):
+    """int8-assist shard mode (r4 serve-path parity): per-shard coarse int8
+    scan + exact f32 rerank inside shard_map must agree with the exact
+    oracle on clustered data (the mode is exact-grade single-chip, r3e)."""
+    from velesdb_tpu.index import brute as brute_mod
+    from velesdb_tpu.ops import StorageMode
+
+    monkeypatch.setattr(brute_mod, "BUCKET_MIN_ROWS", 16_384)
+    mesh = make_mesh(8)
+    n, d, b, k = 390_000, 64, 16, 10
+    centers = rng.standard_normal((32, d)).astype(np.float32) * 2.0
+    corpus = centers[rng.integers(0, 32, n)] + rng.standard_normal(
+        (n, d)
+    ).astype(np.float32) * 0.5
+    queries = corpus[rng.integers(0, n, b)] + 1e-3 * rng.standard_normal(
+        (b, d)
+    ).astype(np.float32)
+    idx = ShardedBruteForce(mesh, d, DistanceMetric.EUCLIDEAN,
+                            storage_mode=StorageMode.FULL)
+    idx.rebuild(corpus)
+    assert idx._assist is not None
+    assert idx._assist_serves(16, k), "guard must accept this shape"
+    vals, rows = idx.search(queries, k)
+    assert rows.shape == (b, k) and (rows[:, 0] >= 0).all()
+    ref_v, ref_i = _reference_topk(queries, corpus, k, DistanceMetric.EUCLIDEAN)
+    overlap = np.mean([
+        len(set(rows[i]) & set(ref_i[i])) / k for i in range(b)
+    ])
+    assert overlap >= 0.9, f"assist shard recall {overlap}"
+    # top-1 is the planted near-duplicate, scored exactly
+    assert (rows[:, 0] == ref_i[:, 0]).mean() >= 0.9
+    # guard honesty: a huge k exceeds the oversample bound -> streamed path
+    assert not idx._assist_serves(16, 4096)
+
+
 def test_sharded_sq8_lowers_at_north_star_scale():
     """Capacity dryrun (VERDICT r2 #2): the SQ8 sharded program must lower
     and compile at >=1M rows PER SHARD (8M x 768D total here; the 50M x 768D
@@ -201,7 +236,8 @@ def test_sharded_sq8_lowers_at_north_star_scale():
     from velesdb_tpu.parallel.sharded import _sharded_search_sq8
 
     mesh = make_mesh(8)
-    n, d, b, k = 8 * 1_048_576, 768, 8, 10
+    # 6.25M rows/shard = the 50M/8 north-star shard size (VERDICT r4 #5)
+    n, d, b, k = 8 * 6_291_456, 768, 8, 10
     sds = jax.ShapeDtypeStruct
     lowered = _sharded_search_sq8.lower(
         sds((b, d), jnp.float32),
@@ -215,6 +251,36 @@ def test_sharded_sq8_lowers_at_north_star_scale():
         k=k,
         metric=DistanceMetric.COSINE,
         chunk=65536,
+    )
+    assert lowered.compile() is not None
+
+
+def test_sharded_assist_lowers_at_north_star_scale():
+    """The assist shard program lowers + compiles at 6.25M rows/shard
+    (50M x 128D total — the D < 512 regime assist serves). interpret=True
+    is the CPU-lowerable form; the real-kernel form compiles on TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from velesdb_tpu.parallel.sharded import _sharded_search_assist
+
+    mesh = make_mesh(8)
+    n, d, b, k = 8 * 6_291_456, 128, 8, 10
+    sds = jax.ShapeDtypeStruct
+    lowered = _sharded_search_assist.lower(
+        sds((b, d), jnp.float32),
+        sds((n, d), jnp.int8),
+        sds((n,), jnp.float32),
+        sds((n,), jnp.float32),
+        sds((n,), jnp.float32),
+        sds((n, d), jnp.float32),
+        None,
+        mesh=mesh,
+        k=k,
+        m=16,
+        metric=DistanceMetric.EUCLIDEAN,
+        chunk=8192,
+        interpret=True,
     )
     assert lowered.compile() is not None
 

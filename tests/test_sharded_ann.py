@@ -65,6 +65,22 @@ def test_sharded_ann_entry_ivf(rng):
          for i in range(len(queries))]
     )
     assert recall >= 0.9, f"sharded entry-IVF recall {recall:.3f}"
+    # r4 serve parity: the PROBE-KERNEL entry path (interpret mode on CPU)
+    # must agree with the XLA scan inside shard_map
+    assert idx._entry_kern is not None
+    vk, rk = idx.search(queries, k, ef=128, entry_mode="kernel")
+    recall_k = np.mean(
+        [len(set(rk[i].tolist()) & set(gt[i].tolist())) / k
+         for i in range(len(queries))]
+    )
+    assert recall_k >= 0.9, f"kernel-entry sharded recall {recall_k:.3f}"
+    # scores are exact (f32 rescore) on both entry paths: agreement is
+    # near-total up to entry-candidate near-ties
+    agree = np.mean([
+        len(set(rk[i].tolist()) & set(rows[i].tolist())) / k
+        for i in range(len(queries))
+    ])
+    assert agree >= 0.9, f"entry-path agreement {agree:.3f}"
 
 
 def test_sharded_ann_uneven_rows(rng):

@@ -110,6 +110,11 @@ class Collection:
         # small host-side rescoring cost. Set False to serve raw quantized
         # scores.
         self.auto_rerank = True
+        # serving oversample for the quantized rerank pass; the storage
+        # recall gate (_ensure_storage_gate) widens it when the calibrated
+        # serve recall misses the profile bar
+        self._rerank_oversample = 4.0
+        self._storage_gate_used = None
         self._planner = None  # QueryPlanner (lazy)
         self.columns = ColumnStore()
         self._columns_built = False
@@ -624,6 +629,31 @@ class Collection:
             # vanishing it (r3d: a silent AttributeError disabled the gate)
             self.last_calibration_error = repr(e)
 
+    def _ensure_storage_gate(self, quality=None) -> None:
+        """Calibrate the quantized serve path and widen the rerank
+        oversample until measured recall clears the profile bar (or the
+        32x cap). Runs at most once per row count; failures are advisory
+        and inspectable via ``last_calibration_error``."""
+        used = self.vectors.used_slots
+        if used < 4096:  # toy collections: the probe costs more than it informs
+            return
+        if getattr(self, "_storage_gate_used", None) == used:
+            return
+        self._storage_gate_used = used  # set FIRST: calibrate() re-enters search
+        bar = (
+            SearchQuality.parse(quality).min_recall
+            if quality is not None
+            else SearchQuality.BALANCED.min_recall
+        )
+        try:
+            r = self.calibrate_storage()
+            while r is not None and r < bar and self._rerank_oversample < 32:
+                self._rerank_oversample *= 2.0
+                self._storage_recall = None  # force a fresh probe
+                r = self.calibrate_storage()
+        except Exception as e:
+            self.last_calibration_error = repr(e)
+
     def calibrate_storage(self, sample: int = 128):
         """True-recall probe of QUANTIZED storage (SQ8/binary): the default
         serving path (auto-rerank included) measured against a HOST f32
@@ -741,6 +771,14 @@ class Collection:
                 and self.storage_mode in (StorageMode.SQ8, StorageMode.BINARY)
             )
         ):
+            if not wants_perfect:
+                # storage recall gate (r4): quantized serving is calibrated
+                # against the TRUE host-f32 oracle once per row count; a
+                # coarse pass too lossy for the profile bar (binary sign
+                # sketches at low D especially) widens its oversample until
+                # it clears — the quantized-mode analog of the ANN honesty
+                # gate.
+                self._ensure_storage_gate(quality)
             # host-f32 rerank pass. For quantized storage it recovers the
             # quantization loss; for PERFECT it is the fidelity ceiling on
             # ANY storage: device engines select with MXU f32 (~3e-4 score
@@ -749,7 +787,8 @@ class Collection:
             # for the "exact" kernels — the host rescoring pass measures
             # 0.998 vs a true f32 oracle at 1M x 128D (r3b metrology).
             return self.search_batch_with_rerank(
-                queries, k, filter=filter, ef=ef, quality=quality
+                queries, k, filter=filter, ef=ef, quality=quality,
+                oversample=self._rerank_oversample,
             )
         self.refresh_device()
         q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
@@ -793,6 +832,22 @@ class Collection:
             if ef2 != ef:
                 ef = ef2
                 k_fetch = max(min(4 * k, ef), k) if mask is not None else k
+        if engine == "graph" and mask is not None:
+            # filtered-ANN starvation guard (VERDICT r3 #4): the graph
+            # applies the mask at RESULT selection — traversal routes
+            # through filtered nodes so the walk stays connected, but only
+            # ~selectivity of the final pool passes. Size the pool so the
+            # expected passing count covers k_fetch with margin, or fall
+            # back to the masked exact scan when the beam cap (512) can't
+            # (the mask is evaluated INSIDE the exact kernels — unlike the
+            # reference's 4x over-fetch post-filter, search/vector.rs:182).
+            used = max(self.vectors.used_slots, 1)
+            sel = float(np.count_nonzero(np.asarray(mask)[:used])) / used
+            need = int(np.ceil(1.5 * k_fetch / max(sel, 1e-9)))
+            if sel <= 0.0 or need > 512:
+                engine = "exact"
+            elif need > ef:
+                ef = ((need + 7) // 8) * 8
         t0 = time.perf_counter()
         if engine in ("ivf", "graph"):
             vals, idx = self._ann_delta_search(engine, q, k_fetch, ef, mask)
@@ -840,6 +895,15 @@ class Collection:
         if not (have_ivf or have_graph):
             return "exact"
         part_len = self.ivf.part_len if self.ivf is not None and self.ivf.part_len else 512
+        # true serving nprobe (coverage-calibrated, spill-scaled): spill=2
+        # doubles both part_len AND the probe count — the static model must
+        # see the real bytes/query or it under-costs spilled IVF at large
+        # batch, where exact/graph dominate both axes (VERDICT r3 weak #4)
+        nprobe = (
+            self.ivf.nprobe_for(ef)
+            if self.ivf is not None and self.ivf.part_len
+            else 32
+        )
         gp = self.ann.params if self.ann is not None else None
         beam, expansions = (
             gp.beam_for_ef(128, 10) if gp is not None else (128, 64)
@@ -849,6 +913,7 @@ class Collection:
             self.dim,
             batch,
             have_ivf=have_ivf,
+            ivf_nprobe=nprobe,
             ivf_part_len=part_len,
             have_graph=have_graph,
             graph_expansions=expansions,
@@ -1218,6 +1283,44 @@ class Collection:
             SearchResult(id=vid, score=score, payload=self.payloads.retrieve(vid))
             for vid, score in fused
         ]
+
+    def hybrid_search_batch(
+        self,
+        query_vectors,
+        query_texts,
+        k: int = 10,
+        vector_weight: float = 0.5,
+        filter: dict | None = None,
+    ):
+        """Batched vector + BM25 fusion (weighted RRF k=60): ONE device
+        dispatch per branch for the whole batch — the TPU-native hybrid
+        serving path (the reference fans rayon tasks per query,
+        ``search/batch.rs:231``; here the batch IS the parallelism). Used
+        by the hybrid throughput benchmark (BASELINE config #4)."""
+        from velesdb_tpu.fusion import weighted_rrf
+
+        fetch = max(2 * k, k)
+        vec_rows = self.search_batch(query_vectors, fetch, filter=filter)
+        txt_rows = self.text_search_batch(list(query_texts), fetch,
+                                          filter=filter)
+        out = []
+        for vec_hits, txt_hits in zip(vec_rows, txt_rows):
+            fused = weighted_rrf(
+                [(r.id, r.score) for r in vec_hits],
+                [(r.id, r.score) for r in txt_hits],
+                k,
+                vector_weight=vector_weight,
+            )
+            out.append(
+                [
+                    SearchResult(
+                        id=vid, score=score,
+                        payload=self.payloads.retrieve(vid),
+                    )
+                    for vid, score in fused
+                ]
+            )
+        return out
 
     def like_mask(self, pattern: str, case_insensitive: bool = False):
         """``[used_slots] bool`` mask of payload texts matching LIKE pattern

@@ -102,7 +102,7 @@ class GraphIndex:
     EXACT_KNN_MAX_ROWS = 65_536
 
     def build(self, corpus: np.ndarray, valid: np.ndarray,
-              corpus_dev=None) -> None:
+              corpus_dev=None, profile: dict | None = None) -> None:
         """Full (re)build from the host slot array. Throughput-oriented: the
         kNN stage is pure MXU work (chunked exact below
         ``EXACT_KNN_MAX_ROWS``, IVF-bucketed approximate above), the graph
@@ -113,7 +113,19 @@ class GraphIndex:
         transfer in the build — three 307MB uploads at 100K x 768D, the
         dominant warm-build cost on remote-attached TPUs. For cosine it may
         be pre-normalized (cosine scoring is normalization-invariant).
+
+        ``profile`` (optional dict) receives per-stage wall seconds
+        (knn/prune/assemble/upload) — the build-throughput tuning loop's
+        instrument (benchmarks/exp_build_profile.py).
         """
+        import time as _time
+
+        def _mark(stage, t0):
+            if profile is not None:
+                profile[stage] = profile.get(stage, 0.0) + _time.perf_counter() - t0
+            return _time.perf_counter()
+
+        t = _time.perf_counter()
         n = corpus.shape[0]
         p = self.params
         self.n = n
@@ -158,17 +170,21 @@ class GraphIndex:
                 src, knn_k, self.metric,
                 valid=valid, nprobe=p.build_nprobe, passes=p.build_passes,
                 n_clusters=build_c,
-                return_router=True,
+                return_router=True, profile=profile,
             )
             for _ in range(p.refine_rounds):
                 knn_idx = nn_descent_round(src, knn_idx, self.metric, valid=valid)
+        t = _mark("knn", t)
         # distance-ordered forward candidates
         fwd = knn_idx.astype(np.int32)  # [n, knn_k], -1 where few valid
         # 2. alpha-diversification prune (device, blockwise)
         fwd = self._alpha_prune_host(corpus, fwd, dev)
+        t = _mark("prune", t)
         # 3. reverse-edge augmentation + final adjacency
         adj = _assemble_adjacency(fwd, n, p.degree)
+        t = _mark("assemble", t)
         self._upload(corpus, valid, adj, dev, router=router)
+        _mark("upload", t)
         self._dirty = False
 
     def _alpha_prune_host(self, corpus: np.ndarray, fwd: np.ndarray,

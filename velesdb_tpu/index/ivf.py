@@ -1138,7 +1138,8 @@ SQ8_BUILD_MIN_ROWS = int(os.environ.get("VELESDB_SQ8_BUILD_MIN_ROWS",
 def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
                  nprobe: int = 8, qblock: int = 1024,
                  n_clusters: int | None = None, passes: int = 1,
-                 return_router: bool = False, sq8: bool | None = None):
+                 return_router: bool = False, sq8: bool | None = None,
+                 profile: dict | None = None):
     """Approximate kNN graph of a corpus against itself: ``[N, k] int32``.
 
     The scalable build path for the graph index (VERDICT round-1 #2a):
@@ -1160,6 +1161,16 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
     rows (r3d).
     """
     del qblock
+    import time as _time
+
+    def _mark(stage, t0):
+        if profile is not None:
+            profile[stage] = (
+                profile.get(stage, 0.0) + _time.perf_counter() - t0
+            )
+        return _time.perf_counter()
+
+    t = _time.perf_counter()
     router = None
     corpus_in = (
         corpus if isinstance(corpus, jax.Array) else np.asarray(corpus, np.float32)
@@ -1177,13 +1188,20 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
             corpus_in if isinstance(corpus_in, jax.Array)
             else jnp.asarray(corpus_in)
         )
+        if profile is not None:
+            jax.block_until_ready(sq_src.codes)
+    t = _mark("knn.quantize", t)
     valid_np = np.ones(n, bool) if valid is None else np.asarray(valid, bool)
     pass_vals, pass_ids = [], []
     for p in range(max(passes, 1)):
+        t = _time.perf_counter()
         ivf = IvfIndex(
             corpus_in.shape[1], metric, n_clusters=n_clusters, kmeans_seed=p
         )
         ivf.build(sq_src if sq8 else corpus_in, valid_np)
+        if profile is not None and ivf._parts is not None:
+            jax.block_until_ready(ivf._parts)
+        t = _mark("knn.partition", t)
         if ivf._parts is None:
             empty = np.full((n, k), -1, np.int32)
             return (empty, None) if return_router else empty
@@ -1205,6 +1223,9 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
                 ivf._parts, ivf._part_rows, ivf._part_sq, ivf._centroids,
                 k=k_eff, nprobe=nprobe_p, metric=metric,
             )  # [P, L, k] each
+        if profile is not None:
+            jax.block_until_ready(nbr_d)
+        t = _mark("knn.score", t)
         rows = np.asarray(ivf._part_rows).reshape(-1)
         live = rows >= 0
         out_i = np.full((n, k), -1, np.int32)
@@ -1213,12 +1234,14 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
         out_v[rows[live], :k_eff] = np.asarray(vals_d).reshape(-1, k_eff)[live]
         pass_ids.append(out_i)
         pass_vals.append(out_v)
+        t = _mark("knn.readback", t)
     if len(pass_ids) == 1:
         out = pass_ids[0]
         out[~valid_np] = -1
         return (out, router) if return_router else out
     out = merge_ranked(pass_vals, pass_ids, k)
     out[~valid_np] = -1
+    _mark("knn.merge", t)
     return (out, router) if return_router else out
 
 

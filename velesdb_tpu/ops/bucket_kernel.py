@@ -405,6 +405,60 @@ def hamming_bucket_topk(packed_q, packed_corpus, penalty, *, k, chunk,
     return jnp.where(idx < 0, jnp.inf, -vals), idx
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "m", "metric", "chunk", "interpret")
+)
+def hamming_rerank_topk(queries, packed_q, packed_corpus, penalty, corpus,
+                        *, k, m, metric, chunk, interpret):
+    """Binary-Hamming prefilter + in-program exact f32 gather-rerank, ONE
+    dispatch (BASELINE config #3: "binary-quantized Hamming prefilter +
+    float rerank" — reference ``quantization.rs:48-123`` +
+    ``search_with_rerank``).
+
+    The packed-Hamming bucket scan reads 1/32 the f32 bytes and picks the
+    ``m`` coarse winners per query; the same program gathers them from the
+    f32 ``corpus`` and rescores exactly (HIGHEST-precision einsum — the
+    rerank is O(B*m*D), a rounding error next to the scan). The binary
+    sign-sketch is a SPEED/memory play: its coarse recall feeds the exact
+    rerank the way the reference's CPU float rerank consumes the Hamming
+    prefilter. Returns metric-native ``(vals [B, k], ids [B, k])``.
+    """
+    _, ci = hamming_bucket_topk(
+        packed_q, packed_corpus, penalty, k=m, chunk=chunk,
+        interpret=interpret,
+    )
+    safe = jnp.maximum(ci, 0)
+    cand = corpus[safe]  # [B, m, D]
+    if metric is DistanceMetric.COSINE:
+        sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+        qn = queries * jnp.where(
+            sq > 1e-30, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0
+        )
+    else:
+        qn = queries
+    dots = jnp.einsum(
+        "bd,bmd->bm", qn, cand, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric is DistanceMetric.EUCLIDEAN:
+        qq = jnp.sum(qn * qn, axis=1, keepdims=True)
+        csq = jnp.sum(cand * cand, axis=-1)
+        exact = jnp.where(ci < 0, jnp.inf, qq + csq - 2.0 * dots)
+        neg, order = jax.lax.top_k(-exact, k)
+        ids = jnp.take_along_axis(ci, order, axis=1)
+        return jnp.sqrt(jnp.maximum(-neg, 0.0)), jnp.where(
+            jnp.isinf(-neg), -1, ids
+        )
+    if metric is DistanceMetric.COSINE:
+        cn = jnp.sqrt(jnp.maximum(jnp.sum(cand * cand, axis=-1), 1e-30))
+        exact = jnp.where(ci < 0, -jnp.inf, dots / cn)
+    else:
+        exact = jnp.where(ci < 0, -jnp.inf, dots)
+    vals, order = jax.lax.top_k(exact, k)
+    ids = jnp.take_along_axis(ci, order, axis=1)
+    return vals, jnp.where(vals == -jnp.inf, -1, ids)
+
+
 def bucket_topk(
     queries,
     corpus,

@@ -42,7 +42,27 @@ __all__ = [
     "ShardedBruteForce",
     "shard_rows",
     "sharded_ingest_search_step",
+    "row_axes",
+    "n_row_shards",
 ]
+
+
+def row_axes(mesh: Mesh):
+    """Row-sharding axis names for ``mesh``: hybrid multi-host meshes
+    (``make_hybrid_mesh``) shard corpus rows over BOTH the ``dcn`` (host
+    segment) and ``rows`` (intra-host ICI) axes — one merged all_gather of
+    ``[B, k]`` partials crosses DCN per batch (docs/SCALE_OUT.md); plain
+    meshes shard over ``rows`` alone. Engines written against this helper
+    dispatch on either mesh unchanged (VERDICT r4 #5: the DCN tier serves
+    exact AND ivf AND graph)."""
+    return ("dcn", "rows") if "dcn" in mesh.axis_names else ("rows",)
+
+
+def n_row_shards(mesh: Mesh) -> int:
+    n = 1
+    for a in row_axes(mesh):
+        n *= mesh.shape[a]
+    return n
 
 
 def make_mesh(
@@ -116,6 +136,52 @@ def _sharded_search_streamed(queries, corpus, valid, cnorm, mask, *, mesh, k,
     args = [queries, corpus, valid, cnorm]
     if mask is None:
         body = lambda q, c, v, cn: kernel(q, c, v, cn, None)
+    else:
+        body = kernel
+        specs.append(P("rows"))
+        args.append(mask)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(specs),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )(*args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "m", "metric", "chunk", "interpret"),
+)
+def _sharded_search_assist(queries, rows8, scale2, minv2, pen, corpus, mask,
+                           *, mesh, k, m, metric, chunk, interpret):
+    """int8-assist shard mode (r4, serve-path parity with the single-chip
+    default at D < 512): each shard runs the coarse int8 bucket scan +
+    in-program exact f32 gather-rerank (``ops/bucket_kernel.
+    sq8i_rerank_topk``) over its rows, then the tiny exact-grade ``[B, k]``
+    partials merge over ICI. The int8 shadow costs +1B/dim per shard and
+    the scan reads 1/4 the f32 bytes — the same 236K-vs-194K QPS win the
+    single-chip serve split measured at 1M x 128D (r3e), carried across
+    the mesh."""
+    from velesdb_tpu.ops.bucket_kernel import sq8i_rerank_topk
+
+    n_local = rows8.shape[0] // mesh.shape["rows"]
+    k_local = min(k, n_local)
+
+    def kernel(q, r8, sc, mn, pn, c, msk):
+        if msk is not None:
+            pn = jnp.where(msk, pn, jnp.inf)
+        lv, li = sq8i_rerank_topk(
+            q, r8, sc, mn, pn, c, k=k_local, m=m, metric=metric,
+            chunk=min(chunk, n_local), interpret=interpret,
+        )
+        return _merge_partials(lv, li, n_local, k, metric.higher_is_better)
+
+    specs = [P("dp", None), P("rows", None), P("rows"), P("rows"), P("rows"),
+             P("rows", None)]
+    args = [queries, rows8, scale2, minv2, pen, corpus]
+    if mask is None:
+        body = lambda q, r8, sc, mn, pn, c: kernel(q, r8, sc, mn, pn, c, None)
     else:
         body = kernel
         specs.append(P("rows"))
@@ -208,6 +274,11 @@ class ShardedBruteForce:
         self._minv = None  # [N_pad] f32
         self._cnorm = None  # [N_pad] f32 metric-specific corpus norms
         self._valid = None
+        # int8-assist shadow (FULL mode, D < 512 — serve-path parity with
+        # the single-chip default): (rows8 [N_pad, D_pad128] i8,
+        # scale2 [N_pad], minv2 [N_pad], pen [N_pad]), all row-sharded
+        self._assist = None
+        self._assist_chunk = 0  # max coarse-scan chunk (n_local multiple)
 
     def rebuild(self, corpus: np.ndarray, valid: np.ndarray | None = None) -> None:
         n = corpus.shape[0]
@@ -235,14 +306,62 @@ class ShardedBruteForce:
                 StorageMode.F16: np.float16,
                 StorageMode.BF16: jnp.bfloat16,
             }[mode]
+            self._assist = None
+            build_assist = mode is StorageMode.FULL and self.dim < 512
+            if build_assist and self.metric is DistanceMetric.COSINE:
+                # cosine scoring is normalization-invariant: store the
+                # scored copy pre-normalized (single-chip brute does the
+                # same) so the assist rerank's raw dots are cosine scores
+                nrm = np.linalg.norm(corpus, axis=1, keepdims=True)
+                corpus = corpus / np.maximum(nrm, 1e-30)
+            if build_assist:
+                # per-shard rows must be a multiple of the coarse-scan
+                # chunk (max 8192, power of two — smaller chunks divide it)
+                s = self.mesh.shape["rows"]
+                self._assist_chunk = 8192
+                n_local = -(-max(n, 1) // s)
+                n_local = -(-n_local // self._assist_chunk) * self._assist_chunk
+                n_tgt = s * n_local
+                corpus = np.pad(corpus, ((0, n_tgt - n), (0, 0)))
+                valid = np.pad(np.asarray(valid, bool), (0, n_tgt - n))
             sqn = np.sum(corpus * corpus, axis=1)
             self._corpus = shard_rows(self.mesh, corpus.astype(dtype))
             self.n_pad = self._corpus.shape[0]
-            pad = self.n_pad - n
+            pad = self.n_pad - corpus.shape[0]
             # streamed_topk wants SQUARED norms for every metric
             self._cnorm = shard_rows(self.mesh, np.pad(sqn, (0, pad)))
+            if build_assist:
+                valid_p = valid  # already padded to n_pad
+                codes, scale, minv = _sq8_quantize_host(corpus)
+                d_pad = ((self.dim + 127) // 128) * 128
+                rows8 = np.zeros((self.n_pad, d_pad), np.int8)
+                rows8[:, : self.dim] = codes.astype(np.int16) - 128
+                deq_sq = np.sum(
+                    (codes.astype(np.float32) * scale[:, None]
+                     + minv[:, None]) ** 2,
+                    axis=1,
+                )
+                if self.metric is DistanceMetric.COSINE:
+                    inv = np.where(
+                        deq_sq > 1e-30, 1.0 / np.sqrt(np.maximum(deq_sq, 1e-30)), 0.0
+                    )
+                    scale2, minv2 = scale * inv, minv * inv
+                    pen_base = np.zeros(self.n_pad, np.float32)
+                elif self.metric is DistanceMetric.EUCLIDEAN:
+                    scale2, minv2 = scale, minv
+                    pen_base = deq_sq.astype(np.float32)
+                else:
+                    scale2, minv2 = scale, minv
+                    pen_base = np.zeros(self.n_pad, np.float32)
+                pen = np.where(valid_p, pen_base, np.inf).astype(np.float32)
+                self._assist = (
+                    shard_rows(self.mesh, rows8),
+                    shard_rows(self.mesh, scale2.astype(np.float32)),
+                    shard_rows(self.mesh, minv2.astype(np.float32)),
+                    shard_rows(self.mesh, pen, pad_value=np.inf),
+                )
         self._valid = shard_rows(
-            self.mesh, np.pad(np.asarray(valid, bool), (0, self.n_pad - n))
+            self.mesh, np.pad(np.asarray(valid, bool), (0, self.n_pad - valid.shape[0]))
         )
 
     def search(self, queries, k: int, mask: np.ndarray | None = None,
@@ -266,12 +385,42 @@ class ShardedBruteForce:
                 self._valid, md, mesh=self.mesh, k=k, metric=self.metric,
                 chunk=chunk,
             )
+        elif self._assist is not None and self._assist_serves(b_pad, k):
+            from velesdb_tpu.ops.bucket_kernel import bucket_chunk_for
+            from velesdb_tpu.ops.pallas_kernels import use_pallas
+
+            d_pad = ((self.dim + 127) // 128) * 128
+            m = min(max(2 * k - 4, 16), 256)
+            vals, idx = _sharded_search_assist(
+                qd, *self._assist, self._corpus, md,
+                mesh=self.mesh, k=k, m=m, metric=self.metric,
+                chunk=min(
+                    bucket_chunk_for(b_pad, d_pad, 1), self._assist_chunk
+                ),
+                interpret=not use_pallas(),
+            )
         else:
             vals, idx = _sharded_search_streamed(
                 qd, self._corpus, self._valid, self._cnorm, md,
                 mesh=self.mesh, k=k, metric=self.metric, chunk=chunk,
             )
         return np.asarray(vals)[:b], np.asarray(idx)[:b]
+
+    def _assist_serves(self, b_pad: int, k: int) -> bool:
+        """Per-call guard mirroring the single-chip serve split: the
+        oversample must cover k and the per-shard bucket count must keep
+        the coarse collision loss under ~1% (``index.brute._bucket_safe``
+        semantics on the LOCAL shard size)."""
+        from velesdb_tpu.index.brute import _SQ8I_OK, _bucket_safe
+        from velesdb_tpu.ops.bucket_kernel import bucket_chunk_for
+
+        if not _SQ8I_OK[0]:
+            return False
+        n_local = self.n_pad // self.mesh.shape["rows"]
+        d_pad = ((self.dim + 127) // 128) * 128
+        chunk = min(bucket_chunk_for(b_pad, d_pad, 1), self._assist_chunk)
+        m = min(max(2 * k - 4, 16), 256)
+        return m >= k and _bucket_safe(n_local, chunk, m)
 
 
 def _metric_cnorm(deq_sq: np.ndarray, metric: DistanceMetric) -> np.ndarray:

@@ -29,6 +29,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from velesdb_tpu.index.graph_index import GraphIndex, beam_search_impl
 from velesdb_tpu.index.params import GraphParams, SearchQuality
 from velesdb_tpu.ops.distance import DistanceMetric
+from velesdb_tpu.parallel.sharded import (
+    n_row_shards as _n_row_shards,
+    row_axes as _ra,
+)
 
 __all__ = ["ShardedGraphIndex"]
 
@@ -44,7 +48,7 @@ class ShardedGraphIndex:
         params: GraphParams | None = None,
     ):
         self.mesh = mesh
-        self.n_shards = mesh.shape["rows"]
+        self.n_shards = _n_row_shards(mesh)
         self.dim = dim
         self.metric = DistanceMetric.parse(metric)
         self.params = params
@@ -60,6 +64,11 @@ class ShardedGraphIndex:
         # sharded over rows; None when sub-builds keep the seed-scan entry
         self._entry = None  # (cents, csq, words, scale, minv, prows, psq)
         self._entry_c = 0  # partitions per shard (padded uniform)
+        # folded probe-KERNEL operands (r4 serve parity: the single-chip
+        # graph probes entries with the scalar-prefetch Pallas kernel at
+        # every batch size; the sharded graph ran XLA-scan only)
+        self._entry_kern = None  # (aux [S*C, 8, L], frows [S*C*L]) sharded
+        self._entry_len = 0  # partition length L (kernel guard input)
 
     # -- build ---------------------------------------------------------------
 
@@ -106,8 +115,8 @@ class ShardedGraphIndex:
 
         self.n_local = n_local
         self._row_of = row_of
-        shard_spec = NamedSharding(self.mesh, P("rows", None))
-        vec_spec = NamedSharding(self.mesh, P("rows"))
+        shard_spec = NamedSharding(self.mesh, P(_ra(self.mesh), None))
+        vec_spec = NamedSharding(self.mesh, P(_ra(self.mesh)))
         self._corpus = jax.device_put(np.concatenate(corpus_blocks), shard_spec)
         self._adj = jax.device_put(np.concatenate(adj_blocks), shard_spec)
         self._valid = jax.device_put(np.concatenate(valid_blocks), vec_spec)
@@ -143,13 +152,13 @@ class ShardedGraphIndex:
             minv[i, :c, :L] = np.asarray(e._part_minv)
             prows[i, :c, :L] = np.asarray(e._part_rows)  # LOCAL row ids
             psq[i, :c, :L] = np.asarray(e._part_sq)
-        spec3 = NamedSharding(self.mesh, P("rows", None, None))
+        spec3 = NamedSharding(self.mesh, P(_ra(self.mesh), None, None))
         self._entry = (
             jax.device_put(cents.reshape(s * c_max, self.dim), shard_spec),
             jax.device_put(
                 np.sum(cents.astype(np.float64) ** 2, axis=2)
                 .astype(np.float32).reshape(s * c_max),
-                NamedSharding(self.mesh, P("rows")),
+                NamedSharding(self.mesh, P(_ra(self.mesh))),
             ),
             jax.device_put(words.reshape(s * c_max, l_max, w), spec3),
             jax.device_put(scale.reshape(s * c_max, l_max), shard_spec),
@@ -158,6 +167,31 @@ class ShardedGraphIndex:
             jax.device_put(psq.reshape(s * c_max, l_max), shard_spec),
         )
         self._entry_c = c_max
+        self._entry_len = l_max
+        # probe-kernel operands, folded host-side exactly like
+        # ``IvfIndex._kernel_state`` (sq8 storage): cosine's 1/|deq| into
+        # the affine, euclidean's |deq|^2 as penalty, +inf on dead slots
+        inv = np.where(psq > 1e-30, 1.0 / np.sqrt(np.maximum(psq, 1e-30)), 0.0)
+        if self.metric is DistanceMetric.COSINE:
+            mul, add, pen_base = scale * inv, minv * inv, np.zeros_like(psq)
+        elif self.metric is DistanceMetric.EUCLIDEAN:
+            mul, add, pen_base = scale, minv, psq
+        else:
+            mul, add, pen_base = scale, minv, np.zeros_like(psq)
+        pen = np.where(prows >= 0, pen_base, np.inf).astype(np.float32)
+        zero = np.zeros_like(psq)
+        aux = np.stack(
+            [mul, add, pen] + [zero] * 5, axis=2
+        ).astype(np.float32)  # [S, C, 8, L]
+        self._entry_kern = (
+            jax.device_put(
+                aux.reshape(s * c_max, 8, l_max), spec3
+            ),
+            jax.device_put(
+                prows.reshape(s * c_max * l_max).astype(np.int32),
+                NamedSharding(self.mesh, P(_ra(self.mesh))),
+            ),
+        )
 
     # -- search ---------------------------------------------------------------
 
@@ -167,8 +201,15 @@ class ShardedGraphIndex:
         k: int,
         ef: int | None = None,
         quality: SearchQuality | None = None,
+        entry_mode: str | None = None,
     ):
-        """Returns ``(values [B, k], corpus_row_indices [B, k])`` best-first."""
+        """Returns ``(values [B, k], corpus_row_indices [B, k])`` best-first.
+
+        ``entry_mode``: None = auto (probe KERNEL when Pallas is live and
+        the probe table fits — serve-path parity with the single-chip
+        graph, r4 — else the XLA SQ8 scan); explicit "kernel"/"xla"
+        overrides (tests drive the kernel path in interpret mode on CPU).
+        """
         if quality is not None:
             ef = SearchQuality.parse(quality).ef
         ef = ef or 128
@@ -181,6 +222,23 @@ class ShardedGraphIndex:
             np.pad(q, ((0, b_pad - b), (0, 0))),
             NamedSharding(self.mesh, P("dp", None)),
         )
+        ep = min(self.params.entry_probes, max(self._entry_c, 1))
+        emode, interp = "xla", False
+        if self._entry is not None and self._entry_kern is not None:
+            from velesdb_tpu.ops.ivf_kernel import (
+                MIN_BLOCK_BYTES,
+                probe_table_fits,
+            )
+            from velesdb_tpu.ops.pallas_kernels import use_pallas
+
+            fits = (
+                self._entry_len * self.dim >= MIN_BLOCK_BYTES
+                and probe_table_fits(b_pad // dp, ep)
+            )
+            if entry_mode == "kernel":
+                emode, interp = "kernel", not use_pallas()
+            elif entry_mode is None and use_pallas() and fits:
+                emode = "kernel"
         vals, gidx = _sharded_beam(
             qd,
             self._corpus,
@@ -189,6 +247,7 @@ class ShardedGraphIndex:
             self._valid,
             self._seeds,
             self._entry,
+            self._entry_kern if emode == "kernel" else None,
             mesh=self.mesh,
             k=min(k, beam),
             beam=beam,
@@ -197,8 +256,9 @@ class ShardedGraphIndex:
             entry_points=min(self.params.entry_points, beam),
             metric=self.metric,
             n_local=self.n_local,
-            entry_probes=min(self.params.entry_probes, max(self._entry_c, 1)),
+            entry_probes=ep,
             expand_width=self.params.expand_width,
+            entry_interpret=interp,
         )
         vals, gidx = np.asarray(vals[:b]), np.asarray(gidx[:b])
         # map padded global rows back to original corpus rows
@@ -219,15 +279,28 @@ class ShardedGraphIndex:
         "n_local",
         "entry_probes",
         "expand_width",
+        "entry_interpret",
     ),
 )
 def _sharded_beam(
-    queries, corpus, adj, sqnorm, valid, seeds, entry, *,
+    queries, corpus, adj, sqnorm, valid, seeds, entry, entry_kern=None, *,
     mesh, k, beam, expansions, degree, entry_points, metric, n_local,
-    entry_probes=2, expand_width=None,
+    entry_probes=2, expand_width=None, entry_interpret=False,
 ):
-    def kernel(q, c, a, sn, v, sd, *ent):
-        if ent:
+    n_ent = 7 if entry is not None else 0
+
+    def kernel(q, c, a, sn, v, sd, *rest):
+        ent = rest[:n_ent]
+        kern = rest[n_ent:]
+        if kern:
+            # scalar-prefetch probe kernel per shard (serve parity with
+            # the single-chip graph, r4): entry partitions read as
+            # pipelined DMAs instead of the XLA per-probe slice loop
+            ec, ecsq, ew = ent[0], ent[1], ent[2]
+            e_aux, e_frows = kern
+            estate = (ec, ecsq, ew, e_aux, e_frows)
+            emode = "kernel"
+        elif ent:
             ec, ecsq, ew, esc, emn, epr, epsq = ent
             estate = (ec, ecsq, (ew, esc, emn), epr, epsq)
             emode = "xla"  # pure-XLA SQ8 scan composes with shard_map
@@ -238,12 +311,12 @@ def _sharded_beam(
             k=k, beam=beam, expansions=expansions, degree=degree,
             entry_points=entry_points, metric=metric,
             entry_probes=entry_probes, entry_mode=emode,
-            expand_width=expand_width,
+            expand_width=expand_width, entry_interpret=entry_interpret,
         )
-        shard = jax.lax.axis_index("rows")
+        shard = jax.lax.axis_index(_ra(mesh))
         gi = jnp.where(li >= 0, li + shard * n_local, -1)
-        av = jax.lax.all_gather(lv, "rows")  # [S, B, k]
-        ai = jax.lax.all_gather(gi, "rows")
+        av = jax.lax.all_gather(lv, _ra(mesh))  # [S, B, k]
+        ai = jax.lax.all_gather(gi, _ra(mesh))
         bsz = q.shape[0]
         av = jnp.moveaxis(av, 0, 1).reshape(bsz, -1)
         ai = jnp.moveaxis(ai, 0, 1).reshape(bsz, -1)
@@ -258,21 +331,24 @@ def _sharded_beam(
 
     ent_arrays = tuple(entry) if entry is not None else ()
     ent_specs = (
-        (P("rows", None), P("rows"), P("rows", None, None),
-         P("rows", None), P("rows", None), P("rows", None), P("rows", None))
+        (P(_ra(mesh), None), P(_ra(mesh)), P(_ra(mesh), None, None),
+         P(_ra(mesh), None), P(_ra(mesh), None), P(_ra(mesh), None), P(_ra(mesh), None))
         if entry is not None
         else ()
     )
+    if entry_kern is not None:
+        ent_arrays = ent_arrays + tuple(entry_kern)
+        ent_specs = ent_specs + (P(_ra(mesh), None, None), P(_ra(mesh)))
     return jax.shard_map(
         kernel,
         mesh=mesh,
         in_specs=(
             P("dp", None),
-            P("rows", None),
-            P("rows", None),
-            P("rows"),
-            P("rows"),
-            P("rows"),
+            P(_ra(mesh), None),
+            P(_ra(mesh), None),
+            P(_ra(mesh)),
+            P(_ra(mesh)),
+            P(_ra(mesh)),
         ) + ent_specs,
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False,

@@ -21,6 +21,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from velesdb_tpu.index.ivf import IvfIndex, ivf_search_impl
 from velesdb_tpu.index.params import SearchQuality
 from velesdb_tpu.ops.distance import DistanceMetric
+from velesdb_tpu.parallel.sharded import (
+    n_row_shards as _n_row_shards,
+    row_axes as _ra,
+)
 
 __all__ = ["ShardedIvfIndex"]
 
@@ -35,7 +39,7 @@ class ShardedIvfIndex:
     def __init__(self, mesh: Mesh, dim: int, metric: DistanceMetric,
                  n_clusters: int | None = None):
         self.mesh = mesh
-        self.n_shards = mesh.shape["rows"]
+        self.n_shards = _n_row_shards(mesh)
         self.dim = dim
         self.metric = DistanceMetric.parse(metric)
         self.n_clusters = n_clusters
@@ -81,14 +85,14 @@ class ShardedIvfIndex:
             glob = np.where(local >= 0, shard_rows[shard][np.maximum(local, 0)], -1)
             prows[shard, : sub.c, : sub.part_len] = glob
 
-        spec2 = NamedSharding(self.mesh, P("rows", None))
-        spec3 = NamedSharding(self.mesh, P("rows", None, None))
+        spec2 = NamedSharding(self.mesh, P(_ra(self.mesh), None))
+        spec3 = NamedSharding(self.mesh, P(_ra(self.mesh), None, None))
         self._cents = jax.device_put(cents.reshape(s * c_max, self.dim), spec2)
         self._cent_sq = jax.device_put(
             np.sum(cents.astype(np.float64) ** 2, axis=2)
             .astype(np.float32)
             .reshape(s * c_max),
-            NamedSharding(self.mesh, P("rows")),
+            NamedSharding(self.mesh, P(_ra(self.mesh))),
         )
         self._parts = jax.device_put(
             parts.reshape(s * c_max, l_max, self.dim), spec3
@@ -136,8 +140,8 @@ def _sharded_ivf(q, cents, cent_sq, parts, part_rows, part_sq, *,
         lv, li = ivf_search_impl(
             qb, c, csq, p, pr, psq, None, k=k, nprobe=nprobe, metric=metric
         )
-        av = jax.lax.all_gather(lv, "rows")  # [S, B, k]
-        ai = jax.lax.all_gather(li, "rows")  # global rows already
+        av = jax.lax.all_gather(lv, _ra(mesh))  # [S, B, k]
+        ai = jax.lax.all_gather(li, _ra(mesh))  # global rows already
         bsz = qb.shape[0]
         av = jnp.moveaxis(av, 0, 1).reshape(bsz, -1)
         ai = jnp.moveaxis(ai, 0, 1).reshape(bsz, -1)
@@ -153,11 +157,11 @@ def _sharded_ivf(q, cents, cent_sq, parts, part_rows, part_sq, *,
         mesh=mesh,
         in_specs=(
             P("dp", None),
-            P("rows", None),
-            P("rows"),
-            P("rows", None, None),
-            P("rows", None),
-            P("rows", None),
+            P(_ra(mesh), None),
+            P(_ra(mesh)),
+            P(_ra(mesh), None, None),
+            P(_ra(mesh), None),
+            P(_ra(mesh), None),
         ),
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False,
