@@ -462,8 +462,10 @@ def bench_index_builds(n=100_000, d=768):
     ivf_rate = n / (time.perf_counter() - t0)
 
     gi = GraphIndex(d, DistanceMetric.COSINE, GraphParams.auto(d, n))
+    gi.build(corpus, valid, corpus_dev=corpus_dev)  # cold: compile warm-up
+    gi2 = GraphIndex(d, DistanceMetric.COSINE, GraphParams.auto(d, n))
     t0 = time.perf_counter()
-    gi.build(corpus, valid, corpus_dev=corpus_dev)
+    gi2.build(corpus, valid, corpus_dev=corpus_dev)
     graph_rate = n / (time.perf_counter() - t0)
     return graph_rate, ivf_rate
 

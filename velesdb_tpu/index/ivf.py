@@ -1213,36 +1213,97 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
         nprobe_p = int(min(max(nprobe, 1), ivf.c))
         k_eff = min(k, max(nprobe_p * ivf.part_len - 1, 1))
         if sq8:
-            vals_d, nbr_d = _bucketed_self_knn_sq8(
+            # chunked-readback path (watchdog bounds at >=4M rows): scatter
+            # on host, block by block
+            vals_h, nbr_h = _bucketed_self_knn_sq8(
                 ivf._parts, ivf._part_scale, ivf._part_minv,
                 ivf._part_rows, ivf._part_sq, ivf._centroids,
                 k=k_eff, nprobe=nprobe_p, metric=metric, d=d_true,
             )
+            t = _mark("knn.score", t)
+            rows = np.asarray(ivf._part_rows).reshape(-1)
+            live = rows >= 0
+            out_i = np.full((n, k), -1, np.int32)
+            out_v = np.full((n, k), -np.inf, np.float32)
+            out_i[rows[live], :k_eff] = nbr_h.reshape(-1, k_eff)[live]
+            out_v[rows[live], :k_eff] = vals_h.reshape(-1, k_eff)[live]
+            pass_ids.append(out_i)
+            pass_vals.append(out_v)
+            t = _mark("knn.readback", t)
         else:
             vals_d, nbr_d = _bucketed_self_knn(
                 ivf._parts, ivf._part_rows, ivf._part_sq, ivf._centroids,
                 k=k_eff, nprobe=nprobe_p, metric=metric,
-            )  # [P, L, k] each
-        if profile is not None:
-            jax.block_until_ready(nbr_d)
-        t = _mark("knn.score", t)
-        rows = np.asarray(ivf._part_rows).reshape(-1)
-        live = rows >= 0
-        out_i = np.full((n, k), -1, np.int32)
-        out_v = np.full((n, k), -np.inf, np.float32)
-        out_i[rows[live], :k_eff] = np.asarray(nbr_d).reshape(-1, k_eff)[live]
-        out_v[rows[live], :k_eff] = np.asarray(vals_d).reshape(-1, k_eff)[live]
-        pass_ids.append(out_i)
-        pass_vals.append(out_v)
-        t = _mark("knn.readback", t)
-    if len(pass_ids) == 1:
-        out = pass_ids[0]
+            )  # [P, L, k] each, device
+            # scatter [P*L] -> [n] rows ON DEVICE: the per-pass host
+            # readback of (vals, ids) partials was ~512MB of D2H through
+            # the tunnel at 1M x knn_k=32 x 2 passes (r4 build-rate work);
+            # device passes accumulate and merge below, ONE [n, k] id
+            # readback total
+            sv, si = _scatter_knn(
+                vals_d, nbr_d, ivf._part_rows, n=n, k=k, k_eff=k_eff
+            )
+            if profile is not None:
+                jax.block_until_ready(si)
+            t = _mark("knn.score", t)
+            pass_ids.append(si)
+            pass_vals.append(sv)
+    if sq8:
+        if len(pass_ids) == 1:
+            out = pass_ids[0]
+        else:
+            out = merge_ranked(pass_vals, pass_ids, k)
+            _mark("knn.merge", t)
         out[~valid_np] = -1
         return (out, router) if return_router else out
-    out = merge_ranked(pass_vals, pass_ids, k)
+    if len(pass_ids) == 1:
+        out_d = pass_ids[0]
+    else:
+        out_d = _merge_ranked_device(
+            jnp.concatenate(pass_vals, axis=1),
+            jnp.concatenate(pass_ids, axis=1),
+            k=k,
+        )
+    out = np.array(out_d)  # the single kNN readback ([n, k] int32)
     out[~valid_np] = -1
     _mark("knn.merge", t)
     return (out, router) if return_router else out
+
+
+@functools.partial(jax.jit, static_argnames=("n", "k", "k_eff"))
+def _scatter_knn(vals_d, nbr_d, part_rows, *, n, k, k_eff):
+    """Scatter partition-shaped kNN results ``[P, L, k_eff]`` to row-shaped
+    ``[n, k]`` on device (dead slots route to an out-of-bounds row and are
+    dropped)."""
+    rows = part_rows.reshape(-1)
+    dest = jnp.where(rows >= 0, rows, n)  # OOB = dropped
+    fv = vals_d.reshape(-1, k_eff)
+    fi = nbr_d.reshape(-1, k_eff)
+    out_v = jnp.full((n, k), -jnp.inf, jnp.float32)
+    out_i = jnp.full((n, k), -1, jnp.int32)
+    out_v = out_v.at[dest, :k_eff].set(fv, mode="drop")
+    out_i = out_i.at[dest, :k_eff].set(fi, mode="drop")
+    return out_v, out_i
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_ranked_device(allv, alli, *, k):
+    """Device counterpart of :func:`merge_ranked`: union-merge ranked
+    candidate lists with duplicate suppression, keep the best ``k``."""
+    order = jnp.lexsort((alli, -allv), axis=1)
+    sv = jnp.take_along_axis(allv, order, axis=1)
+    si = jnp.take_along_axis(alli, order, axis=1)
+    dup = jnp.concatenate(
+        [
+            jnp.zeros((si.shape[0], 1), bool),
+            (si[:, 1:] == si[:, :-1]) & (si[:, 1:] >= 0),
+        ],
+        axis=1,
+    )
+    sv = jnp.where(dup | (si < 0), -jnp.inf, sv)
+    vals, pos = jax.lax.top_k(sv, k)
+    out = jnp.take_along_axis(si, pos, axis=1)
+    return jnp.where(vals == -jnp.inf, -1, out)
 
 
 def merge_ranked(vals_list, ids_list, k: int) -> np.ndarray:
