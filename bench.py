@@ -435,6 +435,36 @@ def bench_ingest(n=1_000_000, d=128):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_graph_build_1m(n=1_000_000, d=128):
+    """WARM graph build rate at the SIFT-1M class config (the BASELINE
+    north-star metric: index build >= 1M vectors/min). Cold pass warms
+    the compiles; the timed pass is pure build throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from velesdb_tpu.index.graph_index import GraphIndex
+    from velesdb_tpu.index.params import GraphParams
+    from velesdb_tpu.ops import DistanceMetric
+
+    @jax.jit
+    def gen(seed):
+        k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
+        centers = jax.random.normal(k1, (64, d), jnp.float32) * 2.0
+        assign = jax.random.randint(k2, (n,), 0, 64)
+        return centers[assign] + jax.random.normal(k3, (n, d)) * 0.7
+
+    corpus_dev = jax.block_until_ready(gen(0))
+    host_stub = np.zeros((n, d), np.float32)  # dev path: shape only
+    valid = np.ones(n, bool)
+    params = GraphParams.auto(d, n)
+    gi = GraphIndex(d, DistanceMetric.EUCLIDEAN, params)
+    gi.build(host_stub, valid, corpus_dev=corpus_dev)  # cold (compiles)
+    gi2 = GraphIndex(d, DistanceMetric.EUCLIDEAN, params)
+    t0 = time.perf_counter()
+    gi2.build(host_stub, valid, corpus_dev=corpus_dev)
+    return n / (time.perf_counter() - t0)
+
+
 def bench_index_builds(n=100_000, d=768):
     """Warm graph + IVF build rates (vec/s) on device-resident clustered
     data at the headline config."""
@@ -530,6 +560,7 @@ def main():
         ingest_txt = f"ingest {ingest_rate:,.0f} vec/s (host WAL)"
     except (_Timeout, Exception) as e:  # keep the headline either way
         ingest_txt = f"ingest n/a ({type(e).__name__})"
+    graph_rate_1m = None
     try:
         graph_rate, ivf_rate = _with_deadline(300, bench_index_builds)
         builds_txt = (
@@ -538,6 +569,14 @@ def main():
         )
     except (_Timeout, Exception):
         builds_txt = ""
+    if not os.environ.get("BENCH_SKIP_SIFT"):
+        try:
+            graph_rate_1m = _with_deadline(600, bench_graph_build_1m)
+            builds_txt += (
+                f", graph build 1Mx128 {graph_rate_1m:,.0f} vec/s warm"
+            )
+        except (_Timeout, Exception):
+            pass
 
     sift_txt = ""
     if not os.environ.get("BENCH_SKIP_SIFT"):
@@ -588,6 +627,8 @@ def main():
         payload["sift_recall"] = round(sift["recall"], 4)
         payload["sift_recall_host"] = round(sift["recall_host"], 4)
         payload["sift_recall_eps"] = round(sift["recall_eps"], 4)
+    if graph_rate_1m is not None:
+        payload["graph_build_1m_vec_s"] = round(graph_rate_1m)
     print(json.dumps(payload))
 
 
