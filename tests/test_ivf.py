@@ -337,3 +337,63 @@ def test_probe_kernel_matches_xla_path(rng, metric, storage):
         overlap = len(set(ki[i].tolist()) & set(xi[i].tolist()))
         assert overlap >= k - 1, (i, ki[i], xi[i])  # near-tie tolerance
     np.testing.assert_allclose(kv, xv, rtol=2e-2, atol=2e-2)
+
+
+def test_merge_ranked_device_matches_host(rng):
+    """r4 build path: the device union-merge (one readback) must reproduce
+    merge_ranked's dedup + ranking exactly."""
+    import jax.numpy as jnp
+
+    from velesdb_tpu.index.ivf import _merge_ranked_device, merge_ranked
+
+    n, k = 257, 8
+    v1 = rng.standard_normal((n, k)).astype(np.float32)
+    i1 = rng.integers(0, 50, (n, k)).astype(np.int32)
+    # duplicates across lists carry IDENTICAL scores (deterministic per
+    # (row, id) pair) — mirror that invariant
+    v2 = rng.standard_normal((n, k)).astype(np.float32)
+    i2 = rng.integers(0, 50, (n, k)).astype(np.int32)
+    for r in range(n):
+        for c in range(k):
+            m = i1[r] == i2[r, c]
+            if m.any():
+                v2[r, c] = v1[r][m][0]
+    # a few empties
+    i1[:, -1] = -1
+    v1[:, -1] = -np.inf
+    want = merge_ranked([v1, v2], [i1, i2], k)
+    got = np.asarray(
+        _merge_ranked_device(
+            jnp.concatenate([jnp.asarray(v1), jnp.asarray(v2)], axis=1),
+            jnp.concatenate([jnp.asarray(i1), jnp.asarray(i2)], axis=1),
+            k=k,
+        )
+    )
+    assert np.array_equal(got, want)
+
+
+def test_scatter_knn_device(rng):
+    """Partition-shaped kNN results scatter to row shape with dead-slot
+    drops (the one-readback build path)."""
+    import jax.numpy as jnp
+
+    from velesdb_tpu.index.ivf import _scatter_knn
+
+    P, L, k_eff, k, n = 4, 8, 3, 5, 25
+    rows = np.full((P, L), -1, np.int32)
+    live = rng.permutation(n)
+    rows.reshape(-1)[: n] = live
+    vals = rng.standard_normal((P, L, k_eff)).astype(np.float32)
+    nbrs = rng.integers(0, n, (P, L, k_eff)).astype(np.int32)
+    sv, si = _scatter_knn(
+        jnp.asarray(vals), jnp.asarray(nbrs), jnp.asarray(rows),
+        n=n, k=k, k_eff=k_eff,
+    )
+    sv, si = np.asarray(sv), np.asarray(si)
+    flat_rows = rows.reshape(-1)
+    for slot, r in enumerate(flat_rows):
+        if r < 0:
+            continue
+        assert np.array_equal(si[r, :k_eff], nbrs.reshape(-1, k_eff)[slot])
+        assert np.allclose(sv[r, :k_eff], vals.reshape(-1, k_eff)[slot])
+    assert (si[:, k_eff:] == -1).all()
