@@ -77,7 +77,7 @@ def scan_stats(fn, arrays, queries, batch, d):
 def latency_probe(fn, arrays, queries, d, calls=40):
     """Per-call batch=1 latency, host-observed THROUGH the tunnel (each call
     is one dispatch + readback — the reference's p50 table analog,
-    docs/BENCHMARKS.md:58). Returns (p50_ms, p99_ms)."""
+    docs/BENCHMARKS.md:58). Returns (p50_ms, p99_ms, weather_flag)."""
     import jax
     import jax.numpy as jnp
 
@@ -91,7 +91,13 @@ def latency_probe(fn, arrays, queries, d, calls=40):
         _, idx = fn(q, *arrays)
         np.asarray(idx[0, 0])
         times.append((time.perf_counter() - t0) * 1e3)
-    return float(np.percentile(times, 50)), float(np.percentile(times, 99))
+    p50 = float(np.percentile(times, 50))
+    p99 = float(np.percentile(times, 99))
+    # tunnel-wedge samples (30s RTT swings) land silently in p99 next to
+    # 28ms engines (VERDICT r4 weak #7): flag cells whose tail is weather,
+    # not the engine — p50 stays the honest per-call figure either way
+    weather = p99 > max(5.0 * p50, 150.0)
+    return p50, p99, weather
 
 
 def run_config(name, n, d, metric_name, batch=256):
@@ -223,9 +229,11 @@ def run_config(name, n, d, metric_name, batch=256):
                 "qps": round(q_min), "qps_med": round(q_med),
             }
             if latency and b == min(batches):
-                p50, p99 = latency_probe(fn, arrays, queries, d)
+                p50, p99, wflag = latency_probe(fn, arrays, queries, d)
                 pt["b1_p50_ms"] = round(p50, 2)
                 pt["b1_p99_ms"] = round(p99, 2)
+                if wflag:
+                    pt["b1_p99_weather"] = True
             points.append(pt)
             print(name, pt, flush=True)
 
@@ -584,9 +592,11 @@ def run_config_binary(name, n, d, batch=256):
                   "recall_eps": round(r_eps, 4),
                   "qps": round(q_min), "qps_med": round(q_med)}
             if latency and b == min(batches):
-                p50, p99 = latency_probe(fn, arrays, queries, d)
+                p50, p99, wflag = latency_probe(fn, arrays, queries, d)
                 pt["b1_p50_ms"] = round(p50, 2)
                 pt["b1_p99_ms"] = round(p99, 2)
+                if wflag:
+                    pt["b1_p99_weather"] = True
             points.append(pt)
             print(name, pt, flush=True)
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import threading
 from collections import Counter, defaultdict
 
 import jax
@@ -54,6 +55,10 @@ class Bm25Index:
     def __init__(self):
         self._docs: dict[int, Counter] = {}  # slot -> term counts
         self._doc_len: dict[int, int] = {}
+        # guards _docs/_doc_len: refresh() snapshots under it while writer
+        # threads mutate (concurrent text_search + upsert raced on dict
+        # iteration otherwise)
+        self._mut = threading.Lock()
         self._dirty = True
         # device state
         self._vocab: dict[str, int] = {}
@@ -70,17 +75,19 @@ class Bm25Index:
         if not toks:
             self.remove_document(slot)
             return
-        self._docs[slot] = Counter(toks)
-        self._doc_len[slot] = len(toks)
-        self._dirty = True
+        with self._mut:
+            self._docs[slot] = Counter(toks)
+            self._doc_len[slot] = len(toks)
+            self._dirty = True
 
     def add_payload(self, slot: int, payload) -> None:
         self.add_document(slot, extract_text(payload))
 
     def remove_document(self, slot: int) -> None:
-        if self._docs.pop(slot, None) is not None:
-            self._doc_len.pop(slot, None)
-            self._dirty = True
+        with self._mut:
+            if self._docs.pop(slot, None) is not None:
+                self._doc_len.pop(slot, None)
+                self._dirty = True
 
     def invalidate(self, _ids=None) -> None:
         self._dirty = True
@@ -99,18 +106,21 @@ class Bm25Index:
         if not self._dirty:
             return
         self.n_pad = 1 << max(7, (max(n_slots, 1) - 1).bit_length())
-        n_docs = len(self._docs)
+        with self._mut:
+            self._dirty = False
+            docs = dict(self._docs)
+            doc_len = dict(self._doc_len)
+        n_docs = len(docs)
         if n_docs == 0:
             self._vocab = {}
             self._term_blocks = []
             self._block_docs = None
-            self._dirty = False
             return
-        avg_len = sum(self._doc_len.values()) / n_docs
+        avg_len = sum(doc_len.values()) / n_docs
 
         postings: dict[str, list[tuple[int, float]]] = defaultdict(list)
-        for slot, counts in self._docs.items():
-            dl = self._doc_len[slot]
+        for slot, counts in docs.items():
+            dl = doc_len[slot]
             norm = K1 * (1.0 - B + B * dl / avg_len)
             for term, tf in counts.items():
                 postings[term].append((slot, tf * (K1 + 1.0) / (tf + norm)))
@@ -143,7 +153,6 @@ class Bm25Index:
         score_blocks.append(np.zeros(BLOCK, np.float32))
         self._block_docs = jax.device_put(jnp.asarray(np.stack(docs_blocks)))
         self._block_scores = jax.device_put(jnp.asarray(np.stack(score_blocks)))
-        self._dirty = False
 
     # -- query ---------------------------------------------------------------
 
