@@ -123,6 +123,42 @@ def test_assemble_adjacency_reverse_edges():
         assert i not in row.tolist()
 
 
+def test_assemble_adjacency_device_matches_host(rng):
+    """The r4 device assembly (_assemble_adjacency_dev) is bit-identical to
+    the host path, including hole-y pruned rows and pad rows."""
+    import jax.numpy as jnp
+
+    from velesdb_tpu.index.graph_index import _assemble_adjacency_dev
+
+    for n, k, degree, pad in [(500, 16, 32, 0), (701, 32, 64, 323), (2, 4, 8, 0)]:
+        fwd = rng.integers(0, n, (n, k)).astype(np.int32)
+        fwd[rng.random((n, k)) < 0.2] = -1  # pruned holes
+        host = _assemble_adjacency(fwd.copy(), n, degree)
+        fwd_p = np.pad(fwd, ((0, pad), (0, 0)), constant_values=-1)
+        dev = np.asarray(
+            _assemble_adjacency_dev(jnp.asarray(fwd_p), n=n, degree=degree)
+        )
+        assert dev.shape == (n + pad, degree)
+        assert (dev[n:] == -1).all()  # pad rows stay empty
+        np.testing.assert_array_equal(dev[:n], host)
+
+
+def test_device_build_lazy_host_adj(rng):
+    """A device-assembled build defers the host adjacency copy; save()
+    materializes it and the reloaded index serves identical results."""
+    import jax
+
+    n, d = 80_000, 16  # > EXACT_KNN_MAX_ROWS: the device pipeline engages
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    dev = jax.device_put(corpus)
+    idx = GraphIndex(d, DistanceMetric.EUCLIDEAN)
+    idx.build(corpus, np.ones(n, bool), corpus_dev=dev)
+    assert idx._adj_host is None  # deferred until persistence
+    adj = idx._host_adj()
+    assert adj is not None and adj.shape == (n, idx.params.degree)
+    assert idx._adj_host is adj  # cached
+
+
 def test_unsupported_metric_raises():
     with pytest.raises(ValueError):
         GraphIndex(8, DistanceMetric.HAMMING)

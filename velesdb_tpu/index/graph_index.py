@@ -166,26 +166,64 @@ class GraphIndex:
             # helper (r3d). The BUILD kNN wants bounded L instead: scale
             # the partition count so L stays ~256 at any N.
             build_c = n // 256 if n // 256 > 8192 else None
+            # fully device-resident post-kNN pipeline (merge -> prune ->
+            # assembly) when no NN-descent refinement is requested: the
+            # [n, knn_k] readback + re-upload + host scatter were ~half the
+            # 1M x 128D build (r4 profile)
+            on_device = p.refine_rounds == 0 and dev is not None
             knn_idx, router = ivf_self_knn(
                 src, knn_k, self.metric,
                 valid=valid, nprobe=p.build_nprobe, passes=p.build_passes,
                 n_clusters=build_c,
                 return_router=True, profile=profile,
+                return_device=on_device,
             )
             for _ in range(p.refine_rounds):
                 knn_idx = nn_descent_round(src, knn_idx, self.metric, valid=valid)
         t = _mark("knn", t)
-        # distance-ordered forward candidates
-        fwd = knn_idx.astype(np.int32)  # [n, knn_k], -1 where few valid
-        # 2. alpha-diversification prune (device, blockwise)
-        fwd = self._alpha_prune_host(corpus, fwd, dev)
-        t = _mark("prune", t)
-        # 3. reverse-edge augmentation + final adjacency
-        adj = _assemble_adjacency(fwd, n, p.degree)
-        t = _mark("assemble", t)
+        if isinstance(knn_idx, jax.Array):
+            # 2+3 on device: alpha prune, then reverse-edge assembly as one
+            # jitted program; the adjacency never exists on the host until
+            # save() asks for it
+            fwd_dev = self._alpha_prune_dev(knn_idx, dev)
+            if profile is not None:
+                fwd_dev = jax.block_until_ready(fwd_dev)
+            t = _mark("prune", t)
+            adj = _assemble_adjacency_dev(fwd_dev, n=n, degree=p.degree)
+            if profile is not None:
+                adj = jax.block_until_ready(adj)
+            t = _mark("assemble", t)
+        else:
+            # distance-ordered forward candidates
+            fwd = knn_idx.astype(np.int32)  # [n, knn_k], -1 where few valid
+            # 2. alpha-diversification prune (device, blockwise)
+            fwd = self._alpha_prune_host(corpus, fwd, dev)
+            t = _mark("prune", t)
+            # 3. reverse-edge augmentation + final adjacency
+            adj = _assemble_adjacency(fwd, n, p.degree)
+            t = _mark("assemble", t)
         self._upload(corpus, valid, adj, dev, router=router)
         _mark("upload", t)
         self._dirty = False
+
+    def _alpha_prune_dev(self, fwd, dev):
+        """VAMANA prune on a device-resident ``[n, k]`` kNN — same scan
+        program as :meth:`_alpha_prune_host` but zero host round trips.
+        Returns the pruned fwd padded to the scan's block multiple (pad
+        rows all -1; the device assembly masks them)."""
+        if self.params.alpha <= 1.0:
+            return fwd
+        n, k = fwd.shape
+        block = 2048
+        n_pad = ((n + block - 1) // block) * block
+        corpus_dev = jnp.pad(dev, ((0, n_pad - n), (0, 0)))
+        fwd_dev = jnp.pad(
+            fwd, ((0, n_pad - n), (0, 0)), constant_values=-1
+        )
+        keep = _alpha_prune_scan(
+            corpus_dev, fwd_dev, self.metric, self.params.alpha, block
+        )
+        return jnp.where(keep, fwd_dev, jnp.int32(-1))
 
     def _alpha_prune_host(self, corpus: np.ndarray, fwd: np.ndarray,
                           dev=None) -> np.ndarray:
@@ -215,10 +253,16 @@ class GraphIndex:
     def _upload(self, corpus, valid, adj, dev=None, router=None,
                 entry_ivf_path=None) -> None:
         n = corpus.shape[0]
-        # keep the HOST copy of the adjacency (it is assembled host-side
-        # anyway): save() then never reads hundreds of MB back through the
-        # tunnel — large D2H transfers are its wedge-prone operation
-        self._adj_host = np.asarray(adj, np.int32)[:n]
+        if isinstance(adj, jax.Array):
+            # device-assembled adjacency (r4): the host copy is deferred —
+            # an async D2H starts below so a following save() finds the
+            # bytes already staged instead of paying a cold 256MB readback
+            self._adj_host = None
+        else:
+            # host-assembled: keep the host copy (save() then never reads
+            # hundreds of MB back through the tunnel — large D2H transfers
+            # are its wedge-prone operation)
+            self._adj_host = np.asarray(adj, np.int32)[:n]
         # multiple-of-1024 padding, NOT pow2: pow2 padding wastes up to 2x
         # corpus HBM just past a power of two (at 8M x 128D it also forced
         # a 388K-row padded COPY next to the caller's aliased upload, r3d);
@@ -242,8 +286,22 @@ class GraphIndex:
             corpus_p = np.pad(np.asarray(corpus, np.float32), ((0, pad), (0, 0)))
             self._corpus = jax.device_put(jnp.asarray(corpus_p))
         valid_p = np.pad(np.asarray(valid, bool), (0, pad))
-        adj_p = np.pad(adj, ((0, pad), (0, 0)), constant_values=-1)
-        self._adj = jax.device_put(jnp.asarray(adj_p))
+        if isinstance(adj, jax.Array):
+            m = adj.shape[0]
+            if m < self.n_pad:
+                adj = jnp.pad(
+                    adj, ((0, self.n_pad - m), (0, 0)), constant_values=-1
+                )
+            elif m > self.n_pad:
+                adj = adj[: self.n_pad]
+            self._adj = adj
+            try:  # stage the save-path host copy without blocking the build
+                self._adj.copy_to_host_async()
+            except Exception:
+                pass
+        else:
+            adj_p = np.pad(adj, ((0, pad), (0, 0)), constant_values=-1)
+            self._adj = jax.device_put(jnp.asarray(adj_p))
         self._valid = jax.device_put(jnp.asarray(valid_p))
         if self._corpus is not None:
             self._sqnorm = jnp.sum(self._corpus * self._corpus, axis=-1)
@@ -553,6 +611,15 @@ class GraphIndex:
     # persistence (hnsw.bin dump/load analog, native_inner.rs:72,81)
     # ------------------------------------------------------------------
 
+    def _host_adj(self) -> np.ndarray | None:
+        """Host adjacency copy, materialized lazily (device-assembled builds
+        defer the [n, degree] D2H until something actually persists)."""
+        if self._adj_host is None and self._adj is not None:
+            self._adj_host = np.asarray(self._adj)[: self.n].astype(
+                np.int32, copy=False
+            )
+        return self._adj_host
+
     def save(self, path: str, version: int = 0) -> None:
         if self._adj is None:
             return
@@ -564,7 +631,7 @@ class GraphIndex:
             }
         np.savez_compressed(
             path,
-            adj=self._adj_host,
+            adj=self._host_adj(),
             degree=self.params.degree,
             knn_k=self.params.knn_k,
             alpha=self.params.alpha,
@@ -734,16 +801,87 @@ def _assemble_adjacency(fwd: np.ndarray, n: int, degree: int) -> np.ndarray:
 
     # fill remaining empty slots with pseudo-random long-range edges: rows are
     # gathered at fixed width regardless, so these edges cost nothing at
-    # search time and they de-island clustered kNN graphs (NSW-style links)
+    # search time and they de-island clustered kNN graphs (NSW-style links).
+    # uint32 wrap-around hash — bit-identical to _assemble_adjacency_dev
     if n > 1:
         empty = s < 0
         rows, cols = np.nonzero(empty)
-        rnd = ((rows.astype(np.uint64) * 2654435761 + cols * 40503 + 12345) % n).astype(
-            np.int32
-        )
+        rnd = (
+            (
+                rows.astype(np.uint32) * np.uint32(2654435761)
+                + cols.astype(np.uint32) * np.uint32(40503)
+                + np.uint32(12345)
+            )
+            % np.uint32(n)
+        ).astype(np.int32)
         rnd = np.where(rnd == rows, (rnd + 1) % n, rnd)
         s[rows, cols] = rnd
     return s
+
+
+@functools.partial(jax.jit, static_argnames=("n", "degree"))
+def _assemble_adjacency_dev(fwd, *, n: int, degree: int):
+    """Device analog of :func:`_assemble_adjacency` — the whole reverse-edge
+    augmentation runs as ONE jitted program so the pruned kNN never round-trips
+    through the host (at 1M x knn_k=32 the host scatter + the [n, degree]
+    re-upload were ~50s of the build, r4 profile).
+
+    ``fwd [n_rows, k] int32`` (-1 padded; rows >= ``n`` all -1) ->
+    ``[n_rows, degree] int32`` adjacency, bit-identical to the host assembly.
+    """
+    n_rows, k = fwd.shape
+    width = min(k, degree)
+    adj = jnp.full((n_rows, degree), -1, jnp.int32)
+    adj = adj.at[:, :width].set(fwd[:, :width])
+    fill = jnp.sum(adj >= 0, axis=1).astype(jnp.int32)  # [n_rows]
+
+    # reverse edges grouped by destination: stable sort by dst keeps the
+    # host path's first-come slot order (src-major flat order)
+    src = jnp.broadcast_to(
+        jnp.arange(n_rows, dtype=jnp.int32)[:, None], (n_rows, k)
+    ).reshape(-1)
+    dst = fwd.reshape(-1)
+    dst_key = jnp.where(dst >= 0, dst, n_rows)  # invalid edges sort to the end
+    dst_s, src_s = jax.lax.sort((dst_key, src), num_keys=1, is_stable=True)
+    group_start = jnp.searchsorted(
+        dst_s, jnp.arange(n_rows, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    dst_c = jnp.clip(dst_s, 0, n_rows - 1)
+    pos = jnp.arange(dst_s.shape[0], dtype=jnp.int32) - group_start[dst_c]
+    slot = fill[dst_c] + pos
+    ok = (dst_s < n_rows) & (slot < degree)
+    # (dst, slot) pairs are unique within the ok set; OOB rows drop
+    adj = adj.at[
+        jnp.where(ok, dst_s, n_rows), jnp.where(ok, slot, 0)
+    ].set(src_s, mode="drop")
+
+    # drop duplicate ids within each row (reverse edge already forward):
+    # sort descending so -1 lands last, then blank adjacent repeats
+    s = -jnp.sort(-adj, axis=1)
+    dup = jnp.concatenate(
+        [
+            jnp.zeros((n_rows, 1), bool),
+            (s[:, 1:] == s[:, :-1]) & (s[:, 1:] >= 0),
+        ],
+        axis=1,
+    )
+    s = jnp.where(dup, -1, s)
+    s = -jnp.sort(-s, axis=1)
+
+    if n > 1:
+        rows_m = jnp.arange(n_rows, dtype=jnp.uint32)[:, None]
+        cols_m = jnp.arange(degree, dtype=jnp.uint32)[None, :]
+        rnd = (
+            rows_m * jnp.uint32(2654435761)
+            + cols_m * jnp.uint32(40503)
+            + jnp.uint32(12345)
+        ) % jnp.uint32(n)
+        rnd = rnd.astype(jnp.int32)
+        row_ids = jnp.arange(n_rows, dtype=jnp.int32)[:, None]
+        rnd = jnp.where(rnd == row_ids, (rnd + 1) % n, rnd)
+        s = jnp.where(s < 0, rnd, s)
+    # pad rows (>= n) stay empty, matching the host path's -1 padding
+    return jnp.where(jnp.arange(n_rows, dtype=jnp.int32)[:, None] < n, s, -1)
 
 
 def beam_search_impl(

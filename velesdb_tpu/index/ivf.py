@@ -434,7 +434,20 @@ class IvfIndex:
 
     # -- build ----------------------------------------------------------------
 
-    def build(self, corpus, valid: np.ndarray | None = None) -> None:
+    def build(self, corpus, valid: np.ndarray | None = None,
+              profile: dict | None = None) -> None:
+        import time as _time
+
+        def _mark(stage, t0, sync=None):
+            if profile is not None:
+                if sync is not None:
+                    jax.block_until_ready(sync)
+                profile[stage] = (
+                    profile.get(stage, 0.0) + _time.perf_counter() - t0
+                )
+            return _time.perf_counter()
+
+        t = _time.perf_counter()
         if not isinstance(corpus, (jax.Array, SQ8Vectors)):
             corpus = np.asarray(corpus, np.float32)
         n = (
@@ -476,10 +489,13 @@ class IvfIndex:
             km_input = live_dev / jnp.maximum(nrm, 1e-30)
         else:
             km_input = live_dev
+        t = _mark("partition.gather", t, km_input)
         cents, assign = kmeans(km_input, c, iters=self.kmeans_iters, seed=self.kmeans_seed)
+        t = _mark("partition.kmeans", t, (cents, assign))
         self._kmeans_cents = cents  # [c, D] device — the persistence recipe
         self._kmeans_c = c
         self._assemble_partitions(live_dev, km_input, rows, cents, c, assign)
+        _mark("partition.group", t, self._parts)
         self._dirty = False
 
     def _build_sq8(self, sq: SQ8Vectors, rows: np.ndarray, c: int) -> None:
@@ -1139,7 +1155,7 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
                  nprobe: int = 8, qblock: int = 1024,
                  n_clusters: int | None = None, passes: int = 1,
                  return_router: bool = False, sq8: bool | None = None,
-                 profile: dict | None = None):
+                 profile: dict | None = None, return_device: bool = False):
     """Approximate kNN graph of a corpus against itself: ``[N, k] int32``.
 
     The scalable build path for the graph index (VERDICT round-1 #2a):
@@ -1198,7 +1214,7 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
         ivf = IvfIndex(
             corpus_in.shape[1], metric, n_clusters=n_clusters, kmeans_seed=p
         )
-        ivf.build(sq_src if sq8 else corpus_in, valid_np)
+        ivf.build(sq_src if sq8 else corpus_in, valid_np, profile=profile)
         if profile is not None and ivf._parts is not None:
             jax.block_until_ready(ivf._parts)
         t = _mark("knn.partition", t)
@@ -1255,6 +1271,8 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
             out = merge_ranked(pass_vals, pass_ids, k)
             _mark("knn.merge", t)
         out[~valid_np] = -1
+        if return_device:
+            out = jax.device_put(jnp.asarray(out))
         return (out, router) if return_router else out
     if len(pass_ids) == 1:
         out_d = pass_ids[0]
@@ -1264,6 +1282,18 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
             jnp.concatenate(pass_ids, axis=1),
             k=k,
         )
+    if return_device:
+        # fully device-resident result: mask dead rows on device; the
+        # caller's pipeline (prune -> assembly) stays on device with no
+        # [n, k] readback at all (r4 build-rate work)
+        if not valid_np.all():
+            out_d = jnp.where(
+                jnp.asarray(valid_np)[:, None], out_d, jnp.int32(-1)
+            )
+        if profile is not None:
+            out_d = jax.block_until_ready(out_d)
+        _mark("knn.merge", t)
+        return (out_d, router) if return_router else out_d
     out = np.array(out_d)  # the single kNN readback ([n, k] int32)
     out[~valid_np] = -1
     _mark("knn.merge", t)
