@@ -249,16 +249,24 @@ def test_sq8_collection_uses_quantized_ivf(tmp_db_dir, rng):
 
 
 def test_exact_partition_count(rng):
-    """The partition count is the exact sum of per-cluster splits, not the
-    static worst-case bound c + n//L + 1 (which allocates ~2x the slots at
-    capacity — every cluster would have to overflow simultaneously)."""
+    """``c_real`` is the exact sum of per-cluster splits, not the static
+    worst-case bound c + n//L + 1 (which allocates ~2x the slots at
+    capacity — every cluster would have to overflow simultaneously).
+    ``c`` pads it by a shape-deterministic headroom (compile reuse across
+    kmeans seeds/rebuilds, r4) but never past the worst-case bound."""
     n, d, c = 6000, 16, 24
     corpus = _clustered(rng, n, d, c=8)  # skewed: 8 real modes, 24 clusters
     idx = IvfIndex(d, DistanceMetric.EUCLIDEAN, n_clusters=c)
     idx.build(corpus)
     L = idx.part_len
     worst = c + n // L + 1
-    assert idx.c < worst, (idx.c, worst)
+    assert idx.c_real < worst, (idx.c_real, worst)
+    assert idx.c_real <= idx.c <= worst, (idx.c_real, idx.c, worst)
+    # padded partitions: all-dead rows, sentinel routing norm
+    pr = np.asarray(idx._part_rows)
+    if idx.c > idx.c_real:
+        assert (pr[idx.c_real:] == -1).all()
+        assert (np.asarray(idx._cent_sq)[idx.c_real:] >= 5e29).all()
     # every live row present exactly once across partitions
     rows = np.asarray(idx._part_rows).reshape(-1)
     live = rows[rows >= 0]

@@ -202,7 +202,7 @@ class GraphIndex:
             # 3. reverse-edge augmentation + final adjacency
             adj = _assemble_adjacency(fwd, n, p.degree)
             t = _mark("assemble", t)
-        self._upload(corpus, valid, adj, dev, router=router)
+        self._upload(corpus, valid, adj, dev, router=router, profile=profile)
         _mark("upload", t)
         self._dirty = False
 
@@ -251,7 +251,19 @@ class GraphIndex:
         return np.where(keep, fwd, -1)
 
     def _upload(self, corpus, valid, adj, dev=None, router=None,
-                entry_ivf_path=None) -> None:
+                entry_ivf_path=None, profile: dict | None = None) -> None:
+        import time as _time
+
+        def _mark(stage, t0, sync=None):
+            if profile is not None:
+                if sync is not None:
+                    jax.block_until_ready(sync)
+                profile[stage] = (
+                    profile.get(stage, 0.0) + _time.perf_counter() - t0
+                )
+            return _time.perf_counter()
+
+        _t = _time.perf_counter()
         n = corpus.shape[0]
         if isinstance(adj, jax.Array):
             # device-assembled adjacency (r4): the host copy is deferred —
@@ -310,6 +322,7 @@ class GraphIndex:
             sn = np.zeros(self.n_pad, np.float32)
             sn[:n] = np.einsum("nd,nd->n", c32, c32)
             self._sqnorm = jax.device_put(jnp.asarray(sn))
+        _t = _mark("upload.corpus", _t, self._sqnorm)
         # dual-precision shadow copy: SQ8 codes for beam gathers (1/4 HBM
         # bytes per step); the f32 corpus is retained for the final rerank
         self._sq8trav = None
@@ -346,6 +359,7 @@ class GraphIndex:
                 # capacity mode: codes+affine only resident (true 4x);
                 # final head-rerank is skipped
                 self._corpus = None
+        _t = _mark("upload.quantize", _t)
         # SQ8 entry-IVF (r3c): when the wide entry scan is on, the entry
         # stage probes a quantized IVF over the corpus instead of f32-row
         # gathering entry_probes * L rows (see beam_search_impl stage 1).
@@ -392,11 +406,20 @@ class GraphIndex:
                             0, cents_e.shape[0] - 1, 8192
                         ).astype(np.int64)
                         cents_e = cents_e[stride]
-                    eiv.build_from_centroids(sq8src, valid_p, cents_e)
+                    eprof: dict | None = {} if profile is not None else None
+                    eiv.build_from_centroids(sq8src, valid_p, cents_e,
+                                             profile=eprof)
                 else:
-                    eiv.build(sq8src, valid_p)
+                    eprof = {} if profile is not None else None
+                    eiv.build(sq8src, valid_p, profile=eprof)
+                if profile is not None and eprof:
+                    for _k, _v in eprof.items():
+                        profile["entry." + _k] = (
+                            profile.get("entry." + _k, 0.0) + _v
+                        )
             if eiv._parts is not None:
                 self._entry_ivf = eiv
+        _t = _mark("upload.entry", _t)
         if router is not None:
             cents, rows = router
             # both arrive as host arrays (build readback / load file): keep
@@ -423,6 +446,7 @@ class GraphIndex:
             np.linspace(0, len(valid_rows) - 1, s).astype(np.int64)
         ].astype(np.int32)
         self._seed_ids = jax.device_put(jnp.asarray(pick))
+        _mark("upload.router_seeds", _t, self._seed_ids)
 
     def invalidate(self, _ids=None) -> None:
         self._dirty = True
@@ -460,7 +484,8 @@ class GraphIndex:
                 and use_pallas()
                 and eiv.part_len * self.dim >= MIN_BLOCK_BYTES
             ):
-                ep = max(1, min(self.params.entry_probes, eiv.c))
+                ep = max(1, min(self.params.entry_probes,
+                                eiv.c_real or eiv.c))
                 cap = SMEM_PROBE_BYTES // (4 * ep)
                 return 1 << max(5, cap.bit_length() - 1)  # pow2 floor
             # no kernel: chunks of <= MAX_KERNEL_BATCH keep the XLA SQ8
@@ -532,7 +557,7 @@ class GraphIndex:
             )
             from velesdb_tpu.ops.pallas_kernels import use_pallas
 
-            ep_eff = min(self.params.entry_probes, eiv.c)
+            ep_eff = min(self.params.entry_probes, eiv.c_real or eiv.c)
             # measured (1M x 128D, probes=64/entries=96, ef=128, b=16 /
             # b=256 QPS): kernel 2.26K / 2.52K · xla 1.67K / 0.50K ·
             # legacy f32 gather 0.72K / 0.57K (2.42K / 2.49K at the old

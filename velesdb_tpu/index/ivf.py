@@ -174,16 +174,35 @@ def _assign_full(xc, cents, *, k):
     return assign.reshape(-1)
 
 
+#: routing sentinel carried in ``cent_sq`` for PADDED partitions (the
+#: bucket-rounding slots past the real count, see :func:`_bucket_n_parts`):
+#: euclidean routing subtracts ``0.5*cent_sq`` so pads score -5e29; the
+#: other metrics mask ``cent_sq >= _PAD_CENT_SQ/2`` columns to -inf
+#: explicitly at every routing site.
+_PAD_CENT_SQ = 1e30
+
+
+def _route_mask(route, cent_sq):
+    """-inf out padded-partition columns of a ``[B, P]`` routing score."""
+    return jnp.where(cent_sq[None, :] >= _PAD_CENT_SQ * 0.5, -jnp.inf, route)
+
+
 @functools.partial(jax.jit, static_argnames=("c", "L", "n_parts"))
 def _group_map(assign, cents, rows_global, *, c, L, n_parts):
     """Partition gather map: sort rows by cluster, derive dest->src (scatter
     of N ints — payload arrays are gathered by the caller, so the map works
-    for ANY row-aligned payload: f32 rows, uint8 codes, affine params)."""
+    for ANY row-aligned payload: f32 rows, uint8 codes, affine params).
+
+    ``n_parts`` may exceed the exact data-dependent count (bucket rounding
+    for compile reuse): trailing partitions past the real total are all-pad
+    (``part_rows = -1``) and carry ``cent_sq = _PAD_CENT_SQ`` so routing
+    never probes them."""
     n = assign.shape[0]
     order = jnp.argsort(assign)
     sorted_assign = assign[order]
     counts = jnp.bincount(assign, length=c)
     splits = jnp.maximum(-(-counts // L), 1)
+    total = jnp.cumsum(splits)[-1]
     base_part = jnp.concatenate([jnp.zeros(1, splits.dtype), jnp.cumsum(splits)[:-1]])
     starts = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]])
     pos_within = jnp.arange(n) - starts[sorted_assign]
@@ -197,8 +216,13 @@ def _group_map(assign, cents, rows_global, *, c, L, n_parts):
     cluster_of_part = jnp.searchsorted(
         jnp.cumsum(splits), jnp.arange(n_parts), side="right"
     )
-    route_cents = cents[jnp.minimum(cluster_of_part, c - 1)]
-    cent_sq = jnp.sum(route_cents * route_cents, axis=1)
+    pad = jnp.arange(n_parts) >= total
+    route_cents = jnp.where(
+        pad[:, None], 0.0, cents[jnp.minimum(cluster_of_part, c - 1)]
+    )
+    cent_sq = jnp.where(
+        pad, _PAD_CENT_SQ, jnp.sum(route_cents * route_cents, axis=1)
+    )
     return route_cents, cent_sq, src, ok, part_rows
 
 
@@ -211,6 +235,48 @@ def _exact_n_parts(assign, c: int, L: int) -> int:
     load recomputes the same assignment, so the count stays deterministic."""
     counts = jnp.bincount(assign, length=c)
     return int(jnp.sum(jnp.maximum(-(-counts // L), 1)))
+
+
+def _bucket_n_parts(raw: int) -> int:
+    """Round UP to a ~1/16-granularity grid (next multiple of
+    ``2^(bit_length-5)``) — the data-dependent FALLBACK of
+    :func:`_padded_n_parts` for heavily skewed assignments."""
+    if raw <= 128:
+        return raw
+    step = 1 << max(raw.bit_length() - 5, 3)
+    return -(-raw // step) * step
+
+
+def _padded_n_parts(raw: int, c: int) -> int:
+    """Padded partition count with a SHAPE-DETERMINISTIC fast path, so the
+    big jitted assembly/probe/self-kNN programs — all shaped by
+    ``n_parts`` — hit the compile cache across kmeans seeds and same-scale
+    rebuilds. A fresh 1M x 128D graph build runs TWO kNN passes with
+    different seeds whose exact counts differ by a handful of partitions;
+    without padding, each pass recompiles every n_parts-shaped program
+    (~90s of the measured 192s build, r4 profile).
+
+    The split count (clusters holding > L rows) is data-dependent, so any
+    rule keyed on ``raw`` alone can straddle a grid boundary between seeds
+    (measured: 247 vs 249 at 60K rows). Instead, whenever the exact count
+    fits inside a 12.5% headroom over the cluster count — empirically
+    splits run ~5-7% with the default pack_factor 2.0 — the padded count
+    depends ONLY on ``c``: guaranteed shape reuse. Heavier skew falls back
+    to the bucketed exact count (still reuse-friendly, not guaranteed).
+    Pad partitions are all-dead rows; the ``cent_sq`` sentinel keeps them
+    out of every probe top-k, and ``c_real`` caps nprobe."""
+    det = c + max(16, c // 8)
+    if raw <= det:
+        return det
+    return _bucket_n_parts(raw)
+
+
+def _padded_n_parts_capped(raw: int, c: int, n_rows: int, L: int) -> int:
+    """:func:`_padded_n_parts` capped at the physical worst case (splits
+    cannot exceed ``n//L``) so tiny indexes never pad past the static
+    bound the exact count exists to beat."""
+    worst = c + n_rows // max(L, 1) + 1
+    return min(_padded_n_parts(raw, c), max(worst, raw))
 
 
 def _parts_per_block(L: int, n_parts: int) -> int:
@@ -417,7 +483,8 @@ class IvfIndex:
         # deployments use 1.0-1.2 (more splits, same routing exactness)
         self.pack_factor = float(pack_factor)
         self.n = 0
-        self.c = 0
+        self.c = 0  # padded partition count == array leading dim
+        self.c_real = 0  # exact live-partition count (nprobe cap basis)
         self.part_len = 0
         self._centroids = None  # [C, D]
         self._cent_sq = None  # [C]
@@ -473,7 +540,7 @@ class IvfIndex:
             # 10M x 768D of codes fits where f32 cannot): kmeans trains on a
             # dequantized SAMPLE; assignment + partitions stay uint8
             self.storage = "sq8"
-            self._build_sq8(corpus, rows, c)
+            self._build_sq8(corpus, rows, c, profile=profile)
             self._dirty = False
             return
         self.storage = "f32"
@@ -494,11 +561,13 @@ class IvfIndex:
         t = _mark("partition.kmeans", t, (cents, assign))
         self._kmeans_cents = cents  # [c, D] device — the persistence recipe
         self._kmeans_c = c
-        self._assemble_partitions(live_dev, km_input, rows, cents, c, assign)
+        self._assemble_partitions(live_dev, km_input, rows, cents, c, assign,
+                                  profile=profile)
         _mark("partition.group", t, self._parts)
         self._dirty = False
 
-    def _build_sq8(self, sq: SQ8Vectors, rows: np.ndarray, c: int) -> None:
+    def _build_sq8(self, sq: SQ8Vectors, rows: np.ndarray, c: int,
+                   profile: dict | None = None) -> None:
         if len(rows) == sq.codes.shape[0]:
             # flatnonzero over an all-true mask — rows IS arange(n); skip
             # the row gather (a full-corpus copy that matters at capacity:
@@ -537,10 +606,11 @@ class IvfIndex:
         cents = jax.block_until_ready(cents)
         self._kmeans_cents = cents
         self._kmeans_c = c
-        self._assemble_sq8(codes, scale, minv, rows, cents, c)
+        self._assemble_sq8(codes, scale, minv, rows, cents, c,
+                           profile=profile)
 
     def build_from_centroids(self, sq: SQ8Vectors, valid: np.ndarray,
-                             cents) -> None:
+                             cents, profile: dict | None = None) -> None:
         """Assemble SQ8 partitions against GIVEN centroids, skipping the
         kmeans. Used by the graph engine's entry IVF: the approx-kNN
         build's router is already a k-means clustering of the same corpus,
@@ -566,10 +636,23 @@ class IvfIndex:
             scale = jnp.asarray(sq.scale, jnp.float32)[ridx]
             minv = jnp.asarray(sq.minv, jnp.float32)[ridx]
         self._assemble_sq8(codes, scale, minv, rows, cents_dev,
-                           self._kmeans_c)
+                           self._kmeans_c, profile=profile)
         self._dirty = False
 
-    def _assemble_sq8(self, codes, scale, minv, rows, cents, c) -> None:
+    def _assemble_sq8(self, codes, scale, minv, rows, cents, c,
+                      profile: dict | None = None) -> None:
+        import time as _time
+
+        def _mark(stage, t0, sync=None):
+            if profile is not None:
+                if sync is not None:
+                    jax.block_until_ready(sync)
+                profile[stage] = (
+                    profile.get(stage, 0.0) + _time.perf_counter() - t0
+                )
+            return _time.perf_counter()
+
+        t = _time.perf_counter()
         cosine = self.metric is DistanceMetric.COSINE
         s = min(self.spill, c) if self.spill > 1 else 1
         top = _assign_topk_sq8(codes, scale, minv, cents, s=s, cosine=cosine)
@@ -585,8 +668,11 @@ class IvfIndex:
             max(int(np.ceil(self.pack_factor * len(rows) / c)), 8), 8
         )
         self.part_len = L
-        n_parts = _exact_n_parts(assign, c, L)
+        t = _mark("partition.assign", t, assign)
+        self.c_real = _exact_n_parts(assign, c, L)
+        n_parts = _padded_n_parts_capped(self.c_real, c, len(rows), L)
         self.c = n_parts
+        t = _mark("partition.nparts", t)
         (
             self._centroids,
             self._cent_sq,
@@ -600,14 +686,27 @@ class IvfIndex:
             jnp.asarray(rows.astype(np.int32)),
             c=c, L=L, n_parts=n_parts,
         )
+        _mark("partition.payload", t, self._parts)
         self._kern = None  # folded probe-kernel state derives lazily
 
     def _assemble_partitions(self, live_dev, km_input, rows, cents, c,
-                             assign=None) -> None:
+                             assign=None, profile: dict | None = None) -> None:
         """Deterministic partition assembly from centroids (shared by build
         and load — the persisted artifact is centroids + meta ONLY, so no
         multi-MB device->host readback ever sits on the save path; large
         D2H transfers are the tunnel's wedge-prone operation)."""
+        import time as _time
+
+        def _mark(stage, t0, sync=None):
+            if profile is not None:
+                if sync is not None:
+                    jax.block_until_ready(sync)
+                profile[stage] = (
+                    profile.get(stage, 0.0) + _time.perf_counter() - t0
+                )
+            return _time.perf_counter()
+
+        t = _time.perf_counter()
         if assign is None:
             assign = _assign_topk(km_input, cents, s=1)[:, 0]
         if self.spill > 1:
@@ -630,8 +729,11 @@ class IvfIndex:
             max(int(np.ceil(self.pack_factor * len(rows) / c)), 8), 8
         )
         self.part_len = L
-        n_parts = _exact_n_parts(assign, c, L)
+        t = _mark("partition.assign", t, assign)
+        self.c_real = _exact_n_parts(assign, c, L)
+        n_parts = _padded_n_parts_capped(self.c_real, c, len(rows), L)
         self.c = n_parts
+        t = _mark("partition.nparts", t)
         (
             self._centroids,
             self._cent_sq,
@@ -647,6 +749,7 @@ class IvfIndex:
             L=L,
             n_parts=n_parts,
         )
+        _mark("partition.payload", t, self._parts)
 
     def invalidate(self, _ids=None) -> None:
         self._dirty = True
@@ -671,7 +774,7 @@ class IvfIndex:
         # spilled builds hold spill*N row-copies across partitions; unique
         # coverage per probe is ~L/spill, so the probe count scales by spill
         want = -(-int(cov * n_live * self.spill) // max(self.part_len, 1))
-        return int(min(max(want, 2), self.c))
+        return int(min(max(want, 2), self.c_real or self.c))
 
     # -- search ----------------------------------------------------------------
 
@@ -680,7 +783,8 @@ class IvfIndex:
         """Returns ``(values [B, k], row_indices [B, k])`` best-first."""
         q = np.atleast_2d(np.asarray(queries, np.float32))
         b = q.shape[0]
-        nprobe = min(nprobe or self.nprobe_for(ef, quality), self.c)
+        nprobe = min(nprobe or self.nprobe_for(ef, quality),
+                     self.c_real or self.c)
         b_pad = _round_up(b, 8)
         qd = jnp.asarray(np.pad(q, ((0, b_pad - b), (0, 0))))
         mask_dev = None
@@ -912,6 +1016,7 @@ def ivf_search_impl(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
     route = qn @ cents.T
     if metric is DistanceMetric.EUCLIDEAN:
         route = route - 0.5 * cent_sq[None, :]
+    route = _route_mask(route, cent_sq)  # bucket-padded partitions -> -inf
     _, probe = jax.lax.top_k(route, nprobe)  # [B, P]
 
     hib = metric.higher_is_better
@@ -989,13 +1094,13 @@ def ivf_search_impl(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "metric", "chunk"))
-def _probe_parts(cents, *, nprobe, metric, chunk=2048):
+def _probe_parts(cents, cent_sq, *, nprobe, metric, chunk=2048):
     """Top-``nprobe`` nearest partitions per partition, computed in row
     chunks: the full ``[P, P]`` affinity is 4.6GB at the 34K-partition
     builds the uncapped kNN produces (r3d OOM) — each chunk holds only
-    ``[chunk, P]``."""
+    ``[chunk, P]``. ``cent_sq`` is the STORED routing norm (carries the
+    padded-partition sentinel, see :func:`_group_map`)."""
     P, d = cents.shape
-    cc = jnp.sum(cents * cents, axis=1)
     P_pad = _round_up(P, chunk)
     cpad = (
         jnp.concatenate([cents, jnp.broadcast_to(cents[0], (P_pad - P, d))])
@@ -1005,7 +1110,8 @@ def _probe_parts(cents, *, nprobe, metric, chunk=2048):
     def body(_, blk):
         aff = blk @ cents.T
         if metric is DistanceMetric.EUCLIDEAN:
-            aff = aff - 0.5 * cc[None, :]
+            aff = aff - 0.5 * cent_sq[None, :]
+        aff = _route_mask(aff, cent_sq)
         return None, jax.lax.top_k(aff, min(nprobe, P))[1]
 
     _, idx = jax.lax.scan(body, None, cpad.reshape(-1, chunk, d))
@@ -1013,14 +1119,15 @@ def _probe_parts(cents, *, nprobe, metric, chunk=2048):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
-def _bucketed_self_knn(parts, part_rows, part_sq, cents, *, k, nprobe, metric):
+def _bucketed_self_knn(parts, part_rows, part_sq, cents, cent_sq, *,
+                       k, nprobe, metric):
     """Partition-bucketed approximate self-kNN: each partition scores its
     rows against its ``nprobe`` nearest partitions' rows in ONE matmul, so
     every corpus row is read O(nprobe) times TOTAL (per-query probing reads
     each partition once per querying row — 100-250x more HBM traffic).
     Returns ``[P, L, k]`` neighbor row ids (-1 = none)."""
     P, L, D = parts.shape
-    probe = _probe_parts(cents, nprobe=nprobe, metric=metric,
+    probe = _probe_parts(cents, cent_sq, nprobe=nprobe, metric=metric,
                          chunk=min(2048, _round_up(P, 8)))
 
     def body(_, p):
@@ -1108,7 +1215,7 @@ def _sq8_knn_block(parts_w, pscale, pminv, part_rows, part_sq, probe,
 
 
 def _bucketed_self_knn_sq8(parts_w, pscale, pminv, part_rows, part_sq,
-                           cents, *, k, nprobe, metric, d,
+                           cents, cent_sq, *, k, nprobe, metric, d,
                            block_parts=4096):
     """SQ8 variant of :func:`_bucketed_self_knn`: partitions stay packed
     int32 words in HBM ([P, L, W] = 1/4 the f32 partition bytes) and each
@@ -1130,7 +1237,7 @@ def _bucketed_self_knn_sq8(parts_w, pscale, pminv, part_rows, part_sq,
     bounds), so results land on host block by block.
     """
     P, L, W = parts_w.shape
-    probe = _probe_parts(cents, nprobe=nprobe, metric=metric,
+    probe = _probe_parts(cents, cent_sq, nprobe=nprobe, metric=metric,
                          chunk=min(2048, _round_up(P, 8)))
     count = min(block_parts, P)
     vals_h = np.empty((P, L, k), np.float32)
@@ -1222,18 +1329,21 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
             empty = np.full((n, k), -1, np.int32)
             return (empty, None) if return_router else empty
         if p == 0 and return_router:
+            # strip bucket-padded trailing partitions: the router feeds the
+            # graph entry stage, which computes its own routing norms and
+            # would otherwise see pads as zero-centroids
             router = (
-                np.asarray(ivf._centroids),
-                np.asarray(ivf._part_rows),
+                np.asarray(ivf._centroids)[: ivf.c_real],
+                np.asarray(ivf._part_rows)[: ivf.c_real],
             )
-        nprobe_p = int(min(max(nprobe, 1), ivf.c))
+        nprobe_p = int(min(max(nprobe, 1), ivf.c_real or ivf.c))
         k_eff = min(k, max(nprobe_p * ivf.part_len - 1, 1))
         if sq8:
             # chunked-readback path (watchdog bounds at >=4M rows): scatter
             # on host, block by block
             vals_h, nbr_h = _bucketed_self_knn_sq8(
                 ivf._parts, ivf._part_scale, ivf._part_minv,
-                ivf._part_rows, ivf._part_sq, ivf._centroids,
+                ivf._part_rows, ivf._part_sq, ivf._centroids, ivf._cent_sq,
                 k=k_eff, nprobe=nprobe_p, metric=metric, d=d_true,
             )
             t = _mark("knn.score", t)
@@ -1249,7 +1359,7 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
         else:
             vals_d, nbr_d = _bucketed_self_knn(
                 ivf._parts, ivf._part_rows, ivf._part_sq, ivf._centroids,
-                k=k_eff, nprobe=nprobe_p, metric=metric,
+                ivf._cent_sq, k=k_eff, nprobe=nprobe_p, metric=metric,
             )  # [P, L, k] each, device
             # scatter [P*L] -> [n] rows ON DEVICE: the per-pass host
             # readback of (vals, ids) partials was ~512MB of D2H through

@@ -134,7 +134,12 @@ class ShardedGraphIndex:
         max across shards — pad partitions duplicate the first centroid and
         carry -1 rows, which the entry scan masks) and shard over rows."""
         s = self.n_shards
-        c_max = max(e.c for e in subs)
+        # c_real strips each sub-IVF's bucket-padded trailing partitions
+        # (zero-centroid slots whose sentinel csq would be lost below —
+        # this packer recomputes csq from the centroids, and a zero
+        # centroid OUTSCORES real ones in the shard_map entry routing,
+        # starving the beam of live entries)
+        c_max = max(e.c_real or e.c for e in subs)
         l_max = max(e.part_len for e in subs)
         w = np.asarray(subs[0]._parts).shape[-1]
         cents = np.zeros((s, c_max, self.dim), np.float32)
@@ -144,14 +149,14 @@ class ShardedGraphIndex:
         prows = np.full((s, c_max, l_max), -1, np.int32)
         psq = np.zeros((s, c_max, l_max), np.float32)
         for i, e in enumerate(subs):
-            c, L = e.c, e.part_len
-            cents[i, :c] = np.asarray(e._centroids)
+            c, L = e.c_real or e.c, e.part_len
+            cents[i, :c] = np.asarray(e._centroids)[:c]
             cents[i, c:] = cents[i, 0]
-            words[i, :c, :L] = np.asarray(e._parts)
-            scale[i, :c, :L] = np.asarray(e._part_scale)
-            minv[i, :c, :L] = np.asarray(e._part_minv)
-            prows[i, :c, :L] = np.asarray(e._part_rows)  # LOCAL row ids
-            psq[i, :c, :L] = np.asarray(e._part_sq)
+            words[i, :c, :L] = np.asarray(e._parts)[:c]
+            scale[i, :c, :L] = np.asarray(e._part_scale)[:c]
+            minv[i, :c, :L] = np.asarray(e._part_minv)[:c]
+            prows[i, :c, :L] = np.asarray(e._part_rows)[:c]  # LOCAL row ids
+            psq[i, :c, :L] = np.asarray(e._part_sq)[:c]
         spec3 = NamedSharding(self.mesh, P(_ra(self.mesh), None, None))
         self._entry = (
             jax.device_put(cents.reshape(s * c_max, self.dim), shard_spec),

@@ -67,8 +67,10 @@ class ShardedIvfIndex:
             sub.build(corpus[rows], valid[rows])
             subs.append(sub)
             shard_rows.append(rows)
-        # unify partition geometry across shards (uniform [C, L] per shard)
-        c_max = max(sub.c for sub in subs)
+        # unify partition geometry across shards (uniform [C, L] per shard);
+        # c_real strips each sub-index's bucket-padded trailing partitions
+        # (zero-centroid sentinel slots, ivf._bucket_n_parts)
+        c_max = max(sub.c_real or sub.c for sub in subs)
         l_max = _round_up(max(sub.part_len for sub in subs), 8)
         self.c_local, self.part_len = c_max, l_max
 
@@ -76,14 +78,15 @@ class ShardedIvfIndex:
         parts = np.zeros((s, c_max, l_max, self.dim), np.float32)
         prows = np.full((s, c_max, l_max), -1, np.int32)
         for shard, sub in enumerate(subs):
-            cents[shard, : sub.c] = np.asarray(sub._centroids)
+            cr = sub.c_real or sub.c
+            cents[shard, :cr] = np.asarray(sub._centroids)[:cr]
             # geometry-padding partitions duplicate the first real centroid:
             # probing them is redundant but never harmful (their rows are -1)
-            cents[shard, sub.c :] = cents[shard, 0]
-            parts[shard, : sub.c, : sub.part_len] = np.asarray(sub._parts)
-            local = np.asarray(sub._part_rows)
+            cents[shard, cr:] = cents[shard, 0]
+            parts[shard, :cr, : sub.part_len] = np.asarray(sub._parts)[:cr]
+            local = np.asarray(sub._part_rows)[:cr]
             glob = np.where(local >= 0, shard_rows[shard][np.maximum(local, 0)], -1)
-            prows[shard, : sub.c, : sub.part_len] = glob
+            prows[shard, :cr, : sub.part_len] = glob
 
         spec2 = NamedSharding(self.mesh, P(_ra(self.mesh), None))
         spec3 = NamedSharding(self.mesh, P(_ra(self.mesh), None, None))
