@@ -79,20 +79,26 @@ def main():
         print(f"[profile] warm-up done in {time.perf_counter()-t0:.1f}s",
               flush=True)
 
-    prof: dict = {}
-    gi = GraphIndex(d, metric, params)
-    t0 = time.perf_counter()
-    gi.build(corpus_host, valid, corpus_dev=corpus_dev, profile=prof)
-    total = time.perf_counter() - t0
-    prof["total"] = total
-    prof["vec_per_s"] = n / total
-    print(json.dumps({k: round(v, 3) for k, v in prof.items()}, indent=1),
-          flush=True)
-    accounted = sum(v for k, v in prof.items()
-                    if k not in ("total", "vec_per_s")
-                    and not k.startswith("knn."))  # knn covers its substages
-    print(f"[profile] accounted {accounted:.1f}s of {total:.1f}s "
-          f"({n/total:,.0f} vec/s)", flush=True)
+    repeats = int(os.environ.get("PROFILE_REPEAT", 1))
+    for rep in range(max(repeats, 1)):
+        prof: dict = {}
+        gi = GraphIndex(d, metric, params)
+        t0 = time.perf_counter()
+        gi.build(corpus_host, valid, corpus_dev=corpus_dev, profile=prof)
+        total = time.perf_counter() - t0
+        prof["total"] = total
+        prof["vec_per_s"] = n / total
+        tag = "cold+exec" if rep == 0 else f"warm rep {rep}"
+        print(f"[profile] ---- build {rep} ({tag})", flush=True)
+        print(json.dumps({k: round(v, 3) for k, v in prof.items()}, indent=1),
+              flush=True)
+        accounted = sum(v for k, v in prof.items()
+                        if k not in ("total", "vec_per_s")
+                        and not k.startswith("knn.")
+                        and not k.startswith("upload.")
+                        and not k.startswith("entry."))
+        print(f"[profile] accounted {accounted:.1f}s of {total:.1f}s "
+              f"({n/total:,.0f} vec/s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -240,7 +240,8 @@ def main():
                 entry_points=min(gi.params.entry_points, beam),
                 metric=metric,
                 entry_probes=(
-                    min(gi.params.entry_probes, eiv.c) if kernel_entry
+                    min(gi.params.entry_probes, eiv.c_real or eiv.c)
+                    if kernel_entry
                     else gi.params.entry_probes
                 ),
                 entry_mode=emode,

@@ -307,10 +307,6 @@ class GraphIndex:
             elif m > self.n_pad:
                 adj = adj[: self.n_pad]
             self._adj = adj
-            try:  # stage the save-path host copy without blocking the build
-                self._adj.copy_to_host_async()
-            except Exception:
-                pass
         else:
             adj_p = np.pad(adj, ((0, pad), (0, 0)), constant_values=-1)
             self._adj = jax.device_put(jnp.asarray(adj_p))
@@ -447,6 +443,16 @@ class GraphIndex:
         ].astype(np.int32)
         self._seed_ids = jax.device_put(jnp.asarray(pick))
         _mark("upload.router_seeds", _t, self._seed_ids)
+        if self._adj_host is None and isinstance(self._adj, jax.Array):
+            # stage the save-path host copy LAST: the ~256MB adjacency D2H
+            # through the tunnel serialized ahead of the corpus/entry-IVF
+            # work when issued at assignment time — it cost ~30s of the 61s
+            # warm 1M x 128D build critical path (r4 profile). Issued here
+            # it overlaps with nothing; save() still finds the bytes staged.
+            try:
+                self._adj.copy_to_host_async()
+            except Exception:
+                pass
 
     def invalidate(self, _ids=None) -> None:
         self._dirty = True
