@@ -159,13 +159,41 @@ def main():
                 [len(set(idx[i]) & set(gt[i])) / K for i in range(BATCH)]
             ))
 
-        # exact serve path with in-kernel mask
-        def exact_fn(q, m):
-            return brute.search(q, K, mask=m)
+        # exact serve path with in-kernel mask. Arrays pass as jit ARGS —
+        # calling brute.search inside the scan trace embeds the captured
+        # 512MB corpus in the remote-compile payload (HTTP 413, r4)
+        if brute._assist is not None:
+            from velesdb_tpu.ops.bucket_kernel import (
+                bucket_chunk_for,
+                sq8i_rerank_topk,
+            )
 
-        _, ei = exact_fn(gt_q, mask)
+            chunk_i8 = min(
+                bucket_chunk_for(BATCH, ((d + 127) // 128) * 128, 1), n_pad
+            )
+            rows8_a, s2_a, m2_a, pen_a = brute._assist
+
+            def exact_fn(q, m, r8, s2, m2, pen, full):
+                return sq8i_rerank_topk(
+                    q, r8, s2, m2, jnp.where(m, pen, jnp.inf), full,
+                    k=K, m=16, metric=metric, chunk=chunk_i8,
+                    interpret=False,
+                )
+
+            exact_arrays = (rows8_a, s2_a, m2_a, pen_a, corpus_dev)
+        else:
+            from velesdb_tpu.ops.streamed import streamed_topk
+
+            def exact_fn(q, m, corp, sn):
+                return streamed_topk(q, corp, valid=m, k=K, metric=metric,
+                                     corpus_sqnorm=sn)
+
+            exact_arrays = (corpus_dev, brute._full_sqnorm)
+
+        _, ei = exact_fn(gt_q, valid & mask, *exact_arrays)
         r_ex = rec(ei)
-        qps_ex = scan_qps(exact_fn, (mask,), queries, BATCH, d)
+        qps_ex = scan_qps(exact_fn, (valid & mask,) + exact_arrays,
+                          queries, BATCH, d)
         results.append({"engine": "exact", "sel": sel,
                         "recall": round(r_ex, 4), "qps": round(qps_ex)})
         print(results[-1], flush=True)
