@@ -248,6 +248,33 @@ def test_sq8_collection_uses_quantized_ivf(tmp_db_dir, rng):
     db.close()
 
 
+def test_padded_n_parts_policy():
+    """The padded count is shape-deterministic whenever the exact count
+    fits the headroom (compile reuse across seeds), capped by the physical
+    worst case and by the pad-slot HBM budget (capacity builds keep their
+    memory margin)."""
+    from velesdb_tpu.index.ivf import (
+        _PAD_BYTES_BUDGET,
+        _padded_n_parts_capped,
+    )
+
+    # two seeds with slightly different split counts -> SAME padded count
+    c, n, L = 4000, 1_000_000, 512
+    a = _padded_n_parts_capped(4210, c, n, L, row_bytes=512)
+    b = _padded_n_parts_capped(4241, c, n, L, row_bytes=512)
+    assert a == b == c + c // 8
+    # heavy skew past the headroom: bucketed, still >= raw
+    heavy = _padded_n_parts_capped(c + c // 2, c, n, L, row_bytes=512)
+    assert heavy >= c + c // 2
+    # capacity shapes: pad bytes bounded by the budget
+    c2, L2, rb = 8192, 2441, 768  # 10M x 768D SQ8
+    p = _padded_n_parts_capped(c2 + 100, c2, 10_000_000, L2, row_bytes=rb)
+    assert (p - (c2 + 100)) * L2 * rb <= _PAD_BYTES_BUDGET + 16 * L2 * rb
+    # tiny index: never past the static worst case
+    t = _padded_n_parts_capped(26, 24, 6000, 500, row_bytes=64)
+    assert t <= 24 + 6000 // 500 + 1
+
+
 def test_exact_partition_count(rng):
     """``c_real`` is the exact sum of per-cluster splits, not the static
     worst-case bound c + n//L + 1 (which allocates ~2x the slots at

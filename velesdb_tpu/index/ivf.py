@@ -271,12 +271,25 @@ def _padded_n_parts(raw: int, c: int) -> int:
     return _bucket_n_parts(raw)
 
 
-def _padded_n_parts_capped(raw: int, c: int, n_rows: int, L: int) -> int:
-    """:func:`_padded_n_parts` capped at the physical worst case (splits
-    cannot exceed ``n//L``) so tiny indexes never pad past the static
-    bound the exact count exists to beat."""
+#: pad-slot HBM budget: the deterministic headroom never allocates more
+#: than this many bytes of empty partition slots (a 12.5% headroom at a
+#: 10M x 768D SQ8 capacity build would otherwise cost ~1.9GB of the 16GB
+#: chip — the margin the exact count exists to protect)
+_PAD_BYTES_BUDGET = 256 * 1024 * 1024
+
+
+def _padded_n_parts_capped(raw: int, c: int, n_rows: int, L: int,
+                           row_bytes: int = 4) -> int:
+    """:func:`_padded_n_parts` with two shape-deterministic caps: the
+    physical worst case (splits cannot exceed ``n//L`` — tiny indexes
+    never pad past the static bound the exact count exists to beat) and
+    the pad-slot HBM budget (capacity builds keep their memory margin;
+    a tighter headroom falls back to the bucketed grid past it)."""
     worst = c + n_rows // max(L, 1) + 1
-    return min(_padded_n_parts(raw, c), max(worst, raw))
+    max_pad = max(16, _PAD_BYTES_BUDGET // max(L * row_bytes, 1))
+    det = c + max(16, min(c // 8, max_pad))
+    padded = det if raw <= det else _bucket_n_parts(raw)
+    return min(padded, max(worst, raw))
 
 
 def _parts_per_block(L: int, n_parts: int) -> int:
@@ -670,7 +683,9 @@ class IvfIndex:
         self.part_len = L
         t = _mark("partition.assign", t, assign)
         self.c_real = _exact_n_parts(assign, c, L)
-        n_parts = _padded_n_parts_capped(self.c_real, c, len(rows), L)
+        n_parts = _padded_n_parts_capped(
+            self.c_real, c, len(rows), L, row_bytes=max(self.dim, 1)
+        )
         self.c = n_parts
         t = _mark("partition.nparts", t)
         (
@@ -731,7 +746,9 @@ class IvfIndex:
         self.part_len = L
         t = _mark("partition.assign", t, assign)
         self.c_real = _exact_n_parts(assign, c, L)
-        n_parts = _padded_n_parts_capped(self.c_real, c, len(rows), L)
+        n_parts = _padded_n_parts_capped(
+            self.c_real, c, len(rows), L, row_bytes=4 * max(self.dim, 1)
+        )
         self.c = n_parts
         t = _mark("partition.nparts", t)
         (
