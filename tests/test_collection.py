@@ -233,6 +233,37 @@ def test_graph_filtered_search_starvation_guard(tmp_db_dir, rng):
     db.close()
 
 
+def test_ivf_filtered_search_coverage_guard(tmp_db_dir, rng):
+    """r4: the IVF probe pool is nprobe*L rows BEFORE the in-kernel mask —
+    at selective filters the guard bumps nprobe (expected passing count
+    covers k_fetch) or falls back to the masked exact scan when bumped
+    coverage approaches a half-corpus read."""
+    db = make_db(tmp_db_dir)
+    col = db.create_collection("fi", 32, metric="l2")
+    col.ann_min_rows = 4096
+    col.index_kind = "ivf"
+    n = 6000
+    vecs = rng.standard_normal((n, 32)).astype(np.float32)
+    payloads = [{"grp": int(i % 100)} for i in range(n)]
+    col.upsert_bulk(range(n), vecs, payloads)
+    col.search(vecs[0], k=1)  # build + calibrate
+    assert col.ivf is not None and not col.ivf.dirty
+
+    for sel_filter, sel_name in (
+        ({"type": "eq", "field": "grp", "value": 7}, "1%"),
+        ({"type": "lt", "field": "grp", "value": 30}, "30%"),
+    ):
+        res = col.search_batch([vecs[107]], k=10, filter=sel_filter)[0]
+        assert len(res) == 10, sel_name
+        exact = col.search_batch(
+            [vecs[107]], k=10, filter=sel_filter, quality="perfect"
+        )[0]
+        got = {r["id"] for r in res}
+        want = {r["id"] for r in exact}
+        assert len(got & want) >= 8, (sel_name, got, want)
+    db.close()
+
+
 def test_perfect_quality_routes_through_host_rerank(tmp_db_dir, rng):
     """r3b: quality=perfect engages the host-f32 rerank pass on ANY storage
     mode — device engines select with MXU f32 (~0.2% distance error), so

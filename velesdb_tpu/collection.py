@@ -394,7 +394,7 @@ class Collection:
         return entry
 
     def _ann_delta_search(self, engine: str, q: np.ndarray, k_fetch: int,
-                          ef: int | None, mask):
+                          ef: int | None, mask, ivf_nprobe: int | None = None):
         """ANN search with incremental-delta semantics: stale slots are
         excluded from the (possibly stale) index results and searched
         EXACTLY from the compact delta snapshot; the two top-k lists merge
@@ -409,7 +409,8 @@ class Collection:
             ex[[s for s in self._stale[engine] if s < used]] = False
             ex_mask = ex if base_mask is None else (base_mask & ex)
         if engine == "ivf":
-            vals, idx = self.ivf.search(q, k_fetch, ef=ef, mask=ex_mask)
+            vals, idx = self.ivf.search(q, k_fetch, ef=ef, mask=ex_mask,
+                                        nprobe=ivf_nprobe)
         else:
             ann_mask = (
                 _pad_mask(ex_mask, self.ann.n_pad) if ex_mask is not None else None
@@ -832,8 +833,9 @@ class Collection:
             if ef2 != ef:
                 ef = ef2
                 k_fetch = max(min(4 * k, ef), k) if mask is not None else k
-        if engine == "graph" and mask is not None:
-            # filtered-ANN starvation guard (VERDICT r3 #4): the graph
+        ivf_nprobe = None
+        if engine in ("ivf", "graph") and mask is not None:
+            # filtered-ANN starvation guards (VERDICT r3 #4): the graph
             # applies the mask at RESULT selection — traversal routes
             # through filtered nodes so the walk stays connected, but only
             # ~selectivity of the final pool passes. Size the pool so the
@@ -843,14 +845,35 @@ class Collection:
             # reference's 4x over-fetch post-filter, search/vector.rs:182).
             used = max(self.vectors.used_slots, 1)
             sel = float(np.count_nonzero(np.asarray(mask)[:used])) / used
-            need = int(np.ceil(1.5 * k_fetch / max(sel, 1e-9)))
-            if sel <= 0.0 or need > 512:
-                engine = "exact"
-            elif need > ef:
-                ef = ((need + 7) // 8) * 8
+            if engine == "graph":
+                need = int(np.ceil(1.5 * k_fetch / max(sel, 1e-9)))
+                if sel <= 0.0 or need > 512:
+                    engine = "exact"
+                elif need > ef:
+                    ef = ((need + 7) // 8) * 8
+            elif self.ivf is not None and self.ivf.part_len:
+                # IVF analog (r4): the probe pool is nprobe*L rows BEFORE
+                # the in-kernel mask, so ~nprobe*L*sel candidates survive —
+                # bump nprobe to keep that above k_fetch with margin, or
+                # fall back to exact once the bumped coverage approaches a
+                # half-corpus scan (the streamed kernel wins there anyway)
+                L = self.ivf.part_len
+                base_np = self.ivf.nprobe_for(ef)
+                need_np = int(np.ceil(
+                    1.5 * k_fetch / (max(sel, 1e-9) * L)
+                ))
+                if sel <= 0.0:
+                    engine = "exact"
+                elif need_np > base_np:
+                    cap = self.ivf.c_real or self.ivf.c
+                    if need_np > cap or need_np * L * 2 >= used:
+                        engine = "exact"
+                    else:
+                        ivf_nprobe = need_np
         t0 = time.perf_counter()
         if engine in ("ivf", "graph"):
-            vals, idx = self._ann_delta_search(engine, q, k_fetch, ef, mask)
+            vals, idx = self._ann_delta_search(engine, q, k_fetch, ef, mask,
+                                               ivf_nprobe=ivf_nprobe)
         else:
             vals, idx = self._brute.search(q, k, mask=mask)
         # ONE device_get for both outputs: sequential np.asarray calls pay
