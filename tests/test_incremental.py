@@ -172,9 +172,9 @@ def test_collection_downshifts_profile_ef(db):
     served = {}
     orig = coll._ann_delta_search
 
-    def spy(engine, q, k_fetch, ef, mask):
+    def spy(engine, q, k_fetch, ef, mask, **kw):
         served["ef"] = ef
-        return orig(engine, q, k_fetch, ef, mask)
+        return orig(engine, q, k_fetch, ef, mask, **kw)
 
     coll._ann_delta_search = spy
     coll.search_batch(vecs[:1], k=3, quality="balanced")

@@ -266,9 +266,9 @@ class GraphIndex:
         _t = _time.perf_counter()
         n = corpus.shape[0]
         if isinstance(adj, jax.Array):
-            # device-assembled adjacency (r4): the host copy is deferred —
-            # an async D2H starts below so a following save() finds the
-            # bytes already staged instead of paying a cold 256MB readback
+            # device-assembled adjacency (r4): the host copy is deferred to
+            # save() entirely (_host_adj) — see the staging note at the end
+            # of this method
             self._adj_host = None
         else:
             # host-assembled: keep the host copy (save() then never reads
@@ -443,16 +443,13 @@ class GraphIndex:
         ].astype(np.int32)
         self._seed_ids = jax.device_put(jnp.asarray(pick))
         _mark("upload.router_seeds", _t, self._seed_ids)
-        if self._adj_host is None and isinstance(self._adj, jax.Array):
-            # stage the save-path host copy LAST: the ~256MB adjacency D2H
-            # through the tunnel serialized ahead of the corpus/entry-IVF
-            # work when issued at assignment time — it cost ~30s of the 61s
-            # warm 1M x 128D build critical path (r4 profile). Issued here
-            # it overlaps with nothing; save() still finds the bytes staged.
-            try:
-                self._adj.copy_to_host_async()
-            except Exception:
-                pass
+        # NOTE deliberately NOT staging the adjacency host copy here: the
+        # ~256MB D2H through the shared tunnel drains into whatever runs
+        # next — it cost ~30s of the warm 1M x 128D build when issued at
+        # assignment time, and still polluted the FOLLOWING build/search
+        # dispatches when issued here (r4 profile, rep-to-rep kmeans
+        # skew). save() pays the one-time readback at the explicit
+        # persistence point instead (_host_adj).
 
     def invalidate(self, _ids=None) -> None:
         self._dirty = True
