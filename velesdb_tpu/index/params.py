@@ -143,8 +143,14 @@ class GraphParams:
         # Small corpora keep the narrow default: their legacy 2-probe entry
         # leaves recall walk-dependent, where expansion order still matters.
         ew = 16 if n >= 100_000 else cls.expand_width
+        # build_passes=1 since r4: the 2-pass decorrelated union was tuned
+        # when beam recall was BUILD-limited; with the SQ8 entry-IVF the
+        # serve ladder is entry-bound and MEASURED IDENTICAL at 1 pass
+        # (exp_build_quality, 1M x 128D warm: 32x2 = 24.0s @ host recall
+        # 0.9977/1.000 at ef 16/128 vs 32x1 = 12.3s @ 0.9977/1.000) —
+        # halving the build keeps every rung of the measured ladder.
         return cls(degree=degree, knn_k=knn_k, build_nprobe=nprobe,
-                   build_passes=2 if n >= 1_000_000 else 1,
+                   build_passes=1,
                    entry_probes=entry_probes, entry_points=entry_points,
                    expand_width=ew)
 
