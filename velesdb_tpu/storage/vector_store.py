@@ -101,39 +101,63 @@ class VectorStore:
 
     def _grow(self, needed: int) -> None:
         new_cap = max(self._capacity * 2, needed, 1024)
-        self._mmap.flush()
-        old = np.array(self._mmap[: self._capacity])
+        # no msync here: dirty pages stay coherent in the page cache across
+        # truncate + re-mmap; crash durability mid-grow is the WAL's job
+        # (flush() still syncs at the explicit durability points)
         del self._mmap
-        self._mmap = np.memmap(
-            self._bin_path, dtype=np.float32, mode="r+", shape=(new_cap, self.dim)
-        )
-        # numpy reopens at existing byte size; extend file explicitly
+        # truncate EXTENDS the file in place — the existing bytes never
+        # leave the page cache (the old read-into-RAM + write-back copied
+        # the whole store on every doubling: 6.4s of a 1M x 128D chunked
+        # ingest, r4 profile)
         with open(self._bin_path, "r+b") as f:
             f.truncate(new_cap * 4 * self.dim)
         self._mmap = np.memmap(
             self._bin_path, dtype=np.float32, mode="r+", shape=(new_cap, self.dim)
         )
-        self._mmap[: self._capacity] = old
         self._capacity = new_cap
 
     def _save_index(self) -> None:
+        """Atomic id-index snapshot, BINARY (npz): the JSON encoding of a
+        1M-entry id map was 5.5s per flush (4M iterencode calls, r4
+        profile); two int64 columns serialize in ~50ms. Legacy JSON
+        artifacts still load (see _load_index)."""
         tmp = self._idx_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "dim": self.dim,
-                    "capacity": self._capacity,
-                    "ids": {str(k): v for k, v in self.id_to_slot.items()},
-                    "free": self._free_slots,
-                    "next_slot": self._next_slot,
-                    "version": self.version,
-                },
+        ids = np.fromiter(self.id_to_slot.keys(), np.int64,
+                          len(self.id_to_slot))
+        slots = np.fromiter(self.id_to_slot.values(), np.int64,
+                            len(self.id_to_slot))
+        with open(tmp, "wb") as f:
+            np.savez(
                 f,
+                dim=np.int64(self.dim),
+                capacity=np.int64(self._capacity),
+                ids=ids,
+                slots=slots,
+                free=np.asarray(self._free_slots, np.int64),
+                next_slot=np.int64(self._next_slot),
+                version=np.int64(self.version),
             )
         os.replace(tmp, self._idx_path)
 
     def _load_index(self) -> None:
-        with open(self._idx_path) as f:
+        with open(self._idx_path, "rb") as f:
+            magic = f.read(4)
+        if magic[:2] == b"PK":  # npz (zip) — current format
+            idx = np.load(self._idx_path)
+            if int(idx["dim"]) != self.dim:
+                raise ValueError(
+                    f"dimension mismatch: store has {int(idx['dim'])}, "
+                    f"expected {self.dim}"
+                )
+            self._capacity = int(idx["capacity"])
+            self.id_to_slot = dict(
+                zip(idx["ids"].tolist(), idx["slots"].tolist())
+            )
+            self._free_slots = idx["free"].tolist()
+            self._next_slot = int(idx["next_slot"])
+            self.version = int(idx["version"])
+            return
+        with open(self._idx_path) as f:  # legacy JSON artifact
             idx = json.load(f)
         if idx["dim"] != self.dim:
             raise ValueError(
