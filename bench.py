@@ -129,6 +129,15 @@ def _hp_oracle_fns():
     return oracle, rescore
 
 
+
+def _scan_chunk(n_pad):
+    """Largest 1024-multiple divisor of the padded row count <= 64K: since
+    r4 pad_rows() quantizes to pow2/16 steps, 65536 no longer always
+    divides n_pad and the scan reshape would fail."""
+    from velesdb_tpu.ops.streamed import _pick_chunk
+
+    return _pick_chunk(n_pad, 65536) or _scan_chunk(n_pad)
+
 def _host_basis_recall(search_fn, engine_arrays, qs, corpus_dev, valid_dev,
                        k, metric, n_pad):
     """(recall_host, recall_eps) vs the HIGHEST-precision true-f32 oracle.
@@ -140,7 +149,7 @@ def _host_basis_recall(search_fn, engine_arrays, qs, corpus_dev, valid_dev,
     import jax.numpy as jnp
 
     oracle, rescore = _hp_oracle_fns()
-    chunk = min(65536, n_pad)
+    chunk = _scan_chunk(n_pad)
     hits_id = hits_eps = total = 0
     for i in range(qs.shape[0]):
         gt_d, gt_i = oracle(
@@ -239,7 +248,9 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
             qs = centers[qassign] + jax.random.normal(k5, (n_queries, d)) * 0.7
             return corpus, qs
 
-        n_pad = 1 << (n - 1).bit_length()
+        from velesdb_tpu.index.brute import pad_rows
+
+        n_pad = pad_rows(n)
         corpus_dev, queries_dev = gen(0)
         if metric is DistanceMetric.COSINE:
             sq = jnp.sum(corpus_dev * corpus_dev, axis=1, keepdims=True)
@@ -280,7 +291,7 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
         def search_fn(q, corpus_a, valid_a, sqn_a):
             return _streamed_entry(
                 q, corpus_a, valid_a, sqn_a, k=k, metric=metric,
-                chunk=min(65536, n_pad), approx=True, recall_target=0.95,
+                chunk=_scan_chunk(n_pad), approx=True, recall_target=0.95,
             )
 
         engine_arrays = (corpus_dev, valid_dev, sqn)
@@ -330,7 +341,7 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
     for i in range(nb):
         _, gt = chunked_topk(
             qs[i], corpus_dev, valid_dev, k, metric,
-            chunk=min(65536, n_pad),
+            chunk=_scan_chunk(n_pad),
         )
         _, got = search_fn(qs[i], *engine_arrays)
         eq = (got[:, :, None] == gt[:, None, :]) & (gt[:, None, :] >= 0)
@@ -375,7 +386,7 @@ def run_config(n, d, metric_name, batch, n_queries, k=10, device_corpus=False):
         hits = 0
         for i in range(nb):
             _, gt = chunked_topk(
-                qs[i], corpus_dev, valid_dev, k, metric, chunk=min(65536, n_pad)
+                qs[i], corpus_dev, valid_dev, k, metric, chunk=_scan_chunk(n_pad)
             )
             _, got = ivf_fn(qs[i], *arrays)
             eq = (got[:, :, None] == gt[:, None, :]) & (gt[:, None, :] >= 0)

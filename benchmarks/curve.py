@@ -35,8 +35,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from velesdb_tpu.index.brute import pad_rows
+from velesdb_tpu.ops.streamed import _pick_chunk
+
 ITERS = 64
 K = 10
+
+
+def _scan_chunk(n_pad):
+    """Largest 1024-multiple divisor of n_pad <= 64K (r4 pad_rows quantizes
+    to pow2/16 steps; 65536 no longer always divides)."""
+    return _pick_chunk(n_pad, 65536) or min(65536, n_pad)
 SAMPLES = int(os.environ.get("CURVE_SAMPLES", 3))
 
 
@@ -128,7 +137,7 @@ def run_config(name, n, d, metric_name, batch=256):
     queries = centers[rng.integers(0, 64, 512)] + rng.standard_normal(
         (512, d)
     ).astype(np.float32) * 0.7
-    n_pad = 1 << (n - 1).bit_length()
+    n_pad = pad_rows(n)
     corpus_dev = jax.device_put(
         jnp.pad(jnp.asarray(corpus), ((0, n_pad - n), (0, 0)))
     )
@@ -150,7 +159,7 @@ def run_config(name, n, d, metric_name, batch=256):
 
     # ground truth: exact chunked oracle on the first 256 queries
     gt_q = jnp.asarray(queries[:batch])
-    _, gt = chunked_topk(gt_q, norm_dev, valid, K, metric, chunk=min(65536, n_pad))
+    _, gt = chunked_topk(gt_q, norm_dev, valid, K, metric, chunk=_scan_chunk(n_pad))
     gt = np.asarray(gt)
 
     # TRUE host-f32 oracle (r3b metrology fix). MXU f32 scores differ
@@ -271,9 +280,9 @@ def run_config(name, n, d, metric_name, batch=256):
     del hi_dev, lo_dev
 
     measure(
-        "exact-streamed", "chunk=65536",
+        "exact-streamed", f"chunk={_scan_chunk(n_pad)}",
         functools.partial(
-            _streamed_entry, k=K, metric=metric, chunk=min(65536, n_pad),
+            _streamed_entry, k=K, metric=metric, chunk=_scan_chunk(n_pad),
             approx=True, recall_target=0.95,
         ),
         (norm_dev, valid, sqn),
@@ -524,7 +533,7 @@ def run_config_binary(name, n, d, batch=256):
     # blobs — giant-cluster synthetics measure an information limit, not
     # the engine; see tests/test_recall_validation.py)
     n_clusters = max(n // 40, 64)
-    n_pad = 1 << (n - 1).bit_length()
+    n_pad = pad_rows(n)
 
     @jax.jit
     def gen(seed):
@@ -551,7 +560,7 @@ def run_config_binary(name, n, d, batch=256):
 
     gt_q = jnp.asarray(queries[:batch])
     _, gt = chunked_topk(gt_q, norm_dev, valid, K, metric,
-                         chunk=min(65536, n_pad))
+                         chunk=_scan_chunk(n_pad))
     gt = np.asarray(gt)
     # host oracle on the normalized corpus (reads back 100D f32 once)
     corpus_host = np.asarray(norm_dev[:n])

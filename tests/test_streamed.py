@@ -483,3 +483,54 @@ def test_kernel_demotion_visibility(monkeypatch):
         brute_mod._PALLAS_OK[0] = saved[2]
         dem_mod.KERNEL_DEMOTIONS.clear()
         dem_mod.KERNEL_DEMOTIONS.update(saved[3])
+
+
+def test_pad_rows_quantized_buckets():
+    """r4: above 64K rows pad_rows quantizes to pow2/16 steps (multiples of
+    8192), capping pad-row scan waste at ~6% where pure power-of-two padding
+    wasted up to 50% of the HBM budget (100K -> 131072 scanned 31% pad)."""
+    from velesdb_tpu.index.brute import pad_rows
+
+    assert pad_rows(1000) == 1024
+    assert pad_rows(65536) == 65536  # <=64K: pure power of two
+    assert pad_rows(65537) == 73728  # step 8192
+    assert pad_rows(100_000) == 106496  # was 131072 (31% waste -> 6%)
+    assert pad_rows(1_000_000) == 1_048_576  # 1M is 16 x 65536 already
+    assert pad_rows(1_228_800) == 1_310_720  # was 2097152 (75% waste -> 6%)
+    for n in (65537, 99_000, 123_456, 777_777, 1_228_800):
+        p = pad_rows(n)
+        assert p >= n and p % 8192 == 0
+
+
+def test_pick_chunk_divides():
+    from velesdb_tpu.ops.streamed import _pick_chunk
+
+    assert _pick_chunk(106496, 65536) == 53248
+    assert _pick_chunk(1_048_576, 65536) == 65536
+    assert _pick_chunk(73728, 65536) == 36864
+    assert _pick_chunk(500, 65536) == 0  # no 1024-multiple divisor
+    for n in (106496, 73728, 1_310_720, 909_312):
+        c = _pick_chunk(n, 65536)
+        assert c and n % c == 0 and c % 1024 == 0
+
+
+def test_streamed_nonpow2_pad_matches_oracle():
+    """End-to-end at a >64K corpus whose padded count is NOT a power of two
+    (the new pad_rows regime): streamed scan must pick a dividing chunk and
+    stay exact vs the oracle."""
+    from velesdb_tpu.index.brute import BruteForceIndex, pad_rows
+    from velesdb_tpu.ops import StorageMode
+
+    rng = np.random.default_rng(11)
+    n, d = 70_000, 16
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    idx = BruteForceIndex(d, DistanceMetric.EUCLIDEAN, StorageMode.FULL)
+    idx.rebuild(corpus, valid)
+    assert idx.n_pad == pad_rows(n) == 73728
+    queries = corpus[:8] + rng.standard_normal((8, d)).astype(np.float32) * 0.01
+    vals, ids = idx.search(queries, k=5)
+    ids = np.asarray(ids)
+    _, gi = brute_force_topk(queries, corpus, 5, DistanceMetric.EUCLIDEAN,
+                             valid=valid)
+    assert (np.asarray(ids[:, 0]) == np.asarray(gi)[:, 0]).all()

@@ -88,10 +88,27 @@ def _pad_to(mask, n_pad: int):
 
 
 def pad_rows(n: int, minimum: int = 1024) -> int:
-    """Round row count up to a padded bucket (next power of two) so device
-    array shapes — and therefore XLA compilations — stay bounded."""
+    """Round row count up to a padded bucket so device array shapes — and
+    therefore XLA compilations — stay bounded.
+
+    Up to 64K rows: next power of two (one shape per decade; absolute waste
+    is small). Above: power-of-two/16 steps — 16 shape buckets per decade
+    still bound compiles while capping pad rows at ~6% of the corpus where
+    pure power-of-two padding scanned up to 2x the real rows. Measured
+    same-run gains are modest (+5% streamed 100Kx768, +2% assist 200Kx128,
+    benchmarks/exp_pad_ab.py — the scans carry large row-count-independent
+    per-chunk overheads, see exp_scan_floor.py), but pad HBM/dequant/build
+    waste drops 19-37% at off-power-of-two sizes for free. Steps stay
+    multiples of 8192 so every kernel chunk (<=8192 power-of-two
+    bucket-kernel chunks, divisor-picked streamed chunks) divides the
+    padded count exactly — no in-program re-pad copies of the corpus.
+    """
     target = max(n, minimum)
-    return 1 << (target - 1).bit_length()
+    pow2 = 1 << (target - 1).bit_length()
+    if pow2 <= 65536:
+        return pow2
+    step = pow2 // 16  # >= 8192
+    return ((target + step - 1) // step) * step
 
 
 class BruteForceIndex:

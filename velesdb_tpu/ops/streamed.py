@@ -43,6 +43,25 @@ __all__ = ["streamed_topk", "sq8_streamed_topk", "STREAM_CHUNK"]
 STREAM_CHUNK = 65536  # corpus rows per scan step ([B, C] f32 scores = 64MB @ B=256)
 
 
+def _pick_chunk(n: int, target: int) -> int:
+    """Largest divisor of ``n`` that is <= ``target`` and a multiple of 1024.
+
+    The padded corpus (``brute.pad_rows``: multiples of 8192 above 64K rows)
+    always has one, so the scan never re-pads the corpus in-program — that
+    pad is an HBM-sized copy of the whole corpus on EVERY call. Returns 0
+    when none exists (tiny/odd n from direct calls); callers fall back to
+    the pad path.
+    """
+    best = 0
+    c = 1024
+    cap = min(n, target)
+    while c <= cap:
+        if n % c == 0:
+            best = c
+        c += 1024
+    return best
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "chunk", "approx", "recall_target",
@@ -196,7 +215,8 @@ def sq8_streamed_topk(queries, sq, cnorm=None, valid=None, k: int = 10,
     codes = jnp.asarray(sq.codes)
     n = codes.shape[0]
     k = min(k, n)
-    chunk = min(chunk, n) if n % chunk else chunk
+    if n % chunk:
+        chunk = _pick_chunk(n, chunk) or min(chunk, n)
     n_pad = ((n + chunk - 1) // chunk) * chunk if n % chunk else n
     scale = jnp.asarray(sq.scale, jnp.float32)
     minv = jnp.asarray(sq.minv, jnp.float32)
@@ -262,7 +282,8 @@ def streamed_topk(
     if precision is None and q.shape[1] <= 256 and c.dtype == jnp.float32:
         precision = jax.lax.Precision.HIGHEST
 
-    chunk = min(chunk, n) if n % chunk else chunk
+    if n % chunk:
+        chunk = _pick_chunk(n, chunk) or min(chunk, n)
     if n % chunk:
         # pad to a chunk multiple; padded rows masked out below
         n_pad = ((n + chunk - 1) // chunk) * chunk
