@@ -302,6 +302,53 @@ def test_sq8_int8_assist_rerank_interpret(data, metric):
 
 
 @pytest.mark.parametrize("metric", METRICS)
+def test_sq8i_xla_rerank_twin(data, metric):
+    """The pure-XLA assist twin matches the Pallas assist contract: exact
+    oracle VALUES on agreement, high recall, mask respected — from the SAME
+    shadow arrays, no Pallas anywhere (kernel-demotion fallback)."""
+    import jax
+    import jax.numpy as jnp
+
+    from velesdb_tpu.ops.bucket_kernel import (
+        sq8_int8_rows, sq8i_xla_rerank_topk,
+    )
+    from velesdb_tpu.ops.quantization import sq8_quantize
+
+    corpus, queries, valid = data
+    m = DistanceMetric.parse(metric)
+    xs = corpus.copy()
+    if m is DistanceMetric.COSINE:
+        xs = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-30)
+    sq = sq8_quantize(jnp.asarray(xs))
+    rows8 = sq8_int8_rows(sq.codes)
+    deq = sq.codes.astype(jnp.float32) * sq.scale[:, None] + sq.minv[:, None]
+    dsq = jnp.sum(deq * deq, axis=-1)
+    if m is DistanceMetric.COSINE:
+        inv = jnp.where(dsq > 1e-30, jax.lax.rsqrt(jnp.maximum(dsq, 1e-30)), 0.0)
+        scale, minv = sq.scale * inv, sq.minv * inv
+        base = np.zeros(len(xs), np.float32)
+    elif m is DistanceMetric.EUCLIDEAN:
+        scale, minv = sq.scale, sq.minv
+        base = np.asarray(dsq)
+    else:
+        scale, minv = sq.scale, sq.minv
+        base = np.zeros(len(xs), np.float32)
+    pen = jnp.asarray(np.where(valid, base, np.inf).astype(np.float32))
+    gv, gi = brute_force_topk(queries, xs, 10, m, valid=valid)
+    vals, ids = sq8i_xla_rerank_topk(
+        jnp.asarray(queries), rows8, scale, minv, pen, jnp.asarray(xs),
+        k=10, m=64, metric=m,
+    )
+    ids, vals = np.asarray(ids), np.asarray(vals)
+    gi, gv = np.asarray(gi), np.asarray(gv)
+    assert _recall(ids, gi) >= 0.98
+    assert not np.isin(ids, np.flatnonzero(~valid)).any()
+    agree = ids[:, 0] == gi[:, 0]
+    assert agree.mean() >= 0.9
+    np.testing.assert_allclose(vals[agree, 0], gv[agree, 0], rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("metric", METRICS)
 def test_split_bf16_bucket_kernel_interpret(data, metric):
     """split-bf16 (true-f32 emulation) bucket kernel: same contract as the
     f32 bucket kernel, fidelity within ~1e-4 of true f32 scores."""
@@ -438,6 +485,7 @@ def test_kernel_demotion_visibility(monkeypatch):
 
     saved = (
         brute_mod._SQ8I_OK[0], brute_mod._HL_OK[0], brute_mod._PALLAS_OK[0],
+        brute_mod._SQ8I_XLA_OK[0],
         dict(dem_mod.KERNEL_DEMOTIONS),
     )
     try:
@@ -451,13 +499,30 @@ def test_kernel_demotion_visibility(monkeypatch):
         idx.rebuild(xs, valid)
         assert idx.serve_engine() == "int8-assist"
         # CPU backend: the interpret=False Pallas dispatch raises at trace
-        # time, tripping assist -> hl -> bucket-f32 in turn; the search
-        # still answers through the pure-XLA streamed path
+        # time, tripping the assist kernel; the pure-XLA assist TWIN serves
+        # from the same shadow arrays (ADVICE r3 #1: fidelity survives the
+        # kill-switch) — on CPU it runs fine, so the search answers at
+        # exact-rerank grade with only one demotion recorded
+        vals, ids = idx.search(xs[:4], k=5)
+        assert ids.shape == (4, 5)
+        assert np.asarray(ids)[:, 0].tolist() == [0, 1, 2, 3]  # self-hits
+        got = dem_mod.demotions()
+        assert "int8-assist" in got
+        assert idx.serve_engine() == "int8-assist-xla"
+        assert idx._full_hl is None  # twin made the hl rebuild unnecessary
+
+        # trip the twin too: the split-bf16 shadow is lazily built on the
+        # way down so fidelity still survives a broken XLA twin
+        from velesdb_tpu.ops import bucket_kernel as bk_mod
+
+        def boom(*a, **k):
+            raise RuntimeError("twin down")
+
+        monkeypatch.setattr(bk_mod, "sq8i_xla_rerank_topk", boom)
         vals, ids = idx.search(xs[:4], k=5)
         assert ids.shape == (4, 5)
         got = dem_mod.demotions()
-        assert "int8-assist" in got
-        # ADVICE #1: the fallback shadow was built on the way down
+        assert "int8-assist-xla" in got
         assert idx._full_hl is not None or "split-bf16" in got
 
         # surfaces in Collection.info()
@@ -481,8 +546,9 @@ def test_kernel_demotion_visibility(monkeypatch):
         brute_mod._SQ8I_OK[0] = saved[0]
         brute_mod._HL_OK[0] = saved[1]
         brute_mod._PALLAS_OK[0] = saved[2]
+        brute_mod._SQ8I_XLA_OK[0] = saved[3]
         dem_mod.KERNEL_DEMOTIONS.clear()
-        dem_mod.KERNEL_DEMOTIONS.update(saved[3])
+        dem_mod.KERNEL_DEMOTIONS.update(saved[4])
 
 
 def test_pad_rows_quantized_buckets():

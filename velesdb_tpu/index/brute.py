@@ -53,6 +53,7 @@ _PALLAS_OK = [True]  # f32/bf16 bucket kernel
 _HL_OK = [True]  # split-bf16 (true-f32 fidelity) bucket kernel
 _SQ8_BUCKET_OK = [True]  # SQ8 bucket kernel (int32-staged unpack)
 _SQ8I_OK = [True]  # SQ8 int8-direct kernel (int8 MXU dots, no unpack)
+_SQ8I_XLA_OK = [True]  # pure-XLA assist twin (int8 dot_general + rerank)
 _BINARY_OK = [True]  # Hamming kernels
 
 # int8-direct serves every dim (safety knob, lower to re-enable the staged
@@ -307,11 +308,14 @@ class BruteForceIndex:
         if mode in (StorageMode.FULL, StorageMode.F16, StorageMode.BF16):
             if self.dim >= 512:
                 return "streamed-scan"
-            if _SQ8I_OK[0] and self._assist is not None:
+            if self._assist is not None:
                 m = min(max(2 * k - 4, 16), 256)
                 chunk_i8 = min(bucket_chunk_for(b_pad8, d_pad, 1), self.n_pad)
                 if m >= k and _bucket_safe(self.n_pad, chunk_i8, m):
-                    return "int8-assist"
+                    if _SQ8I_OK[0]:
+                        return "int8-assist"
+                    if _SQ8I_XLA_OK[0]:
+                        return "int8-assist-xla"
             if _HL_OK[0] and self._full_hl is not None:
                 chunk_hl = min(bucket_chunk_for(b_pad8, d_pad, 8), self.n_pad)
                 if _bucket_safe(self.n_pad, chunk_hl, k):
@@ -546,7 +550,7 @@ class BruteForceIndex:
         # 338K vs 252K) where the MXU matmul dominates and XLA's pipelining
         # beats the hand-tiled kernel
         prefer_streamed = self.dim >= 512
-        if not prefer_streamed and _SQ8I_OK[0] and self._assist is not None:
+        if not prefer_streamed and self._assist is not None:
             # int8-assist serve default (see rebuild): coarse top-m int8
             # scan + exact f32 rerank in one program. m = 16 measured best
             # at k=10 (oversample ~1.6x; larger m only pays more gather —
@@ -555,28 +559,47 @@ class BruteForceIndex:
             m = min(max(2 * k - 4, 16), 256)
             chunk_i8 = min(bucket_chunk_for(b_pad, d_pad, 1), self.n_pad)
             if m >= k and _bucket_safe(self.n_pad, chunk_i8, m):
-                try:
-                    from velesdb_tpu.ops.bucket_kernel import (
-                        sq8i_rerank_topk,
-                    )
+                rows8, sc, mv, pen8 = self._assist
+                if mask_dev is not None:
+                    pen8 = jnp.where(mask_dev, pen8, jnp.inf)
+                if _SQ8I_OK[0]:
+                    try:
+                        from velesdb_tpu.ops.bucket_kernel import (
+                            sq8i_rerank_topk,
+                        )
 
-                    rows8, sc, mv, pen8 = self._assist
-                    if mask_dev is not None:
-                        pen8 = jnp.where(mask_dev, pen8, jnp.inf)
-                    return sq8i_rerank_topk(
-                        queries, rows8, sc, mv, pen8, self._full,
-                        k=k, m=m, metric=self.metric, chunk=chunk_i8,
-                        interpret=False,
-                    )
-                except Exception as e:
-                    _SQ8I_OK[0] = False
-                    record_demotion("int8-assist", e)
+                        return sq8i_rerank_topk(
+                            queries, rows8, sc, mv, pen8, self._full,
+                            k=k, m=m, metric=self.metric, chunk=chunk_i8,
+                            interpret=False,
+                        )
+                    except Exception as e:
+                        _SQ8I_OK[0] = False
+                        record_demotion("int8-assist", e)
+                if _SQ8I_XLA_OK[0]:
                     # ADVICE r3: rebuild() builds the assist shadow INSTEAD
                     # of the split-bf16 one, so on an assist kill-switch an
                     # existing FULL collection would silently demote all the
                     # way to the plain f32 bucket kernel (~0.953 host recall
-                    # at 1M vs 0.99+). Lazily build the hl shadow here so
-                    # the fallback keeps true-f32 fidelity.
+                    # at 1M vs 0.99+). The pure-XLA assist twin keeps
+                    # exact-rerank fidelity (~0.989 host) from the SAME
+                    # shadow arrays with no Mosaic dependency and no
+                    # +4B/dim hl rebuild.
+                    try:
+                        from velesdb_tpu.ops.bucket_kernel import (
+                            sq8i_xla_rerank_topk,
+                        )
+
+                        return sq8i_xla_rerank_topk(
+                            queries, rows8, sc, mv, pen8, self._full,
+                            k=k, m=m, metric=self.metric,
+                        )
+                    except Exception as e:
+                        _SQ8I_XLA_OK[0] = False
+                        record_demotion("int8-assist-xla", e)
+                    # last resort before the plain f32 kernel: lazily build
+                    # the split-bf16 shadow so fidelity survives even a
+                    # broken XLA twin.
                     if _HL_OK[0] and self._full_hl is None and self._full is not None:
                         try:
                             from velesdb_tpu.ops.bucket_kernel import (

@@ -62,6 +62,7 @@ __all__ = [
     "sq8_int8_rows",
     "sq8i_bucket_topk",
     "sq8i_rerank_topk",
+    "sq8i_xla_rerank_topk",
     "split_f32_rows",
     "bucket_topk_hl",
 ]
@@ -748,6 +749,14 @@ def sq8i_rerank_topk(queries, rows8, scale, minv, penalty, corpus, *, k, m,
         queries, rows8, scale, minv, penalty, k=m, metric=metric,
         chunk=chunk, interpret=interpret,
     )  # [B, m] coarse (metric-native values, but we only need ids)
+    return _exact_rerank_tail(queries, corpus, ci, k=k, metric=metric)
+
+
+def _exact_rerank_tail(queries, corpus, ci, *, k, metric):
+    """Gather ``ci`` coarse candidates from the resident f32 corpus and
+    rescore exactly in the same program (HIGHEST-precision einsum; O(B*m*D),
+    a rounding error next to the coarse scan). Shared by the Pallas assist
+    kernel and its pure-XLA twin so both serve identical fidelity."""
     safe = jnp.maximum(ci, 0)
     cand = corpus[safe]  # [B, m, D] gather of coarse winners
     if metric is DistanceMetric.COSINE:
@@ -777,3 +786,54 @@ def sq8i_rerank_topk(queries, rows8, scale, minv, penalty, corpus, *, k, m,
     vals, order = jax.lax.top_k(exact, k)
     ids = jnp.take_along_axis(ci, order, axis=1)
     return vals, jnp.where(vals == -jnp.inf, -1, ids)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "m", "metric", "recall_target")
+)
+def sq8i_xla_rerank_topk(queries, rows8, scale, minv, penalty, corpus, *, k,
+                         m, metric, recall_target=0.95):
+    """Pure-XLA twin of :func:`sq8i_rerank_topk`: one monolithic
+    int8 x int8 ``dot_general`` over the whole shadow (XLA lowers it onto
+    the v5e MXU natively), ``approx_max_k`` coarse selection, then the
+    shared exact-f32 rerank tail. No Pallas anywhere — this is the assist
+    fallback when the Mosaic kernel family demotes, keeping exact-grade
+    rerank fidelity from the SAME +1B/dim shadow arrays instead of paying
+    the +4B/dim split-bf16 shadow rebuild (ADVICE r3).
+
+    Measured (v5e scan protocol, 1M x 128D L2, benchmarks/exp_mono3/4):
+    285.9K QPS b=256 / 28.0K b=16 — faster than the Pallas kernel on raw
+    QPS — but host recall caps at ~0.9887 at the default
+    ``recall_target=0.95`` because ``approx_max_k``'s PartialReduce drops
+    true top-m candidates BEFORE the exact rerank (the kernel's exact
+    bucket selection reaches 0.9984 at the same m=16). Fallback-grade
+    until the rt/m sweep (exp_mono4) finds an operating point at kernel
+    recall; still far above the plain f32 bucket kernel's 0.953.
+    """
+    b, d = queries.shape
+    n, d_pad = rows8.shape
+    q = queries
+    if metric is DistanceMetric.COSINE:
+        sq = jnp.sum(q * q, axis=1, keepdims=True)
+        q = q * jnp.where(
+            sq > 1e-30, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0
+        )
+    elif metric is DistanceMetric.EUCLIDEAN:
+        q = 2.0 * q
+    qs = jnp.maximum(
+        jnp.max(jnp.abs(q), axis=1, keepdims=True), 1e-30
+    ) / 127.0  # [B, 1] symmetric per-query quant step
+    qi = jnp.round(q / qs).astype(jnp.int8)
+    if d_pad > d:
+        qi = jnp.pad(qi, ((0, 0), (0, d_pad - d)))
+    doti = jax.lax.dot_general(
+        qi, rows8, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [B, N] int8 x int8 -> int32 on the MXU
+    am = 128.0 * scale + minv  # folds the code-128 shift back in
+    sqi = jnp.sum(qi.astype(jnp.float32), axis=1, keepdims=True)
+    s = qs * (
+        doti.astype(jnp.float32) * scale[None, :] + sqi * am[None, :]
+    ) - penalty[None, :]
+    _, ci = jax.lax.approx_max_k(s, m, recall_target=recall_target)
+    return _exact_rerank_tail(queries, corpus, ci, k=k, metric=metric)
