@@ -582,9 +582,9 @@ class BruteForceIndex:
                     # existing FULL collection would silently demote all the
                     # way to the plain f32 bucket kernel (~0.953 host recall
                     # at 1M vs 0.99+). The pure-XLA assist twin keeps
-                    # exact-rerank fidelity (~0.989 host) from the SAME
-                    # shadow arrays with no Mosaic dependency and no
-                    # +4B/dim hl rebuild.
+                    # exact-rerank fidelity (0.9973 host at 1Mx128,
+                    # exp_mono4) from the SAME shadow arrays with no
+                    # Mosaic dependency and no +4B/dim hl rebuild.
                     try:
                         from velesdb_tpu.ops.bucket_kernel import (
                             sq8i_xla_rerank_topk,

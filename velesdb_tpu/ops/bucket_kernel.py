@@ -792,7 +792,7 @@ def _exact_rerank_tail(queries, corpus, ci, *, k, metric):
     jax.jit, static_argnames=("k", "m", "metric", "recall_target")
 )
 def sq8i_xla_rerank_topk(queries, rows8, scale, minv, penalty, corpus, *, k,
-                         m, metric, recall_target=0.95):
+                         m, metric, recall_target=0.99):
     """Pure-XLA twin of :func:`sq8i_rerank_topk`: one monolithic
     int8 x int8 ``dot_general`` over the whole shadow (XLA lowers it onto
     the v5e MXU natively), ``approx_max_k`` coarse selection, then the
@@ -801,14 +801,22 @@ def sq8i_xla_rerank_topk(queries, rows8, scale, minv, penalty, corpus, *, k,
     rerank fidelity from the SAME +1B/dim shadow arrays instead of paying
     the +4B/dim split-bf16 shadow rebuild (ADVICE r3).
 
-    Measured (v5e scan protocol, 1M x 128D L2, benchmarks/exp_mono3/4):
-    285.9K QPS b=256 / 28.0K b=16 — faster than the Pallas kernel on raw
-    QPS — but host recall caps at ~0.9887 at the default
-    ``recall_target=0.95`` because ``approx_max_k``'s PartialReduce drops
-    true top-m candidates BEFORE the exact rerank (the kernel's exact
-    bucket selection reaches 0.9984 at the same m=16). Fallback-grade
-    until the rt/m sweep (exp_mono4) finds an operating point at kernel
-    recall; still far above the plain f32 bucket kernel's 0.953.
+    DECISION SWEEP (v5e, same-run, 1M x 128D L2, benchmarks/exp_mono4):
+
+        ship kernel m16 : 250.1K b256 / 26.8K b16   host recall 0.9984
+        twin m16 rt0.95 : 267.0K      / 26.0K                   0.9887
+        twin m16 rt0.99 : 255.4K      / 26.5K                   0.9973
+        twin m32 rt0.95 : 264.9K      / 28.0K                   0.9949
+        twin m64 rt0.95 : 223.9K      / 24.7K                   0.9973
+        twin m64 rt0.99 : 147.0K      / 25.1K                   0.9988
+
+    ``approx_max_k``'s PartialReduce drops true top-m candidates BEFORE
+    the exact rerank — the recall gap vs the kernel's exact bucket
+    selection, and why no twin point dominates: at matched recall the QPS
+    tie goes to the kernel, so the kernel stays serve default and the
+    twin ships at ``recall_target=0.99`` (the best fallback point;
+    rt=0.95's +4% QPS is not worth -0.009 recall). Either way the twin
+    sits far above the plain f32 bucket kernel's 0.953 demotion floor.
     """
     b, d = queries.shape
     n, d_pad = rows8.shape
