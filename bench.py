@@ -136,7 +136,7 @@ def _scan_chunk(n_pad):
     divides n_pad and the scan reshape would fail."""
     from velesdb_tpu.ops.streamed import _pick_chunk
 
-    return _pick_chunk(n_pad, 65536) or _scan_chunk(n_pad)
+    return _pick_chunk(n_pad, 65536) or min(n_pad, 65536)
 
 def _host_basis_recall(search_fn, engine_arrays, qs, corpus_dev, valid_dev,
                        k, metric, n_pad):

@@ -143,3 +143,33 @@ def test_payload_compact(tmp_path):
     log2 = PayloadLog(str(tmp_path))
     assert len(log2) == 100
     log2.close()
+
+
+def test_id_range_validated_at_boundary(tmp_path, rng):
+    """Ids must fit int64 (occupancy's -1 sentinel, the native codec's
+    int64 column, the npz id-index are all int64): out-of-range ids fail
+    FAST with ValueError at store time, not deep in a later flush with
+    OverflowError (code-review r4)."""
+    import pytest
+
+    from velesdb_tpu.storage.vector_store import VectorStore
+
+    store = VectorStore(str(tmp_path), 8, create=True)
+    v = rng.standard_normal(8).astype(np.float32)
+    with pytest.raises(ValueError, match="out of range"):
+        store.store(1 << 63, v)
+    with pytest.raises(ValueError, match="out of range"):
+        store.store(-1, v)
+    with pytest.raises(ValueError, match="out of range"):
+        store.store_batch([1, 1 << 63], np.stack([v, v]))
+    with pytest.raises(ValueError, match="out of range"):
+        store.delete(1 << 63)
+    # the max legal id round-trips through flush + reopen (npz int64)
+    big = (1 << 63) - 1
+    store.store(big, v)
+    store.flush()
+    store.close()
+    store2 = VectorStore(str(tmp_path), 8)
+    got = store2.retrieve(big)
+    np.testing.assert_allclose(got, v)
+    store2.close()

@@ -347,6 +347,22 @@ def test_sq8i_xla_rerank_twin(data, metric):
     assert agree.mean() >= 0.9
     np.testing.assert_allclose(vals[agree, 0], gv[agree, 0], rtol=2e-4, atol=2e-4)
 
+    # selective filter passing FEWER rows than the coarse pool m: the
+    # approx_max_k fill entries carry -inf coarse scores but REAL indices —
+    # without the -1 mapping the exact rerank would un-mask filtered-out
+    # rows (code-review r4)
+    tight = np.zeros(len(xs), bool)
+    allowed = np.flatnonzero(valid)[:7]  # 7 valid rows < m=64, < k=10
+    tight[allowed] = True
+    pen_t = jnp.asarray(np.where(tight, base, np.inf).astype(np.float32))
+    vt, it_ = sq8i_xla_rerank_topk(
+        jnp.asarray(queries), rows8, scale, minv, pen_t, jnp.asarray(xs),
+        k=10, m=64, metric=m,
+    )
+    it_ = np.asarray(it_)
+    assert np.isin(it_[it_ >= 0], allowed).all()
+    assert (it_ >= 0).sum(axis=1).max() <= 7  # only real matches surface
+
 
 @pytest.mark.parametrize("metric", METRICS)
 def test_split_bf16_bucket_kernel_interpret(data, metric):

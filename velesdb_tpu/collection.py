@@ -638,7 +638,12 @@ class Collection:
         used = self.vectors.used_slots
         if used < 4096:  # toy collections: the probe costs more than it informs
             return
-        if getattr(self, "_storage_gate_used", None) == used:
+        prev = getattr(self, "_storage_gate_used", None)
+        # debounced on >=10% row drift, not equality: an upsert-interleaved
+        # search workload changes used_slots between searches, and each
+        # probe costs a full host-oracle pass on the serve critical path
+        # (code-review r4)
+        if prev is not None and abs(used - prev) < 0.1 * prev:
             return
         self._storage_gate_used = used  # set FIRST: calibrate() re-enters search
         bar = (
@@ -865,6 +870,11 @@ class Collection:
                 if sel <= 0.0:
                     engine = "exact"
                 elif need_np > base_np:
+                    # quantize the bump to a /8 grid: nprobe is a jit-static
+                    # arg, so raw selectivity-derived values would compile a
+                    # fresh program per distinct filter (code-review r4 —
+                    # same shape-churn class as the graph branch's ef rounding)
+                    need_np = ((need_np + 7) // 8) * 8
                     cap = self.ivf.c_real or self.ivf.c
                     if need_np > cap or need_np * L * 2 >= used:
                         engine = "exact"

@@ -287,8 +287,11 @@ def _padded_n_parts_capped(raw: int, c: int, n_rows: int, L: int,
     a tighter headroom falls back to the bucketed grid past it)."""
     worst = c + n_rows // max(L, 1) + 1
     max_pad = max(16, _PAD_BYTES_BUDGET // max(L * row_bytes, 1))
-    det = c + max(16, min(c // 8, max_pad))
-    padded = det if raw <= det else _bucket_n_parts(raw)
+    if c // 8 <= max_pad:
+        padded = _padded_n_parts(raw, c)
+    else:  # budget-tightened headroom: same rule, smaller deterministic pad
+        det = c + max(16, max_pad)
+        padded = det if raw <= det else _bucket_n_parts(raw)
     return min(padded, max(worst, raw))
 
 

@@ -843,5 +843,9 @@ def sq8i_xla_rerank_topk(queries, rows8, scale, minv, penalty, corpus, *, k,
     s = qs * (
         doti.astype(jnp.float32) * scale[None, :] + sqi * am[None, :]
     ) - penalty[None, :]
-    _, ci = jax.lax.approx_max_k(s, m, recall_target=recall_target)
+    cv, ci = jax.lax.approx_max_k(s, m, recall_target=recall_target)
+    # kernel-family contract (_final_select): -inf coarse scores are
+    # penalty-knocked-out rows (mask-filtered / tombstoned / pad) — map
+    # them to -1 BEFORE the rerank or their true f32 distance un-masks them
+    ci = jnp.where(cv == -jnp.inf, -1, ci)
     return _exact_rerank_tail(queries, corpus, ci, k=k, metric=metric)

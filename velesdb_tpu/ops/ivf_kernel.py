@@ -147,8 +147,11 @@ def ivf_probe_topk(queries, cents, cent_sq, words, aux, flat_rows, *,
     route = qn @ cents.T
     if metric is DistanceMetric.EUCLIDEAN:
         route = route - 0.5 * cent_sq[None, :]
-    # bucket-padded partitions carry a huge cent_sq sentinel (ivf._group_map)
-    route = jnp.where(cent_sq[None, :] >= 5e29, -jnp.inf, route)
+    # bucket-padded partitions carry the cent_sq sentinel (ivf._group_map);
+    # reuse the single masking helper so the threshold can never diverge
+    from velesdb_tpu.index.ivf import _route_mask
+
+    route = _route_mask(route, cent_sq)
     _, probe = jax.lax.top_k(route, nprobe)  # [B, NPROBE]
 
     q = qn

@@ -34,6 +34,20 @@ _HDR = struct.Struct("<BBQII")
 
 _INITIAL_SLOTS_BYTES = 16 * 1024 * 1024  # 16MB initial file, like mmap.rs
 
+_MAX_ID = (1 << 63) - 1
+
+
+def _check_id(vid: int) -> None:
+    """Ids must fit int64 AND the WAL's u64 field: every array path
+    (occupancy's -1 sentinel, the native codec's int64 column, the npz
+    id-index) is int64, so ids in [2**63, 2**64) would crash deep in a
+    later flush/checkpoint instead of at the API boundary, and negative
+    ids would corrupt the u64 WAL field (code-review r4)."""
+    if not 0 <= vid <= _MAX_ID:
+        raise ValueError(
+            f"vector id {vid} out of range: ids must be in [0, 2**63)"
+        )
+
 
 def _native_codec():
     """The C++ WAL codec, or None (pure-Python fallback paths)."""
@@ -265,6 +279,7 @@ class VectorStore:
         vec = np.asarray(vec, dtype=np.float32)
         if vec.shape != (self.dim,):
             raise ValueError(f"expected dim {self.dim}, got {vec.shape}")
+        _check_id(vid)
         with self.metrics["store"].timer():
             self._wal_append(_OP_UPSERT, vid, vec)
             return self._apply_upsert(vid, vec)
@@ -274,6 +289,9 @@ class VectorStore:
         if vecs.ndim != 2 or vecs.shape[1] != self.dim:
             raise ValueError(f"expected [N, {self.dim}], got {vecs.shape}")
         ids = [int(v) for v in ids]
+        if ids:
+            _check_id(min(ids))
+            _check_id(max(ids))
         codec = _native_codec()
         if codec is not None and len(ids) > 1:
             # native batch framing: one buffer, one write, one flush —
@@ -306,6 +324,7 @@ class VectorStore:
         return slots
 
     def delete(self, vid: int) -> bool:
+        _check_id(int(vid))
         self._wal_append(_OP_DELETE, int(vid), None)
         return self._apply_delete(int(vid))
 

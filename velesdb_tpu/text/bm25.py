@@ -107,9 +107,20 @@ class Bm25Index:
             return
         self.n_pad = 1 << max(7, (max(n_slots, 1) - 1).bit_length())
         with self._mut:
+            # cleared BEFORE the build so a mutation DURING it re-dirties
+            # (r4 race fix); a FAILED build must restore it (below) or the
+            # index would serve the stale blocks forever (code-review r4)
             self._dirty = False
             docs = dict(self._docs)
             doc_len = dict(self._doc_len)
+        try:
+            self._build_blocks(docs, doc_len)
+        except BaseException:
+            with self._mut:
+                self._dirty = True
+            raise
+
+    def _build_blocks(self, docs: dict, doc_len: dict) -> None:
         n_docs = len(docs)
         if n_docs == 0:
             self._vocab = {}
