@@ -83,3 +83,64 @@ def test_text_survives_reopen(tmp_db_dir, rng):
     db2 = Database.open(tmp_db_dir)
     c2 = db2.get_collection("docs")
     assert [h.id for h in c2.text_search("hello", k=3)] == [1]
+
+
+def test_hybrid_fused_matches_host_fusion(tmp_db_dir, rng):
+    """The device-fused RRF path (r4: one readback, on-device fusion) must
+    agree with the host ``weighted_rrf`` over the same branch lists —
+    including under a filter, per-weight, and with out-of-vocab text."""
+    from velesdb_tpu.fusion import weighted_rrf
+
+    db = Database.open(tmp_db_dir)
+    c = db.create_collection("h", dim=24, metric="cosine")
+    n = 3000
+    vecs = rng.standard_normal((n, 24)).astype(np.float32)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    payloads = [
+        {"text": f"{words[i % 6]} {words[(i // 6) % 6]}", "price": float(i % 100)}
+        for i in range(n)
+    ]
+    c.upsert_bulk(range(n), vecs, payloads)
+
+    filt = {"type": "lt", "field": "price", "value": 50.0}
+    k = 10
+    fetch = 2 * k
+    for w, f in [(0.5, None), (0.5, filt), (0.3, filt), (1.0, None), (0.0, None)]:
+        q = vecs[17] + 0.01 * rng.standard_normal(24).astype(np.float32)
+        got = c.hybrid_search(q, "alpha beta", k=k, vector_weight=w, filter=f)
+        vec_hits = c.search(q, fetch, filter=f)
+        txt_hits = c.text_search("alpha beta", fetch, filter=f)
+        want = weighted_rrf(
+            [(r.id, r.score) for r in vec_hits],
+            [(r.id, r.score) for r in txt_hits],
+            k, vector_weight=w,
+        )
+        want_ids = [vid for vid, s in want if s > 0]
+        got_ids = [r.id for r in got]
+        # identical candidate sets; order may swap only among exact ties
+        assert set(got_ids) == set(want_ids[: len(got_ids)]) or got_ids == want_ids, (
+            w, f, got_ids, want_ids)
+        want_map = dict(want)
+        for r in got:
+            assert abs(r.score - want_map[r.id]) < 1e-6, (w, r.id)
+        if f is not None:  # filter respected end-to-end
+            assert all(r.payload["price"] < 50.0 for r in got)
+
+    # out-of-vocab text: vector ranks alone (host parity: empty text list)
+    got = c.hybrid_search(vecs[5], "qwertyuiop", k=5, vector_weight=0.5)
+    vec_only = c.search(vecs[5], fetch)
+    assert [r.id for r in got] == [r.id for r in vec_only[:5]]
+
+
+def test_hybrid_quantized_rides_host_rerank_path(tmp_db_dir, rng):
+    """SQ8 collections keep the host-fused hybrid (their vector branch IS
+    the host-f32 rerank pass) and still find the planted near-duplicate."""
+    db = Database.open(tmp_db_dir)
+    c = db.create_collection("hq", dim=24, metric="euclidean",
+                             storage_mode="sq8")
+    n = 2000
+    vecs = rng.standard_normal((n, 24)).astype(np.float32)
+    c.upsert_bulk(range(n), vecs,
+                  [{"text": "alpha" if i % 2 else "beta"} for i in range(n)])
+    got = c.hybrid_search(vecs[33], "alpha", k=5, vector_weight=0.8)
+    assert got and got[0].id == 33

@@ -321,3 +321,45 @@ def test_limits_validation(db):
         validate_vector(np.ones(8), lim)
     with pytest.raises(ValidationError, match="NaN"):
         validate_vector([1.0, float("nan")], lim)
+
+
+def test_exec_hybrid_fused_matches_host_fusion(tmp_db_dir, rng):
+    """The executor's single-readback device-fused NEAR+MATCH (r4) must rank
+    like the host two-branch path (`_fuse_rows` over rrf_fuse)."""
+    from velesdb_tpu.fusion import rrf_fuse
+
+    d = Database.open(tmp_db_dir)
+    c = d.create_collection("items", dim=16, metric="cosine")
+    n = 4000
+    vecs = rng.standard_normal((n, 16)).astype(np.float32)
+    words = ["shoes", "boots", "coffee", "laptop"]
+    c.upsert_bulk(
+        range(n), vecs,
+        [{"body": words[i % 4], "price": float(i % 100)} for i in range(n)],
+    )
+    rows = d.query(
+        "SELECT * FROM items WHERE v NEAR $q AND body MATCH 'shoes' "
+        "AND price < 50 LIMIT 8",
+        {"q": vecs[4]},
+    )
+    # host oracle over the same fetch window (executor: max(4*need, 32) = 32)
+    fetch = 32
+    vec_hits = c.search(vecs[4], fetch, filter={"type": "lt", "field": "price", "value": 50.0})
+    txt_hits = c.text_search("shoes", fetch, filter={"type": "lt", "field": "price", "value": 50.0})
+    # FULL host fused map (no top-8 cut): the 3/4 of docs sharing
+    # body='shoes' have IDENTICAL BM25 scores, so rank ties are everywhere
+    # (device breaks them by list position, host by smaller id) — the stable
+    # invariants are (a) identical fused-score ladders at the cut and
+    # (b) every returned (id, score) pair exists in the host fused map
+    want_all = dict(rrf_fuse(
+        [[(r.id, r.score) for r in vec_hits], [(r.id, r.score) for r in txt_hits]],
+        10 ** 9,
+    ))
+    want_top = sorted(want_all.values(), reverse=True)[: len(rows)]
+    got_ids = [r["id"] for r in rows]
+    got_scores = [r["score"] for r in rows]
+    np.testing.assert_allclose(got_scores, want_top, rtol=1e-6)
+    for r in rows:
+        assert abs(want_all[r["id"]] - r["score"]) < 1e-6, r
+        assert r["payload"]["price"] < 50
+    assert 4 in got_ids  # planted vector hit passes both filter and fusion

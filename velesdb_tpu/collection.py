@@ -802,8 +802,30 @@ class Collection:
             raise ValueError(
                 f"dimension mismatch: expected {self.dim}, got {q.shape[1]}"
             )
-        quality = SearchQuality.parse(quality) if quality is not None else None
         mask = self._filter_mask(filter)
+        vals, idx, engine, sig, t0 = self._search_device(q, k, mask, ef, quality)
+        # ONE device_get for both outputs: sequential np.asarray calls pay
+        # one tunnel RTT EACH (measured 50.4 vs 25.3 ms for the pair) —
+        # this single line is half the per-call serving latency (r3c)
+        import jax as _jax
+
+        vals, idx = _jax.device_get((vals, idx))
+        out = self._hydrate(np.asarray(vals), np.asarray(idx), k)
+        dt = time.perf_counter() - t0
+        if sig in self._timed_sigs:
+            self.planner.record_latency(engine, q.shape[0], dt)
+        else:
+            self._timed_sigs.add(sig)  # warm-up (compile) dispatch: untimed
+        return out
+
+    def _search_device(self, q, k, mask, ef=None, quality=None):
+        """Engine-selected batched search returning DEVICE ``(vals, idx)``
+        (slot indices) plus the chosen engine, the planner timing signature,
+        and the dispatch start time. The caller owns the readback (single-RTT
+        ``device_get``) and hydration — the fused hybrid path composes this
+        with the BM25 device scorer and an on-device RRF without ever
+        reading branch results back to the host."""
+        quality = SearchQuality.parse(quality) if quality is not None else None
         exact = quality is SearchQuality.PERFECT or self.index_kind == "exact"
         ef_from_profile = ef is None
         if ef is None:
@@ -886,20 +908,8 @@ class Collection:
                                                ivf_nprobe=ivf_nprobe)
         else:
             vals, idx = self._brute.search(q, k, mask=mask)
-        # ONE device_get for both outputs: sequential np.asarray calls pay
-        # one tunnel RTT EACH (measured 50.4 vs 25.3 ms for the pair) —
-        # this single line is half the per-call serving latency (r3c)
-        import jax as _jax
-
-        vals, idx = _jax.device_get((vals, idx))
-        out = self._hydrate(np.asarray(vals), np.asarray(idx), k)
-        dt = time.perf_counter() - t0
         sig = (engine, self.planner._bucket(q.shape[0]), k_fetch, ef)
-        if sig in self._timed_sigs:
-            self.planner.record_latency(engine, q.shape[0], dt)
-        else:
-            self._timed_sigs.add(sig)  # warm-up (compile) dispatch: untimed
-        return out
+        return vals, idx, engine, sig, t0
 
     @property
     def planner(self):
@@ -1300,22 +1310,12 @@ class Collection:
         filter: dict | None = None,
     ):
         """Vector + BM25 fusion via weighted RRF (k=60), fetching 2k from
-        each branch (``hybrid_search``, ``search/text.rs:113-221``)."""
-        from velesdb_tpu.fusion import weighted_rrf
-
-        fetch = max(2 * k, k)
-        vec_hits = self.search(query_vector, fetch, filter=filter)
-        txt_hits = self.text_search(query_text, fetch, filter=filter)
-        fused = weighted_rrf(
-            [(r.id, r.score) for r in vec_hits],
-            [(r.id, r.score) for r in txt_hits],
-            k,
-            vector_weight=vector_weight,
-        )
-        return [
-            SearchResult(id=vid, score=score, payload=self.payloads.retrieve(vid))
-            for vid, score in fused
-        ]
+        each branch (``hybrid_search``, ``search/text.rs:113-221``). Rides
+        the fused single-readback batch path."""
+        return self.hybrid_search_batch(
+            [query_vector], [query_text], k,
+            vector_weight=vector_weight, filter=filter,
+        )[0]
 
     def hybrid_search_batch(
         self,
@@ -1325,11 +1325,92 @@ class Collection:
         vector_weight: float = 0.5,
         filter: dict | None = None,
     ):
-        """Batched vector + BM25 fusion (weighted RRF k=60): ONE device
-        dispatch per branch for the whole batch — the TPU-native hybrid
-        serving path (the reference fans rayon tasks per query,
-        ``search/batch.rs:231``; here the batch IS the parallelism). Used
-        by the hybrid throughput benchmark (BASELINE config #4)."""
+        """Batched vector + BM25 fusion (weighted RRF k=60) — the TPU-native
+        hybrid serving path (the reference fans rayon tasks per query,
+        ``search/batch.rs:231``; here the batch IS the parallelism). Both
+        branches stay device-resident and fuse in a jitted RRF program
+        (:mod:`velesdb_tpu.ops.fused_rrf`), so the whole hybrid batch pays
+        ONE readback RTT and one filter-mask evaluation instead of two of
+        each plus a host fusion loop. Used by the hybrid throughput
+        benchmark (BASELINE config #4).
+
+        Quantized collections with :attr:`auto_rerank` keep the host-fused
+        two-branch form: their vector branch is the host-f32 rerank pass,
+        which reads back by construction."""
+        if not self._hybrid_fused_ok:
+            return self._hybrid_host_fused(
+                query_vectors, query_texts, k, vector_weight, filter
+            )
+        return self._hybrid_fused_batch(
+            query_vectors, query_texts, k,
+            w_vec=vector_weight, w_txt=1.0 - vector_weight, filter=filter,
+        )
+
+    @property
+    def _hybrid_fused_ok(self) -> bool:
+        """Quantized collections with :attr:`auto_rerank` can't device-fuse:
+        their vector branch is the host-f32 rerank pass."""
+        return not (
+            self.auto_rerank
+            and self.storage_mode in (StorageMode.SQ8, StorageMode.BINARY)
+        )
+
+    def _hybrid_fused_batch(self, query_vectors, query_texts, k, *, w_vec,
+                            w_txt, filter, ef=None, quality=None,
+                            rrf_k=None, fetch=None):
+        """Device-fused hybrid core: vector engine + BM25 scorer outputs stay
+        on device, one jitted RRF (:mod:`velesdb_tpu.ops.fused_rrf`), one
+        readback. ``rrf_k=None`` = the reference's 60; explicit values serve
+        VelesQL ``USING FUSION RRF`` (where both weights are 1)."""
+        import jax as _jax
+        import jax.numpy as jnp
+
+        from velesdb_tpu.ops.fused_rrf import rrf_fuse_topk
+
+        if fetch is None:
+            fetch = max(2 * k, k)
+        fetch = max(fetch, k)
+        self.refresh_device()
+        self._ensure_text()
+        q = np.atleast_2d(np.asarray(query_vectors, dtype=np.float32))
+        if q.shape[1] != self.dim:
+            raise ValueError(
+                f"dimension mismatch: expected {self.dim}, got {q.shape[1]}"
+            )
+        raw_mask = self._raw_filter_mask(filter)
+        mask = None
+        if raw_mask is not None:
+            used = max(self.vectors.used_slots, 1)
+            mask = _pad_mask(raw_mask, self._brute.n_pad or used)
+        v_vals, v_idx, _engine, _sig, _t0 = self._search_device(
+            q, fetch, mask, ef, quality
+        )
+        used = max(self.vectors.used_slots, 1)
+        txt = self.text_index.search_batch_dev(
+            list(query_texts), fetch, used, mask=raw_mask
+        )
+        if txt is None:  # no term hits: vector ranks alone (host parity)
+            t_vals = jnp.zeros((q.shape[0], fetch), jnp.float32)
+            t_idx = jnp.full((q.shape[0], fetch), -1, jnp.int32)
+        else:
+            t_vals, t_idx = txt
+        slot_ids, _ = self.vectors.occupancy()
+        self._slot_ids = slot_ids
+        fused_vals, fused_idx = rrf_fuse_topk(
+            v_vals, v_idx, t_vals, t_idx,
+            jnp.float32(w_vec), jnp.float32(w_txt),
+            None if rrf_k is None else jnp.float32(rrf_k),
+            k=k,
+        )
+        fused_vals, fused_idx = _jax.device_get((fused_vals, fused_idx))
+        return self._hydrate(
+            np.asarray(fused_vals), np.asarray(fused_idx), k
+        )
+
+    def _hybrid_host_fused(self, query_vectors, query_texts, k,
+                           vector_weight, filter):
+        """Two-branch host-fused hybrid (the pre-r4 path): serves quantized
+        collections whose vector branch IS a host rerank pass."""
         from velesdb_tpu.fusion import weighted_rrf
 
         fetch = max(2 * k, k)

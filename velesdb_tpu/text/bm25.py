@@ -172,10 +172,25 @@ class Bm25Index:
         empty slots are ``-1``. ``mask [>=n_slots] bool`` optionally restricts
         results (ColumnStore pushdown — replaces the reference's post-filter).
         """
-        self.refresh(n_slots)
-        b = len(queries)
-        if self._block_docs is None:
+        got = self.search_batch_dev(queries, k, n_slots, mask=mask)
+        if got is None:
+            b = len(queries)
             return (np.zeros((b, k), np.float32), np.full((b, k), -1, np.int64))
+        # one round trip for both outputs (sequential np.asarray calls
+        # each pay a tunnel RTT — see collection.search_batch, r3c)
+        vals, slots = jax.device_get(got)
+        return np.asarray(vals), np.asarray(slots, np.int64)
+
+    def search_batch_dev(self, queries: list[str], k: int, n_slots: int,
+                         mask=None):
+        """Device-resident batched BM25 top-k: ``(scores, slots)`` as DEVICE
+        arrays (``slots == -1`` for empty), or ``None`` when no query term
+        hits the vocabulary / the index is empty. The fused hybrid path
+        composes this with the vector engine's device output and an
+        on-device RRF — no per-branch readback RTT."""
+        self.refresh(n_slots)
+        if self._block_docs is None:
+            return None
         sentinel = self._block_docs.shape[0] - 1
         rows: list[list[int]] = []
         weights: list[list[float]] = []
@@ -193,7 +208,8 @@ class Bm25Index:
             weights.append(wts)
         max_l = max((len(r) for r in rows), default=0)
         if max_l == 0:
-            return (np.zeros((b, k), np.float32), np.full((b, k), -1, np.int64))
+            return None
+        b = len(queries)
         l_pad = 1 << (max_l - 1).bit_length()
         bid = np.full((b, l_pad), sentinel, np.int32)
         wt = np.zeros((b, l_pad), np.float32)
@@ -205,7 +221,7 @@ class Bm25Index:
             m = np.asarray(mask, bool)
             m = np.pad(m, (0, self.n_pad - m.shape[0])) if m.shape[0] < self.n_pad else m[: self.n_pad]
             mask_dev = jnp.asarray(m)
-        vals, slots = _bm25_score(
+        return _bm25_score(
             jnp.asarray(bid),
             jnp.asarray(wt),
             self._block_docs,
@@ -214,10 +230,6 @@ class Bm25Index:
             n_pad=self.n_pad,
             k=k,
         )
-        # one round trip for both outputs (sequential np.asarray calls
-        # each pay a tunnel RTT — see collection.search_batch, r3c)
-        vals, slots = jax.device_get((vals, slots))
-        return np.asarray(vals), np.asarray(slots, np.int64)
 
     def search(self, query: str, k: int, n_slots: int, mask=None):
         """Single query -> ``[(slot, score), ...]`` best-first (``bm25.rs:269``)."""

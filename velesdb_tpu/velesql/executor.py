@@ -327,10 +327,16 @@ def _exec_select(db, stmt: SelectStatement, params) -> list[dict]:
     elif has_vec and has_txt:
         # hybrid: RRF-fuse device top lists (USING FUSION overrides strategy)
         fetch = max(4 * need, 32) if not aggregating else min(coll.count(), max(10 * need, 1000))
-        vec_rows = _vector_candidates(coll, stmt, params, fetch, ef, quality, filt)
-        txt_rows = _text_candidates(coll, stmt, params, fetch, filt)
         fspec = stmt.near.fusion if stmt.near is not None else None
-        candidates = _fuse_rows(coll, vec_rows, txt_rows, max(need, fetch), fspec)
+        fused_dev = _fused_hybrid_rows(
+            coll, stmt, params, fetch, ef, quality, filt, fspec, aggregating
+        )
+        if fused_dev is not None:
+            candidates = fused_dev
+        else:
+            vec_rows = _vector_candidates(coll, stmt, params, fetch, ef, quality, filt)
+            txt_rows = _text_candidates(coll, stmt, params, fetch, filt)
+            candidates = _fuse_rows(coll, vec_rows, txt_rows, max(need, fetch), fspec)
     elif has_vec:
         # aggregation over NEAR widens the candidate set but stays bounded
         # (the reference's 10x over-fetch, mod.rs; unbounded = [B, N] blowup)
@@ -432,6 +438,44 @@ def _as_filter_dict(filt):
 def _union_rows(primary: list[dict], secondary: list[dict]) -> list[dict]:
     seen = {r["id"] for r in primary}
     return primary + [r for r in secondary if r["id"] not in seen]
+
+
+def _fused_hybrid_rows(coll, stmt, params, fetch, ef, quality, filt, fspec,
+                       aggregating) -> list[dict] | None:
+    """Single-readback device-fused NEAR+MATCH (r4): when the hybrid is the
+    common shape — one NEAR vector, RRF fusion, non-aggregating, collection
+    not on the quantized-rerank route — both branch top lists stay on device
+    and fuse in one jitted RRF, halving the per-query readback RTTs of the
+    two-branch host path. Returns ``None`` when the shape needs the general
+    host fusion (multi-vector NEAR, non-RRF strategies, aggregation).
+
+    RRF ignores branch weights (``fusion.rrf_fuse``), so both device weights
+    are 1; ``fetch`` rounds up to a power of two — it becomes the fused
+    program's static top-k, and LIMIT/OFFSET-derived raw values would
+    compile a fresh program per distinct LIMIT."""
+    if aggregating or not getattr(coll, "_hybrid_fused_ok", False):
+        return None
+    near = stmt.near
+    if near is None or len(near.vectors) != 1 or near.fused:
+        return None
+    strategy = FusionStrategy.parse(fspec.strategy) if fspec else FusionStrategy.RRF
+    if strategy is not FusionStrategy.RRF:
+        return None
+    q = _resolve_value(stmt.text_match.query, params)
+    if not isinstance(q, str):
+        raise QueryError("MATCH requires a string query")
+    vec = _resolve_vector(near.vectors[0], params)
+    fetch = max(1, min(fetch, max(coll.count(), 1)))
+    fetch_p2 = 1 << (fetch - 1).bit_length()
+    rows = coll._hybrid_fused_batch(
+        [vec], [q], fetch_p2, w_vec=1.0, w_txt=1.0,
+        filter=_as_filter_dict(filt), ef=ef, quality=quality,
+        rrf_k=float(fspec.rrf_k) if fspec else None, fetch=fetch_p2,
+    )[0]
+    return [
+        {"id": r.id, "score": float(r.score), "payload": r.payload}
+        for r in rows
+    ]
 
 
 def _fuse_rows(coll, vec_rows, txt_rows, k, fspec) -> list[dict]:
