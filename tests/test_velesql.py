@@ -355,11 +355,15 @@ def test_exec_hybrid_fused_matches_host_fusion(tmp_db_dir, rng):
         [[(r.id, r.score) for r in vec_hits], [(r.id, r.score) for r in txt_hits]],
         10 ** 9,
     ))
-    want_top = sorted(want_all.values(), reverse=True)[: len(rows)]
+    want_top = sorted(want_all.items(), key=lambda t: (-t[1], t[0]))[: len(rows)]
     got_ids = [r["id"] for r in rows]
-    got_scores = [r["score"] for r in rows]
-    np.testing.assert_allclose(got_scores, want_top, rtol=1e-6)
+    # exact id-for-id agreement: the device fusion sorts (-score, slot)
+    # lexicographically (fused_rrf r4), matching the host (-score, id) rule
+    # on this fresh bulk-loaded collection (slot order == id order)
+    assert got_ids == [vid for vid, _ in want_top], (got_ids, want_top)
+    np.testing.assert_allclose(
+        [r["score"] for r in rows], [s for _, s in want_top], rtol=1e-6
+    )
     for r in rows:
-        assert abs(want_all[r["id"]] - r["score"]) < 1e-6, r
         assert r["payload"]["price"] < 50
     assert 4 in got_ids  # planted vector hit passes both filter and fusion

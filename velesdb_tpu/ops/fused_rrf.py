@@ -74,6 +74,14 @@ def rrf_fuse_topk(v_vals, v_idx, t_vals, t_idx, w_vec, w_txt=None, rrf_k=None,
     dup = jnp.any(eq & earlier, axis=2)
     fused = jnp.where(valid & ~dup, tot, 0.0)
 
-    vals, pos = jax.lax.top_k(fused, k)
-    out_ids = jnp.take_along_axis(ids, pos, axis=1)
+    # exact host tie semantics (fusion.py sorts by (-score, id)): a variadic
+    # lexicographic sort instead of top_k — rank ties (ubiquitous in RRF:
+    # rank r in EITHER branch contributes the identical w/(k+r+1)) resolve
+    # to the smaller slot, matching the host fusion id-for-id
+    sort_ids = jnp.where(fused > 0.0, ids, jnp.iinfo(jnp.int32).max)
+    neg_vals, out_ids = jax.lax.sort(
+        (-fused, sort_ids), dimension=1, num_keys=2
+    )
+    vals = -neg_vals[:, :k]
+    out_ids = out_ids[:, :k]
     return vals, jnp.where(vals > 0.0, out_ids, -1)
