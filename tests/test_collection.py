@@ -287,3 +287,18 @@ def test_perfect_quality_routes_through_host_rerank(tmp_db_dir, rng):
     calls.clear()
     col.search(vecs[7], k=5, quality="balanced")
     assert not calls
+
+
+def test_search_batch_records_planner_latency(tmp_db_dir, rng):
+    """Regression guard for the r4 _search_device split: the public
+    search_batch must still feed the planner's latency EMA (first dispatch
+    per signature is warm-up, the second records)."""
+    from velesdb_tpu.database import Database
+
+    db = Database.open(tmp_db_dir)
+    c = db.create_collection("p", dim=16)
+    c.upsert_bulk(range(5000), rng.standard_normal((5000, 16)).astype(np.float32))
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    c.search_batch(q, k=5)   # warm-up (untimed)
+    c.search_batch(q, k=5)   # timed
+    assert c.planner.observed("exact", 4) is not None
