@@ -385,11 +385,12 @@ def _vector_candidates(coll, stmt, params, k, ef, quality, filt) -> list[dict]:
     else:
         vectors, fused, fspec = near.vectors, near.fused, near.fusion
     k = max(1, min(k, max(coll.count(), 1)))
-    lists = []
-    for v in vectors:
-        vec = _resolve_vector(v, params)
-        hits = coll.search(vec, k, filter=_as_filter_dict(filt), ef=ef, quality=quality)
-        lists.append([(h["id"], h["score"]) for h in hits])
+    qs = [_resolve_vector(v, params) for v in vectors]
+    # ONE batched dispatch + readback for every NEAR_FUSED vector (a
+    # per-vector coll.search loop paid one tunnel RTT EACH, r4)
+    rows = coll.search_batch(np.stack(qs), k, filter=_as_filter_dict(filt),
+                             ef=ef, quality=quality)
+    lists = [[(h.id, h.score) for h in row] for row in rows]
     if len(lists) == 1:
         fused_list = lists[0]
     else:
