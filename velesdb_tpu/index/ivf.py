@@ -1276,6 +1276,13 @@ def _bucketed_self_knn_sq8(parts_w, pscale, pminv, part_rows, part_sq,
 
 SQ8_BUILD_MIN_ROWS = int(os.environ.get("VELESDB_SQ8_BUILD_MIN_ROWS",
                                          4_000_000))
+# byte-based twin of the row threshold: the f32/bf16 partition copy that
+# OOMed one-chip builds "past ~4M rows" (r3d) did so at 128D — what binds
+# is BYTES, not rows. At 768D the same copy blows at 1M rows (measured
+# 10.2GB HLO temp, r4b): quantize the build corpus whenever the f32 corpus
+# itself exceeds the budget. 2GiB == the r3d row threshold at 128D.
+SQ8_BUILD_MIN_BYTES = int(os.environ.get("VELESDB_SQ8_BUILD_MIN_BYTES",
+                                         2 << 30))
 
 
 def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
@@ -1322,7 +1329,8 @@ def ivf_self_knn(corpus, k: int, metric: DistanceMetric, valid=None,
     d_true = corpus_in.shape[1]
     metric = DistanceMetric(metric)
     if sq8 is None:
-        sq8 = n >= SQ8_BUILD_MIN_ROWS
+        sq8 = (n >= SQ8_BUILD_MIN_ROWS
+               or n * d_true * 4 >= SQ8_BUILD_MIN_BYTES)
     sq_src = None
     if sq8:
         from velesdb_tpu.ops.quantization import sq8_quantize
