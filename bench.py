@@ -532,116 +532,240 @@ def _with_deadline(seconds, fn, *args, **kw):
         signal.signal(signal.SIGALRM, old)
 
 
-def main():
+# ---------------------------------------------------------------------------
+# Stage runners (run in a FRESH subprocess each — VERDICT r4 #1: a TPU
+# backend ABORT kills the in-process JAX client; only process isolation
+# lets the next stage/retry start clean). Each stage prints exactly ONE
+# JSON line on stdout (progress goes to stderr) and exits 0 even on error
+# (the error rides in the JSON's "error" field).
+# ---------------------------------------------------------------------------
+
+def _stage_headline():
     n = int(os.environ.get("BENCH_N", 100_000))
     d = int(os.environ.get("BENCH_D", 768))
     n_queries = int(os.environ.get("BENCH_QUERIES", 2048))
     batch = int(os.environ.get("BENCH_BATCH", 256))
-    budget = int(os.environ.get("BENCH_TIMEOUT_S", 420))
+    out = run_config(n, d, "cosine", batch, n_queries)
+    out.update(n=n, d=d)
+    return out
 
-    head = None
+
+def _stage_sift():
+    n_queries = int(os.environ.get("BENCH_QUERIES", 2048))
+    batch = int(os.environ.get("BENCH_BATCH", 256))
+    return run_config(
+        1_000_000, 128, "euclidean", batch, n_queries, device_corpus=True
+    )
+
+
+def _stage_ingest():
+    return {"ingest_rate": bench_ingest()}
+
+
+def _stage_builds():
+    graph_rate, ivf_rate = bench_index_builds()
+    return {"graph_rate": graph_rate, "ivf_rate": ivf_rate}
+
+
+def _stage_graph1m():
+    return {"graph_build_1m_vec_s": bench_graph_build_1m()}
+
+
+_STAGES = {
+    "headline": _stage_headline,
+    "sift": _stage_sift,
+    "ingest": _stage_ingest,
+    "builds": _stage_builds,
+    "graph1m": _stage_graph1m,
+}
+
+
+def _run_stage_inproc(name: str) -> int:
+    """Entry for ``bench.py --stage NAME``: run one stage, print one JSON
+    line, ALWAYS exit 0 with JSON (errors ride inside the payload)."""
+    budget = int(os.environ.get("BENCH_STAGE_TIMEOUT_S", 0))
+    try:
+        if budget > 0:
+            out = _with_deadline(budget, _STAGES[name])
+        else:
+            out = _STAGES[name]()
+    except _Timeout:
+        out = {"error": "timeout", "error_type": "_Timeout"}
+    except BaseException as e:  # noqa: BLE001 — backend ABORTs must not escape
+        out = {"error": repr(e)[:500], "error_type": type(e).__name__}
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+def _spawn_stage(name: str, timeout_s: int, attempts: int = 1):
+    """Run a stage in a fresh subprocess; return (dict|None, fail_reason).
+
+    A fresh process per attempt means a dead JAX client, a segfault, or a
+    wedged D2H can't poison later stages — the parent just times it out
+    and moves on. The persistent JAX compile cache keeps retries cheap.
+    """
+    import subprocess
+
+    last = "unknown"
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(20)  # let a tunnel-weather phase move on
+        _note(f"stage {name} attempt {attempt + 1}/{attempts} "
+              f"(timeout {timeout_s}s)")
+        env = dict(os.environ)
+        env["BENCH_STAGE_TIMEOUT_S"] = str(max(timeout_s - 15, 30))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--stage", name],
+                stdout=subprocess.PIPE, stderr=None, timeout=timeout_s,
+                env=env, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            last = "subprocess timeout"
+            continue
+        out = None
+        for line in reversed((proc.stdout or "").strip().splitlines()):
+            try:
+                out = json.loads(line)
+                break
+            except (json.JSONDecodeError, ValueError):
+                continue
+        if out is None:
+            last = f"no JSON (rc={proc.returncode})"
+            continue
+        if "error" in out:
+            last = f"{out.get('error_type', '?')}: {out['error']}"
+            _note(f"stage {name} errored: {last}")
+            continue
+        _note(f"stage {name} ok")
+        return out, None
+    return None, last
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", 100_000))
+    d = int(os.environ.get("BENCH_D", 768))
+    budget = int(os.environ.get("BENCH_TIMEOUT_S", 420))
+    skip_sift = bool(os.environ.get("BENCH_SKIP_SIFT"))
+
+    failed = {}
+
     # wedge phases last minutes and PASS (measured r3: 10-40 min windows
     # between long clear stretches): retry the headline config across up
-    # to three deadline windows before giving up
-    for attempt in range(3):
-        try:
-            head = _with_deadline(
-                budget, run_config, n, d, "cosine", batch, n_queries
-            )
-            break
-        except _Timeout:
-            time.sleep(30)
+    # to three fresh-process windows before giving up
+    head, why = _spawn_stage("headline", budget, attempts=3)
     if head is None:
-        print(
-            json.dumps(
-                {
-                    "metric": "bench aborted: TPU tunnel wedge (no sample "
-                              f"within 3x{budget}s)",
-                    "value": 0.0,
-                    "unit": "qps",
-                    "vs_baseline": 0.0,
-                }
-            )
-        )
-        return
+        failed["headline"] = why
 
-    # host ingest (tunnel-immune) + warm index-build rates (deadline-guarded)
-    try:
-        ingest_rate = _with_deadline(120, bench_ingest)
-        ingest_txt = f"ingest {ingest_rate:,.0f} vec/s (host WAL)"
-    except (_Timeout, Exception) as e:  # keep the headline either way
-        ingest_txt = f"ingest n/a ({type(e).__name__})"
-    graph_rate_1m = None
-    try:
-        graph_rate, ivf_rate = _with_deadline(300, bench_index_builds)
+    ingest, why = _spawn_stage("ingest", 150)
+    if ingest is None:
+        failed["ingest"] = why
+    builds, why = _spawn_stage("builds", 360)
+    if builds is None:
+        failed["builds"] = why
+    graph1m = sift = None
+    if not skip_sift:
+        graph1m, why = _spawn_stage("graph1m", 660)
+        if graph1m is None:
+            failed["graph1m"] = why
+        sift, why = _spawn_stage("sift", budget, attempts=2)
+        if sift is None:
+            failed["sift"] = why
+
+    # ---- assemble the ONE JSON line (ALWAYS emitted — VERDICT r4 #1c) ----
+    ingest_txt = (
+        f"ingest {ingest['ingest_rate']:,.0f} vec/s (host WAL)"
+        if ingest else "ingest n/a"
+    )
+    builds_txt = ""
+    if builds:
         builds_txt = (
-            f", graph build {graph_rate:,.0f} vec/s"
-            f", ivf build {ivf_rate:,.0f} vec/s"
+            f", graph build {builds['graph_rate']:,.0f} vec/s"
+            f", ivf build {builds['ivf_rate']:,.0f} vec/s"
         )
-    except (_Timeout, Exception):
-        builds_txt = ""
-    if not os.environ.get("BENCH_SKIP_SIFT"):
-        try:
-            graph_rate_1m = _with_deadline(600, bench_graph_build_1m)
-            builds_txt += (
-                f", graph build 1Mx128 {graph_rate_1m:,.0f} vec/s warm"
-            )
-        except (_Timeout, Exception):
-            pass
-
+    if graph1m:
+        builds_txt += (
+            f", graph build 1Mx128 "
+            f"{graph1m['graph_build_1m_vec_s']:,.0f} vec/s warm"
+        )
     sift_txt = ""
-    if not os.environ.get("BENCH_SKIP_SIFT"):
-        try:
-            sift = _with_deadline(
-                budget, run_config, 1_000_000, 128, "euclidean", batch,
-                n_queries, device_corpus=True,
+    if sift:
+        sift_txt = (
+            f"; SIFT-1M-class 1Mx128D L2 (int8-assist serve path: "
+            f"coarse int8 scan + exact f32 rerank): "
+            f"{sift['qps']:,.0f} QPS @ recall@10="
+            f"{sift['recall']:.4f} device-basis / "
+            f"{sift['recall_host']:.4f} host-f32 identity / "
+            f"{sift['recall_eps']:.4f} eps-recall (all measured vs the "
+            f"HIGHEST-precision true-f32 oracle)"
+        )
+        if "ivf_qps_b16" in sift:
+            sift_txt += (
+                f"; small-batch IVF nprobe={sift['ivf_nprobe']}: "
+                f"{sift['ivf_qps_b16']:,.0f} QPS @ batch=16, "
+                f"recall {sift['ivf_recall']:.4f}"
             )
-            sift_txt = (
-                f"; SIFT-1M-class 1Mx128D L2 (int8-assist serve path: "
-                f"coarse int8 scan + exact f32 rerank): "
-                f"{sift['qps']:,.0f} QPS @ recall@10="
-                f"{sift['recall']:.4f} device-basis / "
-                f"{sift['recall_host']:.4f} host-f32 identity / "
-                f"{sift['recall_eps']:.4f} eps-recall (all measured vs the "
-                f"HIGHEST-precision true-f32 oracle)"
-            )
-            if "ivf_qps_b16" in sift:
-                sift_txt += (
-                    f"; small-batch IVF nprobe={sift['ivf_nprobe']}: "
-                    f"{sift['ivf_qps_b16']:,.0f} QPS @ batch=16, "
-                    f"recall {sift['ivf_recall']:.4f}"
-                )
-        except _Timeout:
-            sift_txt = "; SIFT-1M config skipped (tunnel wedge)"
-        except Exception as e:  # tunnel weather: keep the headline
-            sift_txt = f"; SIFT-1M config failed: {type(e).__name__}"
+    elif not skip_sift:
+        sift_txt = f"; SIFT-1M config failed: {failed.get('sift', '?')}"
 
-    payload = {
-        "metric": (
-            f"search QPS/chip at recall@10={head['recall']:.4f} "
-            f"device-basis / {head['recall_host']:.4f} host-f32 / "
-            f"{head['recall_eps']:.4f} eps "
-            f"({n}x{d}D cosine, k=10, serve-path engine; "
-            f"{ingest_txt}, device refresh "
-            f"{head['build_rate']:,.0f} vec/s{builds_txt}{sift_txt})"
-        ),
-        "value": round(head["qps"], 1),
-        "unit": "qps",
-        "vs_baseline": round(head["qps"] / REFERENCE_QPS, 2),
-        # machine-readable recall fields (VERDICT r3 weak #2 / next #6)
-        "recall": round(head["recall"], 4),
-        "recall_host": round(head["recall_host"], 4),
-        "recall_eps": round(head["recall_eps"], 4),
-    }
-    if sift_txt and "QPS" in sift_txt:
+    if head:
+        payload = {
+            "metric": (
+                f"search QPS/chip at recall@10={head['recall']:.4f} "
+                f"device-basis / {head['recall_host']:.4f} host-f32 / "
+                f"{head['recall_eps']:.4f} eps "
+                f"({n}x{d}D cosine, k=10, serve-path engine; "
+                f"{ingest_txt}, device refresh "
+                f"{head['build_rate']:,.0f} vec/s{builds_txt}{sift_txt})"
+            ),
+            "value": round(head["qps"], 1),
+            "unit": "qps",
+            "vs_baseline": round(head["qps"] / REFERENCE_QPS, 2),
+            # machine-readable recall fields (VERDICT r3 weak #2 / next #6)
+            "recall": round(head["recall"], 4),
+            "recall_host": round(head["recall_host"], 4),
+            "recall_eps": round(head["recall_eps"], 4),
+        }
+    else:
+        payload = {
+            "metric": (
+                f"bench headline failed ({failed.get('headline', '?')}); "
+                f"partial stages: {ingest_txt}{builds_txt}{sift_txt}"
+            ),
+            "value": 0.0,
+            "unit": "qps",
+            "vs_baseline": 0.0,
+        }
+    if ingest:
+        payload["ingest_vec_s"] = round(ingest["ingest_rate"])
+    if sift:
         payload["sift_qps"] = round(sift["qps"], 1)
         payload["sift_recall"] = round(sift["recall"], 4)
         payload["sift_recall_host"] = round(sift["recall_host"], 4)
         payload["sift_recall_eps"] = round(sift["recall_eps"], 4)
-    if graph_rate_1m is not None:
-        payload["graph_build_1m_vec_s"] = round(graph_rate_1m)
+        if "ivf_qps_b16" in sift:
+            payload["ivf_qps_b16"] = round(sift["ivf_qps_b16"], 1)
+            payload["ivf_recall"] = round(sift["ivf_recall"], 4)
+    if graph1m:
+        payload["graph_build_1m_vec_s"] = round(
+            graph1m["graph_build_1m_vec_s"]
+        )
+    if failed:
+        payload["failed_stages"] = failed
     print(json.dumps(payload))
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        sys.exit(_run_stage_inproc(sys.argv[2]))
+    try:
+        sys.exit(main())
+    except BaseException as e:  # noqa: BLE001 — the driver NEEDS its JSON line
+        if isinstance(e, SystemExit):
+            raise
+        print(json.dumps({
+            "metric": f"bench orchestrator crashed: {type(e).__name__}: "
+                      f"{str(e)[:300]}",
+            "value": 0.0, "unit": "qps", "vs_baseline": 0.0,
+        }))
+        sys.exit(0)
