@@ -117,6 +117,7 @@ class Collection:
         self._storage_gate_used = None
         self._planner = None  # QueryPlanner (lazy)
         self.columns = ColumnStore()
+        self.columns.set_id_source(self.vectors.occupancy)
         self._columns_built = False
         # text indexes build lazily from the payload log at first text query
         self.text_index = None  # Bm25Index
@@ -1199,6 +1200,7 @@ class Collection:
                 # slot numbers changed: all slot-keyed state must rebuild —
                 # including the ANN delta (its slot ids are now meaningless)
                 self.columns = ColumnStore()
+                self.columns.set_id_source(self.vectors.occupancy)
                 self._columns_built = False
                 self.text_index = None
                 self.trigram_index = None

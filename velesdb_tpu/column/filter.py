@@ -45,6 +45,7 @@ _VALID_OPS = {
     "not",
     "like",
     "ilike",
+    "field_cmp",
 }
 
 
@@ -79,6 +80,9 @@ def _validate(cond: dict) -> None:
     elif t in ("is_null", "is_not_null"):
         if "field" not in cond:
             raise FilterError(f"{t} requires field")
+    elif t == "field_cmp":
+        if "field" not in cond or "rhs_field" not in cond:
+            raise FilterError("field_cmp requires field and rhs_field")
     else:
         if "field" not in cond:
             raise FilterError(f"{t} requires field")
@@ -143,6 +147,16 @@ def matches(payload: Any, cond: dict) -> bool:
     if t == "not":
         return not matches(payload, cond["condition"])
     v = get_path(payload, cond["field"]) if payload is not None else None
+    if t == "field_cmp":
+        rv = get_path(payload, cond["rhs_field"]) if payload is not None else None
+        op = cond.get("op", "eq")
+        if rv is None or v is None:
+            return False
+        if op == "eq":
+            return v == rv
+        if op == "neq":
+            return v != rv
+        return _cmp(v, rv, op)
     if t == "eq":
         return v == cond.get("value")
     if t == "neq":

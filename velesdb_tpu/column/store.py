@@ -124,6 +124,12 @@ class ColumnStore:
         self._mask_cache: OrderedDict[str, np.ndarray] = OrderedDict()
         self._mask_cache_size = mask_cache_size
         self._version = 0
+        # virtual "id" column: (slot_ids, valid) provider wired by the
+        # Collection (vectors.occupancy) so `WHERE id ...` predicates — and
+        # the executor's correlated-subquery `id IN [...]` rewrites — lower
+        # to masks without materializing an id column. An explicit payload
+        # column named "id" shadows it.
+        self._id_source = None
 
     # -- ingest ------------------------------------------------------------
 
@@ -245,9 +251,14 @@ class ColumnStore:
             np.logical_not(out, out=out)
             return out
 
+        if t == "field_cmp":
+            return self._field_cmp_mask(cond, n)
+
         field = cond["field"]
         col = self._col(field, n)
         if col is None:
+            if field == "id" and self._id_source is not None:
+                return self._id_mask(t, cond, n)
             # unknown column: nothing matches except null checks
             return np.full(n, t == "is_null", bool)
         data, valid = col.data[:n], col.valid[:n]
@@ -269,6 +280,73 @@ class ColumnStore:
                 out |= self._scalar_cmp(col, n, "eq", v)
             return out
         return self._scalar_cmp(col, n, t, cond.get("value"))
+
+    def set_id_source(self, fn) -> None:
+        """Wire the virtual "id" column provider: ``fn() -> (ids, valid)``."""
+        self._id_source = fn
+
+    def _id_mask(self, t: str, cond: dict, n: int) -> np.ndarray:
+        """Predicates on the virtual row-id column. Stale-cache safety: the
+        mask cache keys on the column version, which every slot (re)use bumps
+        via upsert_row; deletions without a column touch are masked out by
+        the occupancy/valid AND every consumer already applies."""
+        ids_full, valid_full = self._id_source()
+        m = min(n, len(ids_full))
+        data = np.full(n, -1, np.int64)
+        vld = np.zeros(n, bool)
+        data[:m] = ids_full[:m]
+        vld[:m] = valid_full[:m]
+        if t == "is_null":
+            return ~vld
+        if t == "is_not_null":
+            return vld
+        if t in ("like", "ilike", "contains"):
+            return np.zeros(n, bool)
+        if t == "in":
+            vals = [int(v) for v in cond["values"]
+                    if isinstance(v, (int, np.integer))
+                    or (isinstance(v, float) and v.is_integer())]
+            if not vals:
+                return np.zeros(n, bool)
+            out = np.isin(data, np.asarray(vals, np.int64))
+            out &= vld
+            return out
+        try:
+            value = int(cond.get("value"))
+        except (TypeError, ValueError):
+            return np.zeros(n, bool) if t != "neq" else vld
+        ufunc = _CMP_UFUNC.get(t)
+        if ufunc is None:
+            raise FilterError(f"bad id predicate {t}")
+        out = ufunc(data, value)
+        out &= vld
+        return out
+
+    def _field_cmp_mask(self, cond: dict, n: int) -> np.ndarray:
+        """Column-to-column comparison (correlated-subquery residue and the
+        plain ``WHERE a < b`` case). String columns share one interning
+        table, so code equality IS string equality; ordered string compare
+        and cross-kind compares conservatively match nothing."""
+        col_l = self._col(cond["field"], n)
+        col_r = self._col(cond["rhs_field"], n)
+        if col_l is None or col_r is None:
+            return np.zeros(n, bool)
+        op = cond.get("op", "eq")
+        dl, vl = col_l.data[:n], col_l.valid[:n]
+        dr, vr = col_r.data[:n], col_r.valid[:n]
+        if col_l.kind == "str" or col_r.kind == "str":
+            if col_l.kind != col_r.kind or op not in ("eq", "neq"):
+                return np.zeros(n, bool)
+        elif col_l.kind == "bool" or col_r.kind == "bool":
+            if col_l.kind != col_r.kind or op not in ("eq", "neq"):
+                return np.zeros(n, bool)
+        ufunc = _CMP_UFUNC.get(op)
+        if ufunc is None:
+            raise FilterError(f"bad field_cmp op {op}")
+        out = ufunc(dl, dr)
+        out &= vl
+        out &= vr
+        return out
 
     def _scalar_cmp(self, col: Column, n: int, op: str, value) -> np.ndarray:
         data, valid = col.data[:n], col.valid[:n]

@@ -14,10 +14,12 @@ Rows come back as plain dicts (JSON-ready for the REST/CLI surfaces).
 
 from __future__ import annotations
 
+from dataclasses import replace
 from typing import Any
 
 import numpy as np
 
+from velesdb_tpu.column.filter import _cmp as _filter_cmp
 from velesdb_tpu.column.filter import get_path, matches, normalize_filter
 from velesdb_tpu.fusion import FusionStrategy, rrf_fuse
 from velesdb_tpu.ops import DistanceMetric
@@ -110,22 +112,28 @@ def _resolve_vector(v, params) -> np.ndarray:
     return arr
 
 
-def _resolve_filter(db, cond, params):
-    """Resolve $params / NOW() / IN-subqueries in a filter tree
-    (copy-on-write). Non-correlated subqueries materialize ONCE into an IN
-    list (the reference's ``subquery_optimizer.rs`` fast path)."""
+def _resolve_filter(db, cond, params, outer=None):
+    """Resolve $params / NOW() / subqueries in a filter tree (copy-on-write).
+
+    Subquery strategy selection (``subquery_optimizer.rs`` analog):
+    non-correlated subqueries materialize ONCE (CacheResult); correlated
+    ones run as a hash semi-join when every correlation is a top-level
+    equality conjunct (RewriteAsJoin), else per outer row (PerRow) capped
+    at :data:`CORRELATED_PERROW_MAX`. ``outer`` is ``(collection,
+    {alias, collection_name})`` of the enclosing SELECT.
+    """
     if cond is None:
         return None
     out = dict(cond)
     t = out.get("type")
     if t in ("and", "or"):
-        out["conditions"] = [_resolve_filter(db, c, params) for c in out["conditions"]]
+        out["conditions"] = [
+            _resolve_filter(db, c, params, outer) for c in out["conditions"]
+        ]
     elif t == "not":
-        out["condition"] = _resolve_filter(db, out["condition"], params)
-    elif t == "in_subquery":
-        rows = _exec_node(db, out.pop("query"), params)
-        out["type"] = "in"
-        out["values"] = _subquery_values(rows)
+        out["condition"] = _resolve_filter(db, out["condition"], params, outer)
+    elif t in ("in_subquery", "exists_subquery", "cmp_subquery"):
+        return _resolve_subquery(db, out, params, outer)
     else:
         if "value" in out:
             out["value"] = _resolve_value(out["value"], params)
@@ -143,6 +151,279 @@ def _subquery_values(rows: list[dict]) -> list:
     keys = [k for k in rows[0] if k not in ("payload",)]
     key = keys[0] if len(keys) == 1 else "id"
     return [r.get(key) for r in rows]
+
+
+def _subquery_scalar(rows: list[dict]):
+    """First row's single projected value (scalar subquery result)."""
+    if not rows:
+        return None
+    keys = [k for k in rows[0] if k not in ("payload",)]
+    key = keys[0] if len(keys) == 1 else "id"
+    return rows[0].get(key)
+
+
+# -- correlated subqueries (EPIC-039 / subquery_optimizer.rs analog) ---------
+
+# PerRow executions allowed before we refuse (the reference's
+# SubqueryOptConfig.cache_threshold default)
+CORRELATED_PERROW_MAX = 10_000
+
+
+def _true_cond() -> dict:
+    return {"type": "and", "conditions": []}  # matches everything
+
+
+def _false_cond() -> dict:
+    return {"type": "or", "conditions": []}  # matches nothing
+
+
+def _resolve_subquery(db, node, params, outer):
+    sub = node.pop("query")
+    corr = node.pop("correlations", [])
+    t = node["type"]
+    if corr:
+        if outer is None:
+            raise QueryError("correlated subquery is not supported in this context")
+        return _exec_correlated(db, node, sub, corr, params, outer)
+    rows = _exec_node(db, sub, params)
+    if t == "in_subquery":
+        node["type"] = "in"
+        node["values"] = _subquery_values(rows)
+        return node
+    if t == "exists_subquery":
+        return _true_cond() if rows else _false_cond()
+    val = _subquery_scalar(rows)  # cmp_subquery
+    if node.get("field") is None:
+        # literal form: (SELECT ...) OP value — constant for the whole query
+        lit = _resolve_value(node.get("value"), params)
+        return _true_cond() if _cmp_vals(val, lit, node["op"]) else _false_cond()
+    if val is None:
+        return _false_cond()  # SQL: comparison with NULL scalar is never true
+    return {"type": node["op"], "field": node["field"], "value": val}
+
+
+def _strip_prefix(path: str, names: set) -> str:
+    head, _, rest = path.partition(".")
+    return rest if rest and head in names else path
+
+
+def _outer_value(row: dict, path: str, outer_names: set):
+    path = _strip_prefix(path, outer_names)
+    if path == "id":
+        return row["id"]
+    return get_path(row.get("payload"), path)
+
+
+def _cmp_vals(a, b, op: str) -> bool:
+    if a is None or b is None:
+        return False
+    if op == "eq":
+        return a == b
+    if op == "neq":
+        return a != b
+    return _filter_cmp(a, b, op)
+
+
+def _exec_correlated(db, node, sub, corr, params, outer):
+    """Correlated subquery -> `id IN [...]` over the outer collection (the
+    id-list lowers into the same mask pushdown every engine already takes).
+    Strategy: hash semi-join when safe, else PerRow with a row cap."""
+    coll, outer_names = outer
+    t = node["type"]
+    outer_rows = _scan(coll, None)
+    ids = None
+    if _hash_rewrite_ok(sub, corr, t):
+        ids = _correlated_semijoin(
+            db, node, sub, corr, params, outer_rows, outer_names, t
+        )
+    if ids is None:
+        if len(outer_rows) > CORRELATED_PERROW_MAX:
+            raise QueryError(
+                f"correlated subquery over {len(outer_rows)} outer rows "
+                f"exceeds the PerRow cap ({CORRELATED_PERROW_MAX}); use "
+                "equality correlations so it can run as a join"
+            )
+        ids = _correlated_per_row(
+            db, node, sub, corr, params, outer_rows, outer_names, t
+        )
+    return {"type": "in", "field": "id", "values": ids}
+
+
+def _hash_rewrite_ok(sub, corr, t) -> bool:
+    """RewriteAsJoin is sound only when dropping the correlated conjuncts
+    and grouping by the join key preserves semantics: every correlation is
+    a top-level equality conjunct, and the subquery has no top-k/limit
+    shape (NEAR/MATCH/LIMIT make the result set query-global)."""
+    if any(c.get("kind") == "pred" for c in corr):
+        return False
+    if any(c["op"] != "eq" for c in corr):
+        return False
+    if (
+        sub.limit is not None
+        or sub.offset
+        or sub.group_by
+        or sub.having is not None
+        or sub.near is not None
+        or sub.text_match is not None
+        or sub.similarity
+        or sub.joins
+    ):
+        return False
+    if t == "cmp_subquery" and sub.order_by:
+        return False  # "first row" would depend on the dropped ordering
+    top = (
+        sub.filter["conditions"]
+        if isinstance(sub.filter, dict) and sub.filter.get("type") == "and"
+        else [sub.filter]
+    )
+    top_ids = {id(c) for c in top}
+    return all(id(c["node"]) in top_ids for c in corr)
+
+
+def _strip_conjuncts(filt, drop_ids: set):
+    if isinstance(filt, dict) and filt.get("type") == "and":
+        kept = [c for c in filt["conditions"] if id(c) not in drop_ids]
+        if not kept:
+            return None
+        return kept[0] if len(kept) == 1 else {"type": "and", "conditions": kept}
+    return None if id(filt) in drop_ids else filt
+
+
+def _substitute_nodes(cond, repl: dict):
+    """Copy a filter tree replacing nodes by identity (PerRow binding)."""
+    if not isinstance(cond, dict):
+        return cond
+    if id(cond) in repl:
+        return repl[id(cond)]
+    t = cond.get("type")
+    out = dict(cond)
+    if t in ("and", "or"):
+        out["conditions"] = [
+            _substitute_nodes(c, repl) for c in cond.get("conditions", [])
+        ]
+    elif t == "not":
+        out["condition"] = _substitute_nodes(cond.get("condition"), repl)
+    return out
+
+
+def _sub_projection(sub):
+    """The value a subquery row contributes to IN/scalar tests: the single
+    plain projected field, a single Aggregate, or id."""
+    cols = sub.columns
+    if len(cols) == 1:
+        if isinstance(cols[0].expr, Aggregate):
+            return cols[0].expr
+        if isinstance(cols[0].expr, str) and cols[0].expr != "*":
+            return cols[0].expr
+    return "id"
+
+
+def _row_value(r: dict, path: str):
+    if path == "id":
+        return r.get("id")
+    return get_path(r.get("payload"), path)
+
+
+def _correlated_semijoin(db, node, sub, corr, params, outer_rows, outer_names, t):
+    """RewriteAsJoin: execute the subquery ONCE without its correlated
+    conjuncts, group rows by the inner join key, then hash-probe per outer
+    row. Aggregate projections evaluate per group (the GROUP BY the
+    rewrite implies)."""
+    sub_names = {sub.alias or sub.collection, sub.collection}
+    stripped = _strip_conjuncts(sub.filter, {id(c["node"]) for c in corr})
+    inner = replace(
+        sub, filter=stripped, columns=[SelectItem("*")],
+        order_by=[], limit=None, offset=0,
+    )
+    rows = _exec_node(db, inner, params)
+    inner_paths = [_strip_prefix(c["inner"], sub_names) for c in corr]
+    groups: dict[tuple, list[dict]] = {}
+    for r in rows:
+        key = tuple(_row_value(r, p) for p in inner_paths)
+        if any(k is None for k in key):
+            continue  # SQL: NULL never equi-joins
+        groups.setdefault(key, []).append(r)
+    proj = _sub_projection(sub)
+    ids = []
+    for row in outer_rows:
+        key = tuple(_outer_value(row, c["outer"], outer_names) for c in corr)
+        members = groups.get(key, []) if all(k is not None for k in key) else []
+        if t == "exists_subquery":
+            ok = bool(members)
+        elif t == "in_subquery":
+            ov = _outer_value(row, node["field"], outer_names)
+            if isinstance(proj, Aggregate):
+                vals = [_agg_value(proj, members)]
+            else:
+                vals = [_row_value(r, proj) for r in members]
+            ok = ov is not None and ov in vals
+        else:  # cmp_subquery
+            if isinstance(proj, Aggregate):
+                sval = _agg_value(proj, members)
+            else:
+                sval = _row_value(members[0], proj) if members else None
+            if node.get("field") is None:
+                ok = _cmp_vals(sval, _resolve_value(node.get("value"), params),
+                               node["op"])
+            else:
+                ov = _outer_value(row, node["field"], outer_names)
+                ok = _cmp_vals(ov, sval, node["op"])
+        if ok:
+            ids.append(row["id"])
+    return ids
+
+
+def _correlated_per_row(db, node, sub, corr, params, outer_rows, outer_names, t):
+    """PerRow: bind each outer row's values into the subquery filter and
+    re-execute. Correct for every correlation shape; O(outer × subquery)."""
+    sub_names = {sub.alias or sub.collection, sub.collection}
+    ids = []
+    limit = sub.limit
+    if t == "exists_subquery":
+        limit = 1 if limit is None else min(limit, 1)
+    for row in outer_rows:
+        repl = {}
+        for c in corr:
+            if c.get("kind") == "pred":
+                pred = dict(c["node"])
+                pred["field"] = _strip_prefix(pred["field"], outer_names)
+                payload = {**(row.get("payload") or {}), "id": row["id"]}
+                ok = matches(payload, normalize_filter(pred))
+                repl[id(c["node"])] = _true_cond() if ok else _false_cond()
+            else:
+                ov = _outer_value(row, c["outer"], outer_names)
+                if ov is None:
+                    repl[id(c["node"])] = _false_cond()
+                else:
+                    repl[id(c["node"])] = {
+                        "type": c["op"],
+                        "field": _strip_prefix(c["inner"], sub_names),
+                        "value": ov,
+                    }
+        inner = replace(
+            sub, filter=_substitute_nodes(sub.filter, repl), limit=limit
+        )
+        rows = _exec_node(db, inner, params)
+        if t == "exists_subquery":
+            ok = bool(rows)
+        elif t == "in_subquery":
+            ov = _outer_value(row, node["field"], outer_names)
+            ok = ov is not None and ov in _subquery_values(rows)
+        elif node.get("field") is None:
+            ok = _cmp_vals(
+                _subquery_scalar(rows),
+                _resolve_value(node.get("value"), params),
+                node["op"],
+            )
+        else:
+            ok = _cmp_vals(
+                _outer_value(row, node["field"], outer_names),
+                _subquery_scalar(rows),
+                node["op"],
+            )
+        if ok:
+            ids.append(row["id"])
+    return ids
 
 
 # -- join support ----------------------------------------------------------------
@@ -283,6 +564,7 @@ def _exec_select(db, stmt: SelectStatement, params) -> list[dict]:
     if coll is None:
         raise QueryError(f"unknown collection {stmt.collection!r}")
 
+    outer_ctx = (coll, {stmt.alias or stmt.collection, stmt.collection})
     join_filts: dict = {}
     post_filts: list = []
     if stmt.joins:
@@ -291,9 +573,9 @@ def _exec_select(db, stmt: SelectStatement, params) -> list[dict]:
             base_filt, join_filts, post_filts = _partition_filter(
                 base_filt, stmt.alias or stmt.collection, [j.alias for j in stmt.joins]
             )
-        filt = _resolve_filter(db, base_filt, params)
+        filt = _resolve_filter(db, base_filt, params, outer_ctx)
     else:
-        filt = _resolve_filter(db, stmt.filter, params)
+        filt = _resolve_filter(db, stmt.filter, params, outer_ctx)
     if filt is not None:
         filt = normalize_filter(filt)
 

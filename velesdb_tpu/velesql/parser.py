@@ -91,6 +91,10 @@ where_clause: "WHERE"i or_expr
           | ident_path CMP_OP value -> cmp
           | ident_path "NOT"i "IN"i "(" select_stmt ")" -> not_in_subquery
           | ident_path "IN"i "(" select_stmt ")" -> in_subquery
+          | "EXISTS"i "(" select_stmt ")" -> exists_subquery
+          | ident_path CMP_OP "(" select_stmt ")" -> cmp_subquery
+          | "(" select_stmt ")" CMP_OP value -> cmp_subquery_l
+          | ident_path CMP_OP ident_path -> field_cmp
           | ident_path "NOT"i "IN"i "(" value ("," value)* ")" -> not_in
           | ident_path "IN"i "(" value ("," value)* ")" -> in_
           | ident_path "NOT"i "BETWEEN"i value "AND"i value -> not_between
@@ -345,12 +349,36 @@ class _ToAst(Transformer):
         return ("not", self.in_(field, *values))
 
     def in_subquery(self, field, sub):
-        # non-correlated subquery (the reference's subquery_optimizer.rs
-        # fast path); executor materializes it once into an IN list
-        return {"type": "in_subquery", "field": field, "query": sub}
+        # subquery predicates carry a `correlations` list filled in when the
+        # ENCLOSING statement assembles (reference: EPIC-039 US-003,
+        # parser/values.rs:338 detect_correlated_columns); empty = the
+        # materialize-once fast path of subquery_optimizer.rs
+        return {"type": "in_subquery", "field": field, "query": sub,
+                "correlations": []}
 
     def not_in_subquery(self, field, sub):
         return ("not", self.in_subquery(field, sub))
+
+    def exists_subquery(self, sub):
+        return {"type": "exists_subquery", "query": sub, "correlations": []}
+
+    def cmp_subquery(self, field, op, sub):
+        # scalar subquery comparison: total > (SELECT AVG(total) FROM t)
+        return {"type": "cmp_subquery", "field": field,
+                "op": _cmp_name(str(op)), "query": sub, "correlations": []}
+
+    def cmp_subquery_l(self, sub, op, value):
+        # scalar subquery on the LEFT: (SELECT COUNT(*) ...) = 0;
+        # field None marks the literal-comparison form for the executor
+        return {"type": "cmp_subquery", "field": None,
+                "op": _cmp_name(str(op)), "value": value,
+                "query": sub, "correlations": []}
+
+    def field_cmp(self, left, op, right):
+        # column-to-column comparison; inside a subquery a side qualified
+        # with the outer alias makes the subquery correlated
+        return {"type": "field_cmp", "field": left,
+                "op": _cmp_name(str(op)), "rhs_field": right}
 
     # -- joins -----------------------------------------------------------------
     def table_ref(self, name, alias=None):
@@ -504,6 +532,7 @@ class _ToAst(Transformer):
                 stmt.offset = payload
             elif tag == "with":
                 stmt.with_options = payload
+        _detect_correlations(stmt)
         return stmt
 
     def union(self, left, right):
@@ -517,6 +546,83 @@ class _ToAst(Transformer):
 
     def except_(self, left, right):
         return SetOp("except", left, right)
+
+
+def subquery_nodes(cond):
+    """Yield every subquery predicate dict in a filter tree (any depth)."""
+    if not isinstance(cond, dict):
+        return
+    t = cond.get("type")
+    if t in ("and", "or"):
+        for c in cond.get("conditions", []):
+            yield from subquery_nodes(c)
+    elif t == "not":
+        yield from subquery_nodes(cond.get("condition") or {})
+    elif t in ("in_subquery", "exists_subquery", "cmp_subquery"):
+        yield cond
+
+
+def _flip_cmp(op: str) -> str:
+    return {"eq": "eq", "neq": "neq", "gt": "lt", "gte": "lte",
+            "lt": "gt", "lte": "gte"}[op]
+
+
+def _detect_correlations(stmt: SelectStatement) -> None:
+    """Mark subquery predicates that reference the enclosing statement.
+
+    Analog of the reference's ``detect_correlated_columns`` (EPIC-039
+    US-003, ``parser/values.rs:338``): inside a subquery's WHERE, a field
+    qualified with the OUTER statement's alias (or collection name) is a
+    correlated reference — unless the subquery's own alias shadows it (same
+    table name = non-correlated, per the reference's semantics). Detection
+    is single-level: a depth-2 subquery can correlate only to its immediate
+    parent. Each entry records the comparison normalized to
+    ``inner OP outer_value`` form so the executor can substitute or
+    join-rewrite without re-deriving directions.
+    """
+    if stmt.filter is None:
+        return
+    outer_names = {stmt.alias or stmt.collection, stmt.collection}
+    for node in subquery_nodes(stmt.filter):
+        sub = node["query"]
+        names = outer_names - {
+            sub.alias or sub.collection,
+            sub.collection,
+            *(j.alias for j in sub.joins),
+        }
+        if not names or sub.filter is None:
+            continue
+        _collect_correlated(sub.filter, names, node["correlations"])
+
+
+def _collect_correlated(cond, outer_names: set, out: list) -> None:
+    if not isinstance(cond, dict):
+        return
+    t = cond.get("type")
+    if t in ("and", "or"):
+        for c in cond.get("conditions", []):
+            _collect_correlated(c, outer_names, out)
+    elif t == "not":
+        _collect_correlated(cond.get("condition") or {}, outer_names, out)
+    elif t == "field_cmp":
+        l_outer = cond["field"].split(".", 1)[0] in outer_names
+        r_outer = cond["rhs_field"].split(".", 1)[0] in outer_names
+        if l_outer and r_outer:
+            raise ParseError(
+                "correlated comparison references the outer query on both sides"
+            )
+        if l_outer or r_outer:
+            out.append({
+                "kind": "join",
+                "op": cond["op"] if r_outer else _flip_cmp(cond["op"]),
+                "inner": cond["rhs_field"] if l_outer else cond["field"],
+                "outer": cond["field"] if l_outer else cond["rhs_field"],
+                "node": cond,
+            })
+    elif cond.get("field", "").split(".", 1)[0] in outer_names:
+        # outer-referencing predicate with a literal (e.g. o.vip = TRUE):
+        # constant per outer row — forces the PerRow strategy
+        out.append({"kind": "pred", "node": cond})
 
 
 def _is_special(node) -> bool:

@@ -48,6 +48,13 @@ def validate_query(root, limits: LimitsConfig | None = None, _depth: int = 0) ->
         raise ValidationError("too many JOIN clauses (max 8)")
     if len(stmt.group_by) > 16:
         raise ValidationError("too many GROUP BY fields (max 16)")
+    if stmt.filter is not None:
+        from velesdb_tpu.velesql.parser import subquery_nodes
+
+        if _depth >= MAX_SET_OP_DEPTH:
+            raise ValidationError("subquery nesting too deep")
+        for node in subquery_nodes(stmt.filter):
+            validate_query(node["query"], limits, _depth + 1)
 
 
 def validate_vector(vec, limits: LimitsConfig | None = None) -> np.ndarray:
