@@ -1,0 +1,191 @@
+"""CI perf-regression smoke gate (reference: ``benches/smoke_test.rs`` +
+``benchmarks/baseline.json`` ±15% CI gate, ``bench-regression.yml``).
+
+Wall-clock on a shared CI box is weather; the PRIMARY gates here are
+DETERMINISTIC invariants that catch the regression classes we've actually
+shipped and fixed:
+
+- compile-count invariants — the r4 "recompile per kmeans seed" class: a
+  rebuild or a steady-state search at unchanged shapes must trigger ZERO
+  fresh XLA compilations;
+- readback-count invariants — the r3c "two sequential np.asarray = two
+  tunnel RTTs" class: a public search call pays at most ONE device_get;
+- a generous (2x) wall bound vs ``tests/perf_baseline.json`` as a
+  last-resort catch-all for order-of-magnitude host-path regressions.
+
+The compile counter itself is validated by a meta-test (a planted
+two-shape jit MUST count 2) so the gate can never silently go dead.
+"""
+
+import json
+import logging
+import time
+from contextlib import contextmanager
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from velesdb_tpu.database import Database
+from velesdb_tpu.index.ivf import IvfIndex
+from velesdb_tpu.ops import DistanceMetric
+
+BASELINE = json.loads(
+    (Path(__file__).parent / "perf_baseline.json").read_text()
+)
+WALL_SLACK = 2.0  # generous: CI boxes vary, order-of-magnitude catches only
+
+
+@pytest.fixture
+def db(tmp_db_dir):
+    return Database.open(tmp_db_dir)
+
+
+@contextmanager
+def compile_log():
+    """Capture XLA compilation events (one record per fresh jit compile)."""
+    logger = logging.getLogger("jax._src.interpreters.pxla")
+    recs: list[str] = []
+
+    class _H(logging.Handler):
+        def emit(self, r):
+            m = r.getMessage()
+            if m.startswith("Compiling "):
+                recs.append(m)
+
+    h = _H()
+    h.setLevel(logging.WARNING)
+    jax.config.update("jax_log_compiles", True)
+    logger.addHandler(h)
+    try:
+        yield recs
+    finally:
+        logger.removeHandler(h)
+        jax.config.update("jax_log_compiles", False)
+
+
+def _clustered(rng, n, d, c=16):
+    centers = rng.standard_normal((c, d)).astype(np.float32) * 3
+    a = rng.integers(0, c, n)
+    return centers[a] + 0.5 * rng.standard_normal((n, d)).astype(np.float32)
+
+
+def test_compile_counter_detects_planted_regression():
+    """Meta-test: the counter must see a two-shape jit as 2 compiles —
+    otherwise every other gate in this file is vacuously green."""
+
+    @jax.jit
+    def f(x):
+        return x * 2 + 1
+
+    with compile_log() as recs:
+        f(np.ones(9, np.float32)).block_until_ready()
+        f(np.ones(9, np.float32) * 3).block_until_ready()  # cache hit
+        f(np.ones(17, np.float32)).block_until_ready()  # fresh shape
+    assert len(recs) == 2, recs
+
+
+def test_ivf_rebuild_same_shape_zero_recompiles(rng):
+    """The r4 regression class: a second IVF build at identical
+    (n, d, n_clusters) but different data/kmeans outcome must reuse every
+    compiled program (shape-deterministic partition padding)."""
+    n, d, c = 4000, 32, 16
+    idx1 = IvfIndex(d, DistanceMetric.EUCLIDEAN, n_clusters=c)
+    idx1.build(_clustered(rng, n, d))  # warm-up: compiles here are fine
+    idx2 = IvfIndex(d, DistanceMetric.EUCLIDEAN, n_clusters=c)
+    with compile_log() as recs:
+        idx2.build(_clustered(rng, n, d))
+    assert recs == [], f"IVF rebuild recompiled {len(recs)}: {recs[:4]}"
+
+
+def test_search_steady_state_zero_recompiles(db, rng):
+    """Steady-state serving: unique query VALUES at a warmed shape class
+    must never trace or compile."""
+    coll = db.create_collection("steady", 64)
+    coll.upsert_bulk(
+        range(3000), _clustered(rng, 3000, 64), [{"g": i % 5} for i in range(3000)]
+    )
+    qs = rng.standard_normal((16, 64)).astype(np.float32)
+    coll.search_batch(qs, 10)  # warm-up compile
+    coll.search_batch(rng.standard_normal((16, 64)).astype(np.float32), 10)
+    with compile_log() as recs:
+        for _ in range(5):
+            q = rng.standard_normal((16, 64)).astype(np.float32)
+            coll.search_batch(q, 10)
+    assert recs == [], f"steady-state search recompiled: {recs[:4]}"
+
+
+def test_filtered_search_steady_state_zero_recompiles(db, rng):
+    """Mask pushdown must not change the compiled program per filter VALUE
+    (masks are arguments, not constants)."""
+    coll = db.create_collection("filt", 32)
+    coll.upsert_bulk(
+        range(2000), _clustered(rng, 2000, 32), [{"g": i % 7} for i in range(2000)]
+    )
+    f = {"condition": {"type": "eq", "field": "g", "value": 3}}
+    coll.search_batch(rng.standard_normal((16, 32)).astype(np.float32), 10, filter=f)
+    with compile_log() as recs:
+        for g in (1, 4, 2, 6):
+            fg = {"condition": {"type": "eq", "field": "g", "value": g}}
+            q = rng.standard_normal((16, 32)).astype(np.float32)
+            coll.search_batch(q, 10, filter=fg)
+    assert recs == [], f"filter-value change recompiled: {recs[:4]}"
+
+
+def test_search_single_readback_per_call(db, rng, monkeypatch):
+    """The r3c lesson baked into a gate: one public search call performs at
+    most ONE device_get readback (two sequential np.asarray calls each pay
+    their own tunnel RTT on the real chip)."""
+    coll = db.create_collection("rb", 32)
+    coll.upsert_bulk(range(2000), _clustered(rng, 2000, 32))
+    coll.search_batch(rng.standard_normal((8, 32)).astype(np.float32), 10)
+
+    calls = {"n": 0}
+    real = jax.device_get
+
+    def counting(x):
+        calls["n"] += 1
+        return real(x)
+
+    monkeypatch.setattr(jax, "device_get", counting)
+    coll.search_batch(rng.standard_normal((8, 32)).astype(np.float32), 10)
+    assert calls["n"] <= 1, f"search paid {calls['n']} device_get readbacks"
+
+
+def _timed(fn, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def test_wall_bounds_vs_baseline(db, rng):
+    """Generous 2x wall gate vs the checked-in baseline (order-of-magnitude
+    host-path regressions only — deterministic gates above do the real
+    work). Baselines were measured on the round-5 box (CPU backend,
+    8 virtual devices: 2.6ms search / 32ms build) and padded several-fold
+    for slower CI hardware."""
+    coll = db.create_collection("wall", 64)
+    coll.upsert_bulk(range(3000), _clustered(rng, 3000, 64))
+    coll.search_batch(rng.standard_normal((16, 64)).astype(np.float32), 10)
+
+    def one_batch():
+        coll.search_batch(rng.standard_normal((16, 64)).astype(np.float32), 10)
+
+    wall = _timed(one_batch)
+    limit = BASELINE["search_batch16_3000x64_s"] * WALL_SLACK
+    assert wall < limit, f"search wall {wall:.3f}s > {limit:.3f}s"
+
+    idx = IvfIndex(64, DistanceMetric.EUCLIDEAN, n_clusters=16)
+    idx.build(_clustered(rng, 4000, 64))  # warm compiles
+
+    def build():
+        i2 = IvfIndex(64, DistanceMetric.EUCLIDEAN, n_clusters=16)
+        i2.build(_clustered(rng, 4000, 64))
+
+    wall = _timed(build, reps=2)
+    limit = BASELINE["ivf_build_4000x64_s"] * WALL_SLACK
+    assert wall < limit, f"warm IVF build wall {wall:.3f}s > {limit:.3f}s"
