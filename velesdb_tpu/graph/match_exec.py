@@ -65,6 +65,27 @@ def execute_match(coll, stmt_or_text, params: dict | None = None,
         cands = _node_candidates(coll, graph, np_, stmt, params)
         node_cands.append(cands)
 
+    # WHERE id-equality pins a pattern node to ONE candidate — fold it into
+    # start selection so `WHERE p.id = 42` expands O(degree) instead of
+    # materializing every edge binding and post-filtering (the reference
+    # planner's GraphFirst pinned-start case, match_planner.rs:13)
+    for cond in stmt.where or []:
+        if (
+            cond.get("kind") == "cmp"
+            and cond.get("op") == "eq"
+            and cond.get("field") == "id"
+        ):
+            try:
+                vid = int(_resolve(cond["value"], params))
+            except (TypeError, ValueError, MatchError):
+                continue
+            for i in range(len(stmt.nodes)):
+                if _var(stmt, i) == cond["var"]:
+                    pin = {vid}
+                    node_cands[i] = (
+                        pin if node_cands[i] is None else node_cands[i] & pin
+                    )
+
     # -- pick start: most selective bound node (planner heuristic) ----------
     sized = [
         (len(c), i) for i, c in enumerate(node_cands) if c is not None
@@ -420,6 +441,16 @@ def _props_of(coll, node: int) -> dict:
     return p
 
 
+def _node_value(coll, node: int, path: str):
+    """Property lookup with the virtual ``id`` (the binding IS the vid —
+    reference cypher exposes ``p.id`` the same way); an explicit payload
+    field named "id" shadows it."""
+    v = get_path(_props_of(coll, node), path)
+    if v is None and path == "id":
+        return node
+    return v
+
+
 def _check_cond(coll, cond, binding, params, sim_cache) -> bool:
     var = cond["var"]
     if var not in binding:
@@ -435,7 +466,7 @@ def _check_cond(coll, cond, binding, params, sim_cache) -> bool:
             "lt": score < thr,
             "lte": score <= thr,
         }[cond["op"]]
-    v = get_path(_props_of(coll, node), cond["field"])
+    v = _node_value(coll, node, cond["field"])
     if kind == "cmp":
         t = _resolve(cond["value"], params)
         if cond["op"] == "eq":
@@ -505,8 +536,8 @@ def _project(coll, stmt, binding, params, proj_cache=None) -> dict:
             var, path = expr[1], expr[2]
             if var not in binding:
                 raise MatchError(f"unbound RETURN variable {var!r}")
-            row[item.alias or f"{var}.{path}"] = get_path(
-                _props_of(coll, binding[var]), path
+            row[item.alias or f"{var}.{path}"] = _node_value(
+                coll, binding[var], path
             )
         elif expr[0] == "similarity":
             node = binding[expr[1]]
