@@ -259,25 +259,30 @@ def run_config(name, n, d, metric_name, batch=256):
         latency=True,
     )
     # split-bf16 (true-f32 fidelity) bucket kernel — the FULL-collection
-    # serve path at D < 512 since r3b
-    from velesdb_tpu.ops.bucket_kernel import bucket_topk_hl, split_f32_rows
-
+    # serve path at D < 512 since r3b. Demotion-ladder engine; skipped at
+    # the >=5M configs (its +4B/dim shadow is HBM the ANN ladders need)
     d_pad128 = ((d + 127) // 128) * 128
-    hi_dev, lo_dev = split_f32_rows(
-        jnp.pad(norm_dev, ((0, 0), (0, d_pad128 - d)))
-    )
-    chunk_hl = min(bucket_chunk_for(batch, d_pad128, 8), n_pad)
-    measure(
-        "exact-hl", f"chunk={chunk_hl}",
-        functools.partial(
-            bucket_topk_hl, k=K, metric=metric, chunk=chunk_hl,
-            interpret=interp,
-        ),
-        (hi_dev, lo_dev, pen),
-        batches=(batch, 16),
-        latency=True,
-    )
-    del hi_dev, lo_dev
+    if n <= 2_000_000:
+        from velesdb_tpu.ops.bucket_kernel import (
+            bucket_topk_hl,
+            split_f32_rows,
+        )
+
+        hi_dev, lo_dev = split_f32_rows(
+            jnp.pad(norm_dev, ((0, 0), (0, d_pad128 - d)))
+        )
+        chunk_hl = min(bucket_chunk_for(batch, d_pad128, 8), n_pad)
+        measure(
+            "exact-hl", f"chunk={chunk_hl}",
+            functools.partial(
+                bucket_topk_hl, k=K, metric=metric, chunk=chunk_hl,
+                interpret=interp,
+            ),
+            (hi_dev, lo_dev, pen),
+            batches=(batch, 16),
+            latency=True,
+        )
+        del hi_dev, lo_dev
 
     measure(
         "exact-streamed", f"chunk={_scan_chunk(n_pad)}",
@@ -294,6 +299,7 @@ def run_config(name, n, d, metric_name, batch=256):
     words = sq8_pack_blocked(sq8.codes)
     deq = sq8_dequantize(sq8)
     dn = jnp.sum(deq * deq, axis=1)
+    del deq  # [N_pad, D] f32 — 2.5GB dead weight at the 5M config
     if metric is DistanceMetric.COSINE:
         inv = jnp.where(dn > 1e-30, jax.lax.rsqrt(jnp.maximum(dn, 1e-30)), 0.0)
         s2, m2 = sq8.scale * inv, sq8.minv * inv
@@ -307,16 +313,18 @@ def run_config(name, n, d, metric_name, batch=256):
     sq8_chunk = min(
         bucket_chunk_for(batch, ((d + 127) // 128) * 128, 5), n_pad
     )
-    measure(
-        "sq8-bucket", f"chunk={sq8_chunk}",
-        functools.partial(
-            sq8_bucket_topk, k=K, metric=metric, chunk=sq8_chunk,
-            interpret=interp,
-        ),
-        (words, s2.astype(jnp.float32), m2.astype(jnp.float32), sq8_pen),
-        batches=(batch, 16),
-        latency=True,
-    )
+    if n <= 2_000_000:  # staged-unpack fallback engine; superseded by int8
+        measure(
+            "sq8-bucket", f"chunk={sq8_chunk}",
+            functools.partial(
+                sq8_bucket_topk, k=K, metric=metric, chunk=sq8_chunk,
+                interpret=interp,
+            ),
+            (words, s2.astype(jnp.float32), m2.astype(jnp.float32), sq8_pen),
+            batches=(batch, 16),
+            latency=True,
+        )
+    del words
 
     # int8-direct SQ8 (int8 MXU dots, no unpack — serves D < 512 in prod)
     from velesdb_tpu.ops.bucket_kernel import sq8_int8_rows, sq8i_bucket_topk
@@ -353,6 +361,34 @@ def run_config(name, n, d, metric_name, batch=256):
         latency=True,
     )
     del rows8
+
+    # per-dim enc-select assist — the FULL-collection serve default at
+    # D < 512 since r5 (the whole affine epilogue folds into the int dot;
+    # single max pass with the slice index in the low 6 bits — see
+    # ops/bucket_kernel.py pd family + benchmarks/exp_sq8i_v2.py)
+    if d < 512:
+        from velesdb_tpu.ops.bucket_kernel import (
+            sq8pd_build,
+            sq8pd_ptile,
+            sq8pd_rerank_topk,
+        )
+
+        pd = sq8pd_build(norm_dev, valid, d, metric)
+        if pd is not None:
+            rows_pd, pen_int, _pf, sdim, _mid, qu = pd
+            pd_chunk = sq8i_chunk
+            ptile = sq8pd_ptile(pen_int, pd_chunk)
+            measure(
+                "exact-assist-pd", f"m=16 chunk={pd_chunk}",
+                functools.partial(
+                    sq8pd_rerank_topk, k=K, m=16, metric=metric,
+                    chunk=pd_chunk, dim=d, interpret=interp,
+                ),
+                (rows_pd, ptile, sdim, qu, norm_dev),
+                batches=(batch, 16),
+                latency=True,
+            )
+            del rows_pd, ptile, pen_int
 
     ivf = IvfIndex(d, metric)
     ivf.build(corpus_dev[:n], np.ones(n, bool))
@@ -631,6 +667,46 @@ def run_config_binary(name, n, d, batch=256):
         measure("hamming-rerank", f"m={m}", rerank_fn,
                 (packed, pen, norm_dev), latency=(m == 80))
 
+    # bit-plane MXU Hamming (r5 serve default when the 1B/bit shadow fits
+    # the HBM budget; packed stays the capacity mode) — measured 5.4x the
+    # packed VPU loop at this config (exp_hamming_mxu.py)
+    from velesdb_tpu.ops.bucket_kernel import (
+        _HAM_BIG,
+        bucket_chunk_for,
+        hamming_bits_rows,
+        hamming_mxu_rerank_topk,
+        hamming_mxu_topk,
+    )
+
+    bits = hamming_bits_rows(norm_dev, d)
+    csum = jnp.sum(bits.astype(jnp.int32), axis=1)
+    aux = jnp.where(valid, csum, csum + _HAM_BIG).astype(jnp.int32)
+    jax.block_until_ready(aux)
+    d_pad = bits.shape[1]
+    mxu_chunk = min(bucket_chunk_for(batch, d_pad, 1), n_pad)
+
+    def mxu_coarse_fn(q, bt, ax):
+        qb = (q >= 0.0).astype(jnp.int8)
+        qb = jnp.pad(qb, ((0, 0), (0, d_pad - q.shape[1])))
+        dist, idx = hamming_mxu_topk(qb, bt, ax, k=K, chunk=mxu_chunk,
+                                     interpret=interp)
+        return 1.0 - dist / float(d), idx
+
+    measure("hamming-mxu-coarse", f"chunk={mxu_chunk}", mxu_coarse_fn,
+            (bits, aux), latency=True)
+
+    for m in (40, 80):
+        def mxu_rerank_fn(q, bt, ax, c, _m=m):
+            qb = (q >= 0.0).astype(jnp.int8)
+            qb = jnp.pad(qb, ((0, 0), (0, d_pad - q.shape[1])))
+            return hamming_mxu_rerank_topk(
+                q, qb, bt, ax, c, k=K, m=_m, metric=metric,
+                chunk=mxu_chunk, interpret=interp,
+            )
+
+        measure("hamming-mxu-rerank", f"m={m}", mxu_rerank_fn,
+                (bits, aux, norm_dev), latency=(m == 80))
+
     return {"config": name, "n": n, "d": d, "metric": metric.value,
             "batch": batch, "k": K, "iters_per_dispatch": ITERS,
             "samples": SAMPLES,
@@ -665,6 +741,12 @@ def main():
         # the reference's own flagship config (BASELINE config #1: 10Kx768D,
         # 9.2K QPS @ 57us p50) — same-config comparison row (VERDICT r4 #10)
         fresh.append(run_config("10Kx768D-cosine-ref", 10_000, 768, "cosine"))
+    if which in ("ann5m",):
+        # VERDICT r5 #4: the ANN engines' design regime (above
+        # ANN_MIN_ROWS=2M, where streaming the corpus stops paying) —
+        # graph/IVF/exact ladders at 5Mx128D with host/eps recall
+        fresh.append(run_config("5Mx128D-euclidean", 5_000_000, 128,
+                                "euclidean"))
     names = {c["config"] for c in fresh}
     out["configs"] = [c for c in out["configs"] if c["config"] not in names] + fresh
     with open(path, "w") as f:

@@ -156,6 +156,138 @@ def test_hamming_bucket_kernel_interpret(data):
     assert not (set(ib.ravel().tolist()) & bad)
 
 
+def test_hamming_mxu_kernel_interpret(data):
+    """Bit-plane MXU Hamming (popcount(q^c) = |q|+|c|-2q.c on 0/1 rows)
+    must agree with the packed popcount kernel on the distance profile —
+    on-chip agreement is exact (max|d|=0, exp_hamming_mxu.py)."""
+    import jax.numpy as jnp
+
+    from velesdb_tpu.ops import binary_quantize
+    from velesdb_tpu.ops.bucket_kernel import (
+        _HAM_BIG,
+        hamming_bits_rows,
+        hamming_bucket_topk,
+        hamming_mxu_topk,
+        hamming_mxu_rerank_topk,
+    )
+
+    corpus, queries, valid = data
+    d = corpus.shape[1]
+    pq = binary_quantize(jnp.asarray(queries))
+    pc = binary_quantize(jnp.asarray(corpus))
+    pen = jnp.where(jnp.asarray(valid), 0.0, jnp.inf)
+    db, ib = hamming_bucket_topk(pq, pc, pen, k=10, chunk=512, interpret=True)
+    bits = hamming_bits_rows(jnp.asarray(corpus), d)
+    csum = jnp.sum(bits.astype(jnp.int32), axis=1)
+    aux = jnp.where(jnp.asarray(valid), csum, csum + _HAM_BIG).astype(
+        jnp.int32
+    )
+    qbits = (jnp.asarray(queries) >= 0.0).astype(jnp.int8)
+    qbits = jnp.pad(qbits, ((0, 0), (0, bits.shape[1] - d)))
+    dm, im = hamming_mxu_topk(qbits, bits, aux, k=10, chunk=512,
+                              interpret=True)
+    db, dm, im = np.asarray(db), np.asarray(dm), np.asarray(im)
+    # integer Hamming distances tie heavily; ids swap freely inside ties —
+    # the distance PROFILE must match exactly
+    np.testing.assert_array_equal(np.sort(db, axis=1), np.sort(dm, axis=1))
+    bad = set(np.flatnonzero(~valid))
+    assert not (set(im.ravel().tolist()) & bad)
+    # fused rerank tail: exact f32 rescoring of the coarse pool, -1-safe
+    vals, ids = hamming_mxu_rerank_topk(
+        jnp.asarray(queries), qbits, bits, aux, jnp.asarray(corpus),
+        k=5, m=40, metric=DistanceMetric.EUCLIDEAN, chunk=512,
+        interpret=True,
+    )
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    assert np.all(np.diff(vals, axis=1) >= -1e-5)
+    assert not (set(ids[ids >= 0].ravel().tolist()) & bad)
+    # rerank distances are true f32 euclidean on the surfaced ids
+    for b in range(3):
+        for j in range(5):
+            if ids[b, j] >= 0:
+                ref = np.linalg.norm(queries[b] - corpus[ids[b, j]])
+                assert abs(ref - vals[b, j]) < 1e-3
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_sq8pd_assist_interpret(data, metric):
+    """Per-dim enc-select assist (r5 serve default): coarse pool + exact
+    f32 rerank must land near the oracle; empties/masks honored; the XLA
+    twin must agree with the kernel path from the same shadow."""
+    import jax.numpy as jnp
+
+    from velesdb_tpu.ops.bucket_kernel import (
+        _pd_invalid_pen,
+        sq8pd_build,
+        sq8pd_ptile,
+        sq8pd_rerank_topk,
+        sq8pd_topk,
+        sq8pd_xla_rerank_topk,
+    )
+
+    corpus, queries, valid = data
+    m = DistanceMetric.parse(metric)
+    c = corpus.copy()
+    if m is DistanceMetric.COSINE:
+        c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    pd = sq8pd_build(jnp.asarray(c), jnp.asarray(valid), c.shape[1], m)
+    assert pd is not None
+    rows_pd, pen_int, pen_f32, sdim, mid, qu = pd
+    ptile = sq8pd_ptile(pen_int, 512)
+    _, gi = brute_force_topk(queries, c, 10, m, valid=valid)
+    qj = jnp.asarray(queries)
+    vals, ids = sq8pd_rerank_topk(
+        qj, rows_pd, ptile, sdim, qu, jnp.asarray(c), k=10, m=40,
+        metric=m, chunk=512, dim=c.shape[1], interpret=True,
+    )
+    ids = np.asarray(ids)
+    assert _recall(ids, np.asarray(gi)) >= 0.9
+    bad = set(np.flatnonzero(~valid))
+    assert not (set(ids[ids >= 0].ravel().tolist()) & bad)
+    # rerank values are exact f32 on the surfaced ids
+    vals = np.asarray(vals)
+    for b in range(3):
+        j = 0
+        if ids[b, j] >= 0:
+            if m is DistanceMetric.EUCLIDEAN:
+                ref = np.linalg.norm(queries[b] - c[ids[b, j]])
+            elif m is DistanceMetric.COSINE:
+                ref = float(
+                    queries[b] @ c[ids[b, j]] / np.linalg.norm(queries[b])
+                )
+            else:
+                ref = float(queries[b] @ c[ids[b, j]])
+            assert abs(ref - vals[b, j]) < 1e-3
+    # XLA twin from the same shadow
+    tv, ti = sq8pd_xla_rerank_topk(
+        qj, rows_pd, pen_f32, sdim, qu, jnp.asarray(c), k=10, m=40,
+        metric=m,
+    )
+    assert _recall(np.asarray(ti), np.asarray(gi)) >= 0.9
+    # coarse-only values are metric-native and masked rows never surface
+    cv, ci = sq8pd_topk(
+        qj, rows_pd, ptile, sdim, mid, qu, k=10, chunk=512,
+        dim=c.shape[1], metric=m, interpret=True,
+    )
+    ci = np.asarray(ci)
+    assert not (set(ci[ci >= 0].ravel().tolist()) & bad)
+    # dynamic mask knockout (the per-call filter path)
+    banned = ids[:, 0].copy()
+    mask = valid.copy()
+    mask[banned[banned >= 0]] = False
+    ptile_m = jnp.where(
+        jnp.asarray(mask), ptile, -64 * _pd_invalid_pen(c.shape[1])
+    )
+    _, ids_m = sq8pd_rerank_topk(
+        qj, rows_pd, ptile_m, sdim, qu, jnp.asarray(c), k=10, m=40,
+        metric=m, chunk=512, dim=c.shape[1], interpret=True,
+    )
+    ids_m = np.asarray(ids_m)
+    for i in range(queries.shape[0]):
+        if banned[i] >= 0:
+            assert banned[i] not in ids_m[i]
+
+
 @pytest.mark.parametrize("metric", METRICS)
 def test_sq8_bucket_kernel_interpret(data, metric):
     """SQ8 bucket kernel (int32-staged unpack): recall vs dequant oracle;
@@ -399,8 +531,9 @@ def test_split_bf16_bucket_kernel_interpret(data, metric):
 
 def test_full_mode_builds_int8_assist_shadow(monkeypatch):
     """FULL collections at D<512 past the bucket threshold build the
-    int8-assist shadow (r3e serve default) INSTEAD of the split-bf16 copy,
-    with per-metric affine folding identical to the SQ8-mode block."""
+    per-dim enc-select shadow (r5 serve default) INSTEAD of the split-bf16
+    copy; when the pd builder refuses, the per-row int8-assist shadow
+    (r3e default) serves exactly as before."""
     import jax.numpy as jnp
 
     from velesdb_tpu.index import brute as brute_mod
@@ -419,26 +552,42 @@ def test_full_mode_builds_int8_assist_shadow(monkeypatch):
     for metric in ("euclidean", "cosine", "dot"):
         idx = BruteForceIndex(d, DistanceMetric.parse(metric), StorageMode.FULL)
         idx.rebuild(xs, valid)
-        assert idx._assist is not None, metric
+        assert idx._assist_pd is not None, metric
+        assert idx._assist is None, metric
         assert idx._full_hl is None, metric
-        rows8, scale, minv, pen = idx._assist
-        assert rows8.dtype == jnp.int8
-        assert rows8.shape == (idx.n_pad, 128)  # dim padded to lane multiple
-        # tombstoned + padded rows knocked out via +inf penalty
-        pen_h = np.asarray(pen)
-        assert np.isinf(pen_h[7]) and np.isinf(pen_h[n:]).all()
-        assert np.isfinite(pen_h[:n][valid[:n]]).all()
+        rows_pd, pen_int, pen_f32, sdim, mid, qu = idx._assist_pd
+        assert rows_pd.dtype == jnp.int8
+        assert rows_pd.shape == (idx.n_pad, 128)  # dim padded to lanes
+        assert isinstance(qu, float) and qu > 0
+        # tombstoned + padded rows knocked out in BOTH penalty forms
+        from velesdb_tpu.ops.bucket_kernel import _pd_invalid_pen
+
+        pi = np.asarray(pen_int)
+        pf = np.asarray(pen_f32)
+        assert pi[7] == _pd_invalid_pen(d) and (pi[n:] == _pd_invalid_pen(d)).all()
+        assert np.isinf(pf[7]) and np.isinf(pf[n:]).all()
+        assert np.isfinite(pf[:n][valid[:n]]).all()
         if metric == "euclidean":
-            # penalty base = dequantized squared norms (match SQ8 mode)
-            assert pen_h[0] > 0
+            assert pi[0] > 0  # |x|^2 penalty in the int encoding
         else:
-            assert pen_h[0] == 0.0
+            assert pi[0] == 0
+
+    # pd builder refusal (per-row fallback): a far-offset tiny-spread
+    # corpus (huge |x|^2, tiny per-dim quant step -> pen_int above the
+    # int32 cap) must land on the per-row assist shadow
+    idx = BruteForceIndex(d, DistanceMetric.EUCLIDEAN, StorageMode.FULL)
+    idx.rebuild(xs * 0.001 + 1000.0, valid)
+    assert idx._assist_pd is None
+    assert idx._assist is not None
+    rows8, scale, minv, pen = idx._assist
+    assert rows8.dtype == jnp.int8
 
     # below the bucket threshold: no shadow at all
     monkeypatch.setattr(brute_mod, "BUCKET_MIN_ROWS", 1 << 20)
     idx = BruteForceIndex(d, DistanceMetric.EUCLIDEAN, StorageMode.FULL)
     idx.rebuild(xs, valid)
-    assert idx._assist is None and idx._full_hl is None
+    assert idx._assist is None and idx._assist_pd is None
+    assert idx._full_hl is None
 
 
 def test_serve_engine_observability(monkeypatch):
@@ -474,14 +623,14 @@ def test_serve_engine_observability(monkeypatch):
     # (ADVICE r3: serve_engine must apply the per-call guards)
     idx = BruteForceIndex(32, DistanceMetric.COSINE, StorageMode.FULL)
     idx.rebuild(xs, valid)
-    assert idx._assist is not None
+    assert idx._assist_pd is not None
     assert idx.serve_engine() == "streamed-scan"
     # enough buckets for k=10 -> assist serves; large k exceeds the
     # oversample collision bound -> honest fallback name
     big = rng.standard_normal((60_000, 32)).astype(np.float32)
     idxb = BruteForceIndex(32, DistanceMetric.COSINE, StorageMode.FULL)
     idxb.rebuild(big, np.ones(60_000, bool))
-    assert idxb.serve_engine() == "int8-assist"
+    assert idxb.serve_engine() == "int8-assist-pd"
     assert idxb.serve_engine(k=64) == "streamed-scan"
     idx768 = BruteForceIndex(768, DistanceMetric.COSINE, StorageMode.FULL)
     idx768.rebuild(rng.standard_normal((600, 768)).astype(np.float32), valid)
@@ -501,7 +650,8 @@ def test_kernel_demotion_visibility(monkeypatch):
 
     saved = (
         brute_mod._SQ8I_OK[0], brute_mod._HL_OK[0], brute_mod._PALLAS_OK[0],
-        brute_mod._SQ8I_XLA_OK[0],
+        brute_mod._SQ8I_XLA_OK[0], brute_mod._SQ8PD_OK[0],
+        brute_mod._SQ8PD_XLA_OK[0],
         dict(dem_mod.KERNEL_DEMOTIONS),
     )
     try:
@@ -513,18 +663,18 @@ def test_kernel_demotion_visibility(monkeypatch):
         valid = np.ones(60_000, bool)
         idx = BruteForceIndex(32, DistanceMetric.COSINE, StorageMode.FULL)
         idx.rebuild(xs, valid)
-        assert idx.serve_engine() == "int8-assist"
+        assert idx.serve_engine() == "int8-assist-pd"
         # CPU backend: the interpret=False Pallas dispatch raises at trace
-        # time, tripping the assist kernel; the pure-XLA assist TWIN serves
-        # from the same shadow arrays (ADVICE r3 #1: fidelity survives the
-        # kill-switch) — on CPU it runs fine, so the search answers at
-        # exact-rerank grade with only one demotion recorded
+        # time, tripping the pd kernel; the pure-XLA pd TWIN serves from
+        # the same shadow arrays (fidelity survives the kill-switch) — on
+        # CPU it runs fine, so the search answers at exact-rerank grade
+        # with only one demotion recorded
         vals, ids = idx.search(xs[:4], k=5)
         assert ids.shape == (4, 5)
         assert np.asarray(ids)[:, 0].tolist() == [0, 1, 2, 3]  # self-hits
         got = dem_mod.demotions()
-        assert "int8-assist" in got
-        assert idx.serve_engine() == "int8-assist-xla"
+        assert "int8-assist-pd" in got
+        assert idx.serve_engine() == "int8-assist-pd-xla"
         assert idx._full_hl is None  # twin made the hl rebuild unnecessary
 
         # trip the twin too: the split-bf16 shadow is lazily built on the
@@ -534,11 +684,11 @@ def test_kernel_demotion_visibility(monkeypatch):
         def boom(*a, **k):
             raise RuntimeError("twin down")
 
-        monkeypatch.setattr(bk_mod, "sq8i_xla_rerank_topk", boom)
+        monkeypatch.setattr(bk_mod, "sq8pd_xla_rerank_topk", boom)
         vals, ids = idx.search(xs[:4], k=5)
         assert ids.shape == (4, 5)
         got = dem_mod.demotions()
-        assert "int8-assist-xla" in got
+        assert "int8-assist-pd-xla" in got
         assert idx._full_hl is not None or "split-bf16" in got
 
         # surfaces in Collection.info()
@@ -549,7 +699,7 @@ def test_kernel_demotion_visibility(monkeypatch):
         db = Database(tempfile.mkdtemp(prefix="dem_db_"))
         col = db.create_collection("dem", dim=8)
         col.upsert_bulk([1, 2], np.eye(8, dtype=np.float32)[:2])
-        assert "int8-assist" in col.info()["kernel_demotions"]
+        assert "int8-assist-pd" in col.info()["kernel_demotions"]
 
         # surfaces as a Prometheus gauge
         from velesdb_tpu.server.app import VelesServer
@@ -557,14 +707,16 @@ def test_kernel_demotion_visibility(monkeypatch):
         app = VelesServer(db)
         app.config.server.enable_metrics = True
         text = app.prometheus()
-        assert 'kernel_demoted{kernel="int8-assist"} 1' in text
+        assert 'kernel_demoted{kernel="int8-assist-pd"} 1' in text
     finally:
         brute_mod._SQ8I_OK[0] = saved[0]
         brute_mod._HL_OK[0] = saved[1]
         brute_mod._PALLAS_OK[0] = saved[2]
         brute_mod._SQ8I_XLA_OK[0] = saved[3]
+        brute_mod._SQ8PD_OK[0] = saved[4]
+        brute_mod._SQ8PD_XLA_OK[0] = saved[5]
         dem_mod.KERNEL_DEMOTIONS.clear()
-        dem_mod.KERNEL_DEMOTIONS.update(saved[4])
+        dem_mod.KERNEL_DEMOTIONS.update(saved[6])
 
 
 def test_pad_rows_quantized_buckets():

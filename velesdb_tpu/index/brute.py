@@ -54,7 +54,21 @@ _HL_OK = [True]  # split-bf16 (true-f32 fidelity) bucket kernel
 _SQ8_BUCKET_OK = [True]  # SQ8 bucket kernel (int32-staged unpack)
 _SQ8I_OK = [True]  # SQ8 int8-direct kernel (int8 MXU dots, no unpack)
 _SQ8I_XLA_OK = [True]  # pure-XLA assist twin (int8 dot_general + rerank)
+_SQ8PD_OK = [True]  # per-dim enc-select assist kernel (r5 serve default)
+_SQ8PD_XLA_OK = [True]  # pure-XLA per-dim assist twin
 _BINARY_OK = [True]  # Hamming kernels
+_HAM_MXU_OK = [True]  # bit-plane MXU Hamming kernel
+
+
+def _ham_mxu_max_bytes() -> int:
+    """HBM budget for the unpacked 0/1 bit shadow (1B/bit = 8x packed).
+    Past it binary serves packed-only — the capacity-mode planner rule
+    (VERDICT r4 weak #4). Default 4 GiB on a 16GB v5e."""
+    import os
+
+    return int(
+        os.environ.get("VELESDB_HAMMING_MXU_MAX_BYTES", 4 << 30)
+    )
 
 # int8-direct serves every dim (safety knob, lower to re-enable the staged
 # kernel above a cutoff). Measured v5e scan protocol: +59% QPS at 1Mx128D
@@ -124,6 +138,8 @@ class BruteForceIndex:
         self._full = None  # [N_pad, D] device (full/bf16 modes)
         self._sq8: SQ8Vectors | None = None
         self._packed = None  # [N_pad, W] uint32 (binary mode)
+        self._ham_bits = None  # [N_pad, D_pad] int8 0/1 (MXU Hamming shadow)
+        self._ham_aux = None  # [N_pad] int32 |c| + knockout (MXU Hamming)
         self._sq_norm = None  # [N_pad] f32 squared norms (euclidean w/ sq8)
         self._full_sqnorm = None  # [N_pad] f32 norms for the fused kernel
         self._bucket_pen = None  # [N_pad] f32 additive penalty (bucket kernel)
@@ -131,6 +147,8 @@ class BruteForceIndex:
         self._sq8_rows8 = None  # [N_pad, D_pad] int8 rows (int8-direct kernel)
         self._full_hl = None  # (hi, lo) bf16 pair (split-bf16 bucket kernel)
         self._assist = None  # (rows8, scale, minv, pen) int8-assist shadow
+        self._assist_pd = None  # (rows_pd, pen_int, pen_f32, sdim, mid, qu)
+        self._pd_ptile = {}  # chunk -> encoded ptile (corpus-static)
         self._sq8_scale = None  # [N_pad] f32 (cosine: scale/|c| folded)
         self._sq8_minv = None  # [N_pad] f32 (cosine: minv/|c| folded)
         self._sq8_pen = None  # [N_pad] f32 additive penalty
@@ -195,13 +213,33 @@ class BruteForceIndex:
             # ``dual_precision.rs`` int8 traversal + f32 rerank).
             self._full_hl = None
             self._assist = None
+            self._assist_pd = None
+            self._pd_ptile = {}
             if (
                 mode is StorageMode.FULL
                 and use_pallas()
                 and self.dim < 512
                 and self.n_pad >= BUCKET_MIN_ROWS
             ):
-                if _SQ8I_OK[0] and self.dim < _SQ8I_MAX_DIM[0]:
+                # r5 serve default: per-DIM quantized enc-select shadow
+                # (sq8pd_rerank_topk — the whole affine epilogue folds
+                # into the int dot; 301K vs 240K QPS at 1Mx128 b=256 at
+                # matched 0.997 host recall, benchmarks/exp_sq8i_v2.py).
+                # The builder refuses (returns None) on corpora whose
+                # penalty exceeds the int32 encoding budget — the per-row
+                # family below then serves exactly as before.
+                if _SQ8PD_OK[0] or _SQ8PD_XLA_OK[0]:
+                    from velesdb_tpu.ops.bucket_kernel import sq8pd_build
+
+                    pd = sq8pd_build(
+                        slots_f32, self._valid, self.dim, self.metric
+                    )
+                    if pd is not None:
+                        self._assist_pd = tuple(
+                            jax.device_put(a) if i < 5 else a
+                            for i, a in enumerate(pd)
+                        )
+                if self._assist_pd is None and _SQ8I_OK[0] and self.dim < _SQ8I_MAX_DIM[0]:
                     from velesdb_tpu.ops.bucket_kernel import sq8_int8_rows
 
                     sq = sq8_quantize(slots_f32)
@@ -231,7 +269,7 @@ class BruteForceIndex:
                             jnp.where(self._valid, pen_base, jnp.inf)
                         ),
                     )
-                elif _HL_OK[0]:
+                elif self._assist_pd is None and _HL_OK[0]:
                     from velesdb_tpu.ops.bucket_kernel import split_f32_rows
 
                     d_pad = ((self.dim + 127) // 128) * 128
@@ -289,6 +327,33 @@ class BruteForceIndex:
             )
         elif mode is StorageMode.BINARY:
             self._packed = jax.device_put(binary_quantize(jnp.asarray(slots)))
+            # Bit-plane MXU shadow: unpacked int8 0/1 rows turn the packed
+            # VPU xor+popcount loop into one int8 MXU matmul (measured 5.4x,
+            # 54K -> 293K QPS at 1.2Mx100D, benchmarks/exp_hamming_mxu.py).
+            # It costs 8x the packed bytes (1B/bit — SQ8-sized), so binary's
+            # CAPACITY advantage only survives past the shadow budget:
+            # above it the packed kernel serves alone (the planner rule —
+            # binary-packed is a capacity mode, not a speed mode).
+            self._ham_bits = None
+            self._ham_aux = None
+            d_pad = ((self.dim + 127) // 128) * 128
+            if (
+                use_pallas()
+                and self.n_pad * d_pad <= _ham_mxu_max_bytes()
+            ):
+                from velesdb_tpu.ops.bucket_kernel import (
+                    _HAM_BIG,
+                    hamming_bits_rows,
+                )
+
+                bits = hamming_bits_rows(jnp.asarray(slots), self.dim)
+                csum = jnp.sum(bits.astype(jnp.int32), axis=1)
+                self._ham_bits = jax.device_put(bits)
+                self._ham_aux = jax.device_put(
+                    jnp.where(self._valid, csum, csum + _HAM_BIG).astype(
+                        jnp.int32
+                    )
+                )
         else:
             raise ValueError(f"unsupported storage mode {mode}")
 
@@ -308,6 +373,14 @@ class BruteForceIndex:
         if mode in (StorageMode.FULL, StorageMode.F16, StorageMode.BF16):
             if self.dim >= 512:
                 return "streamed-scan"
+            if self._assist_pd is not None:
+                m = min(max(2 * k - 4, 16), 256)
+                chunk_i8 = min(bucket_chunk_for(b_pad8, d_pad, 1), self.n_pad)
+                if m >= k and _bucket_safe(self.n_pad, chunk_i8, m):
+                    if _SQ8PD_OK[0]:
+                        return "int8-assist-pd"
+                    if _SQ8PD_XLA_OK[0]:
+                        return "int8-assist-pd-xla"
             if self._assist is not None:
                 m = min(max(2 * k - 4, 16), 256)
                 chunk_i8 = min(bucket_chunk_for(b_pad8, d_pad, 1), self.n_pad)
@@ -348,6 +421,21 @@ class BruteForceIndex:
                 return "sq8-bucket"
             return "sq8-streamed"
         if mode is StorageMode.BINARY:
+            if (
+                _HAM_MXU_OK[0]
+                and self._ham_bits is not None
+                and _bucket_safe(
+                    self.n_pad,
+                    min(
+                        bucket_chunk_for(
+                            b_pad8, self._ham_bits.shape[1], 1
+                        ),
+                        self.n_pad,
+                    ),
+                    min(k, self.n_pad),
+                )
+            ):
+                return "hamming-mxu"
             if _BINARY_OK[0]:
                 return (
                     "hamming-bucket"
@@ -485,6 +573,60 @@ class BruteForceIndex:
                 queries, self._sq8, cnorm=cn, valid=valid, k=k_eff,
                 metric=self.metric,
             )
+        if mode is StorageMode.BINARY and use_pallas():
+            # bit-plane MXU kernel first (5.4x the packed VPU loop when the
+            # 1B/bit shadow fits); packed popcount is the capacity fallback
+            if (
+                _HAM_MXU_OK[0]
+                and self._ham_bits is not None
+                and _bucket_safe(
+                    self.n_pad,
+                    min(
+                        bucket_chunk_for(
+                            ((queries.shape[0] + 7) // 8) * 8,
+                            self._ham_bits.shape[1],
+                            1,
+                        ),
+                        self.n_pad,
+                    ),
+                    k_eff,
+                )
+            ):
+                try:
+                    from velesdb_tpu.ops.bucket_kernel import (
+                        _HAM_BIG,
+                        hamming_mxu_topk,
+                    )
+
+                    aux = self._ham_aux
+                    if mask is not None:
+                        aux = jnp.where(
+                            _pad_to(mask, self.n_pad), aux, aux + _HAM_BIG
+                        )
+                    qbits = (queries >= 0.0).astype(jnp.int8)
+                    d_pad = self._ham_bits.shape[1]
+                    if d_pad > qbits.shape[1]:
+                        qbits = jnp.pad(
+                            qbits, ((0, 0), (0, d_pad - qbits.shape[1]))
+                        )
+                    chunk = min(
+                        bucket_chunk_for(
+                            ((queries.shape[0] + 7) // 8) * 8, d_pad, 1
+                        ),
+                        self.n_pad,
+                    )
+                    dist, idx = hamming_mxu_topk(
+                        qbits, self._ham_bits, aux, k=k_eff, chunk=chunk
+                    )
+                    if self.metric.higher_is_better:
+                        vals = jnp.where(
+                            idx < 0, -jnp.inf, 1.0 - dist / float(self.dim)
+                        )
+                        return vals, idx
+                    return dist, idx
+                except Exception as e:
+                    _HAM_MXU_OK[0] = False
+                    record_demotion("hamming-mxu", e)
         if _BINARY_OK[0] and use_pallas() and mode is StorageMode.BINARY:
             try:
                 valid = self._valid
@@ -550,6 +692,76 @@ class BruteForceIndex:
         # 338K vs 252K) where the MXU matmul dominates and XLA's pipelining
         # beats the hand-tiled kernel
         prefer_streamed = self.dim >= 512
+        if not prefer_streamed and self._assist_pd is not None:
+            # per-dim enc-select assist (r5 default; see rebuild comment)
+            m = min(max(2 * k - 4, 16), 256)
+            chunk_i8 = min(bucket_chunk_for(b_pad, d_pad, 1), self.n_pad)
+            if m >= k and _bucket_safe(self.n_pad, chunk_i8, m):
+                rows_pd, pen_int, pen_f32, sdim, mid, qu = self._assist_pd
+                if _SQ8PD_OK[0]:
+                    try:
+                        from velesdb_tpu.ops.bucket_kernel import (
+                            _pd_invalid_pen,
+                            sq8pd_ptile,
+                            sq8pd_rerank_topk,
+                        )
+
+                        ptile = self._pd_ptile.get(chunk_i8)
+                        if ptile is None:
+                            ptile = jax.device_put(
+                                sq8pd_ptile(pen_int, chunk_i8)
+                            )
+                            self._pd_ptile[chunk_i8] = ptile
+                        if mask_dev is not None:
+                            ptile = jnp.where(
+                                mask_dev,
+                                ptile,
+                                -64 * _pd_invalid_pen(self.dim),
+                            )
+                        return sq8pd_rerank_topk(
+                            queries, rows_pd, ptile, sdim, qu, self._full,
+                            k=k, m=m, metric=self.metric, chunk=chunk_i8,
+                            dim=self.dim, interpret=False,
+                        )
+                    except Exception as e:
+                        _SQ8PD_OK[0] = False
+                        record_demotion("int8-assist-pd", e)
+                if _SQ8PD_XLA_OK[0]:
+                    try:
+                        from velesdb_tpu.ops.bucket_kernel import (
+                            sq8pd_xla_rerank_topk,
+                        )
+
+                        pf = pen_f32
+                        if mask_dev is not None:
+                            pf = jnp.where(mask_dev, pf, jnp.inf)
+                        return sq8pd_xla_rerank_topk(
+                            queries, rows_pd, pf, sdim, qu, self._full,
+                            k=k, m=m, metric=self.metric,
+                        )
+                    except Exception as e:
+                        _SQ8PD_XLA_OK[0] = False
+                        record_demotion("int8-assist-pd-xla", e)
+                # both pd paths demoted: fall through to the split-bf16
+                # lazy build below so fidelity survives (same ladder the
+                # per-row family uses)
+                if _HL_OK[0] and self._full_hl is None and self._full is not None:
+                    try:
+                        from velesdb_tpu.ops.bucket_kernel import (
+                            split_f32_rows,
+                        )
+
+                        padded = jnp.pad(
+                            self._full.astype(jnp.float32),
+                            ((0, 0), (0, d_pad - self.dim)),
+                        )
+                        hi, lo = split_f32_rows(padded)
+                        self._full_hl = (
+                            jax.device_put(hi), jax.device_put(lo)
+                        )
+                        del padded
+                    except Exception:
+                        self._full_hl = None
         if not prefer_streamed and self._assist is not None:
             # int8-assist serve default (see rebuild): coarse top-m int8
             # scan + exact f32 rerank in one program. m = 16 measured best

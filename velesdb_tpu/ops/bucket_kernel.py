@@ -57,12 +57,21 @@ __all__ = [
     "BUCKET_MIN_ROWS",
     "bucket_chunk_for",
     "hamming_bucket_topk",
+    "hamming_bits_rows",
+    "hamming_mxu_topk",
+    "hamming_mxu_rerank_topk",
     "sq8_pack_blocked",
     "sq8_bucket_topk",
     "sq8_int8_rows",
     "sq8i_bucket_topk",
     "sq8i_rerank_topk",
     "sq8i_xla_rerank_topk",
+    "sq8pd_build",
+    "sq8pd_ptile",
+    "sq8pd_candidates",
+    "sq8pd_topk",
+    "sq8pd_rerank_topk",
+    "sq8pd_xla_rerank_topk",
     "split_f32_rows",
     "bucket_topk_hl",
 ]
@@ -458,6 +467,358 @@ def hamming_rerank_topk(queries, packed_q, packed_corpus, penalty, corpus,
     vals, order = jax.lax.top_k(exact, k)
     ids = jnp.take_along_axis(ci, order, axis=1)
     return vals, jnp.where(vals == -jnp.inf, -1, ids)
+
+
+# ---------------------------------------------------------------------------
+# bit-plane MXU Hamming: popcount(q XOR c) = |q| + |c| - 2 q.c on 0/1 bit
+# vectors, so with the corpus stored as UNPACKED int8 0/1 rows (1 byte/bit —
+# an 8x shadow over packed, still 4x under f32) one int8 MXU matmul replaces
+# the packed VPU xor+popcount loop. Measured v5e 1.2M x 100D b=256: packed
+# kernel 54K QPS (~2.5 GB/s effective) -> MXU 293K QPS (5.4x; exact distance
+# agreement, benchmarks/exp_hamming_mxu.py). Epilogue is 1 int32 subtract +
+# the shared 3-op bucket select; masking rides in the aux tile as a +_BIG
+# knockout (int32 scores have no inf).
+# ---------------------------------------------------------------------------
+
+_HAM_BIG = 1 << 20  # knockout >> max popcount(D) yet far from int32 overflow
+
+
+def _hamming_mxu_kernel(qi_ref, rows_ref, aux_ref, gm_ref, gi_ref, *,
+                        chunk: int):
+    c = pl.program_id(0)
+    doti = jax.lax.dot_general(
+        qi_ref[:], rows_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [B, C] = 2 q.c  (queries pre-doubled)
+    s = doti - aux_ref[0, :][None, :]  # aux = |c| + _BIG*knocked_out
+    gm, gi = _bucket_select(s, c * chunk)
+    gm_ref[:] = gm.astype(jnp.float32)
+    gi_ref[:] = gi
+
+
+def hamming_bits_rows(slots, dim: int):
+    """Build the MXU-Hamming shadow: unpacked int8 0/1 sign-bit rows,
+    D padded to a lane multiple (zero pad bits cancel in |q|+|c|-2q.c).
+    ``slots`` is the padded f32 corpus ``[N_pad, D]``."""
+    d_pad = ((dim + _LANES - 1) // _LANES) * _LANES
+    bits = (jnp.asarray(slots)[:, :dim] >= 0.0).astype(jnp.int8)
+    if d_pad > dim:
+        bits = jnp.pad(bits, ((0, 0), (0, d_pad - dim)))
+    return bits
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "interpret"))
+def hamming_mxu_topk(qbits, rows_bits, aux, *, k, chunk, interpret=False):
+    """Bit-plane MXU Hamming top-k: smallest distance first.
+
+    ``qbits [B, D_pad] int8 0/1`` vs ``rows_bits [N_pad, D_pad] int8 0/1``;
+    ``aux [N_pad] int32 = colsum(bits) + _HAM_BIG * knocked_out`` carries
+    both the |c| popcount term and the validity/filter mask. Returns
+    ``(distances [B, k] f32, indices [B, k])`` with +inf / -1 empties —
+    contract-identical to :func:`hamming_bucket_topk` (reference
+    ``hamming_distance_binary_fast``, ``simd_explicit.rs:328``)."""
+    b = qbits.shape[0]
+    n, d_pad = rows_bits.shape
+    b_pad = _round_up(max(b, 8), 8)
+    qi = jnp.pad(2 * qbits, ((0, b_pad - b), (0, 0)))
+    qsum = jnp.sum(qbits.astype(jnp.int32), axis=1)  # [B] |q|
+    aux8 = jnp.broadcast_to(aux[None, :], (8, n))
+    grid = (n // chunk,)
+    nbuckets = (n // chunk) * _LANES
+    gm, gi = pl.pallas_call(
+        functools.partial(_hamming_mxu_kernel, chunk=chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b_pad, d_pad), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d_pad), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_pad, _LANES), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, _LANES), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, nbuckets), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, nbuckets), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n * d_pad,
+            bytes_accessed=n * d_pad + n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qi, rows_bits, aux8)
+    vals, idx = _final_select(gm, gi, k, b)
+    # int32 scores have no -inf: knocked-out rows sit below -_HAM_BIG/2
+    empty = vals < -(_HAM_BIG // 2)
+    dist = jnp.where(
+        empty, jnp.inf, qsum[:, None].astype(jnp.float32) - vals
+    )
+    return dist, jnp.where(empty, -1, idx)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "m", "metric", "chunk", "interpret")
+)
+def hamming_mxu_rerank_topk(queries, qbits, rows_bits, aux, corpus, *, k, m,
+                            metric, chunk, interpret=False):
+    """MXU-Hamming prefilter + in-program exact f32 gather-rerank, ONE
+    dispatch — the serve path for binary collections whose bit shadow fits
+    the MXU budget (falls back to :func:`hamming_rerank_topk` past it).
+    Measured v5e 1.2M x 100D angular m=80 b=256: 114K QPS vs the packed
+    path's 44K at identical rerank recall (exp_hamming_mxu.py)."""
+    _, ci = hamming_mxu_topk(qbits, rows_bits, aux, k=m, chunk=chunk,
+                             interpret=interpret)
+    return _exact_rerank_tail(queries, corpus, ci, k=k, metric=metric)
+
+
+# ---------------------------------------------------------------------------
+# per-DIMENSION SQ8 ("pd") assist family — the r5 selection-bound fix.
+#
+# The per-row affine assist kernel (sq8i_rerank_topk) pays an ~6-op f32
+# epilogue (cast, * scale, two rank-1 outer corrections) plus the 3-op
+# bucket select per [B, C] score element; measured 240K QPS at 1M x 128D
+# b=256 while the no-epilogue lower bound (raw int32 dots + classic select)
+# runs 339K (benchmarks/exp_sq8i_v2.py). Per-dimension quantization
+# x_d = sdim_d * code_d + mid_d folds the whole affine into the int dot:
+#
+#   2 q.x - |x|^2  =  qu * (doti - pen_int) + 2 q.mid  + O(quant)
+#       doti    = qi . codes,  qi = round(2 q sdim / qu)  (int8)
+#       pen_int = round(|x|^2 / qu)                       (int32, corpus-static)
+#       qu      = corpus-calibrated batch-common query quant step
+#
+# and 2 q.mid is per-QUERY constant — rank-irrelevant. The kernel then
+# rides a single ENCODED int32 tile: enc = doti * 64 + ptile with
+# ptile = -64 * pen_int + slice_idx — the in-chunk slice index lives in the
+# low 6 bits, so ONE max pass (mul, add, max = 3 int ops/elem) yields the
+# bucket winner's value AND its exact argmax; the gi output and the 2-op
+# argmax pass disappear. Measured v5e 1M x 128D b=256 (exp_sq8i_v2.py):
+#
+#   coarse:        362K QPS (vs 267K per-row, vs 339K no-epilogue bound)
+#   assist m=16:   301K QPS @ host recall 0.9973 (vs 240K @ 0.9977)
+#   assist m=32:   227K QPS @ host recall 1.0000
+#
+# Coarse quality drops vs per-row affine (0.918 vs 0.949 — one shared step
+# across all rows), which the in-program exact f32 rerank absorbs. int32
+# budget (dim <= 512, the assist regime): |doti| <= 127*127*dim, valid
+# pen_int capped at _PD_PEN_CAP (else the builder refuses and the per-row
+# family serves), knocked-out rows carry _pd_invalid_pen(dim) chosen so
+# masked scores sit strictly below every valid score and |enc| < 2^31.
+# ---------------------------------------------------------------------------
+
+_PD_PEN_CAP = 1 << 21
+
+
+def _pd_doti_max(dim: int) -> int:
+    return 127 * 127 * dim
+
+
+def _pd_invalid_pen(dim: int) -> int:
+    return 2 * _pd_doti_max(dim) + 2 * _PD_PEN_CAP
+
+
+def _pd_empty_thresh(dim: int) -> int:
+    return -(_pd_doti_max(dim) + _PD_PEN_CAP)
+
+
+def sq8pd_build(slots_f32, valid, dim: int, metric: DistanceMetric):
+    """Build the per-dim assist shadow from the padded f32 corpus.
+
+    Returns ``(rows_pd [N_pad, D_pad] int8, pen_int [N_pad] int32,
+    pen_f32 [N_pad] f32, sdim [D_pad] f32, mid [D_pad] f32, qu float)``
+    or ``None`` when the int32 encoding budget doesn't hold (pen_int above
+    ``_PD_PEN_CAP`` — huge-norm euclidean corpora — or dim > 512).
+    COSINE expects pre-normalized rows (ranks as DOT, pen = 0)."""
+    if dim > 512:
+        return None
+    d_pad = ((dim + _LANES - 1) // _LANES) * _LANES
+    x = jnp.asarray(slots_f32, jnp.float32)
+    if x.shape[1] < d_pad:
+        x = jnp.pad(x, ((0, 0), (0, d_pad - x.shape[1])))
+    vcol = jnp.asarray(valid)[:, None]
+    big = jnp.max(jnp.where(vcol, x, -jnp.inf), axis=0)
+    small = jnp.min(jnp.where(vcol, x, jnp.inf), axis=0)
+    mid = jnp.where(jnp.isfinite(big), (big + small) * 0.5, 0.0)
+    sdim = jnp.where(big > small, (big - small) / 254.0, 1.0)
+    rows_pd = jnp.clip(
+        jnp.round((x - mid[None, :]) / sdim[None, :]), -127, 127
+    ).astype(jnp.int8)
+    rows_pd = jnp.where(vcol, rows_pd, 0)
+    if metric is DistanceMetric.EUCLIDEAN:
+        deq = rows_pd.astype(jnp.float32) * sdim[None, :] + mid[None, :]
+        pen = jnp.sum(deq * deq, axis=1)
+        del deq
+    else:
+        pen = jnp.zeros(x.shape[0], jnp.float32)
+    # batch-common query step, calibrated on the corpus itself (queries
+    # resemble the corpus distribution; outliers clip in the COARSE pass
+    # only — the exact rerank rescores in f32). 1.2x headroom measured
+    # adequate (exp_sq8i_v2.py used 1.1x on true queries).
+    qmax = jnp.max(jnp.where(vcol, jnp.abs(2.0 * x * sdim[None, :]), 0.0))
+    qu = float(qmax) / 127.0 * 1.2
+    if qu <= 0.0:
+        return None
+    vmask = jnp.asarray(valid)
+    # cap check in FLOAT (an over-cap penalty would overflow the int32
+    # cast below before the guard could see it)
+    if float(jnp.max(jnp.where(vmask, pen, 0.0))) / qu > _PD_PEN_CAP:
+        return None
+    pen_int_raw = jnp.round(pen / qu).astype(jnp.int32)
+    pen_int = jnp.where(vmask, pen_int_raw, _pd_invalid_pen(dim)).astype(
+        jnp.int32
+    )
+    pen_f32 = jnp.where(vmask, pen, jnp.inf)
+    return rows_pd, pen_int, pen_f32, sdim, mid, qu
+
+
+def sq8pd_ptile(pen_int, chunk: int):
+    """Corpus-static encoded tile for the enc-select kernel: the additive
+    penalty in the high bits, the in-chunk slice index in the low 6."""
+    n = pen_int.shape[0]
+    slice_i = ((jnp.arange(n) % chunk) // _LANES).astype(jnp.int32)
+    return pen_int * (-64) + slice_i
+
+
+def _sq8pd_kernel(qi_ref, rows_ref, pt_ref, gm_ref, *, chunk: int):
+    doti = jax.lax.dot_general(
+        qi_ref[:], rows_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    w = chunk // _LANES
+    m = None
+    for i in range(w):
+        sl = slice(i * _LANES, (i + 1) * _LANES)
+        e = doti[:, sl] * 64 + pt_ref[0, sl][None, :]
+        m = e if m is None else jnp.maximum(m, e)
+    gm_ref[:] = m
+
+
+def _sq8pd_quantize_queries(queries, sdim, qu, d_pad: int):
+    b = queries.shape[0]
+    b_pad = _round_up(max(b, 8), 8)
+    q = queries
+    if q.shape[1] < d_pad:
+        q = jnp.pad(q, ((0, 0), (0, d_pad - q.shape[1])))
+    qv = 2.0 * q * sdim[None, :]
+    qi = jnp.clip(jnp.round(qv / qu), -127, 127).astype(jnp.int8)
+    return jnp.pad(qi, ((0, b_pad - b), (0, 0))), b_pad
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "chunk", "dim", "interpret")
+)
+def sq8pd_candidates(queries, rows_pd, ptile, sdim, qu, *, m, chunk, dim,
+                     interpret=False):
+    """Coarse top-m candidate ids from the enc-select sweep (−1 empties)."""
+    b = queries.shape[0]
+    n, d_pad = rows_pd.shape
+    qi, b_pad = _sq8pd_quantize_queries(queries, sdim, qu, d_pad)
+    pt8 = jnp.broadcast_to(ptile[None, :], (8, n))
+    grid = (n // chunk,)
+    nbuckets = (n // chunk) * _LANES
+    (gm,) = pl.pallas_call(
+        functools.partial(_sq8pd_kernel, chunk=chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b_pad, d_pad), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d_pad), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_pad, _LANES), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b_pad, nbuckets), jnp.int32),),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n * d_pad,
+            bytes_accessed=n * d_pad + n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qi, rows_pd, pt8)
+    # selection on the f32 cast (approx_max_k has no int path); ties from
+    # the lost low bits are near-ties in score — the EXACT enc is re-read
+    # from the int32 tile for decoding
+    _, pos = jax.lax.approx_max_k(
+        gm.astype(jnp.float32), min(m, gm.shape[1]), recall_target=0.99
+    )
+    enc = jnp.take_along_axis(gm, pos, axis=1)[:b]
+    pos = pos[:b]
+    i_dec = enc & 63
+    val = (enc - i_dec) // 64  # exact, sign-safe
+    idx = (pos // _LANES) * chunk + i_dec * _LANES + (pos % _LANES)
+    empty = val < _pd_empty_thresh(dim)
+    return jnp.where(empty, -1, idx), val
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "m", "metric", "chunk", "dim", "interpret")
+)
+def sq8pd_rerank_topk(queries, rows_pd, ptile, sdim, qu, corpus, *, k, m,
+                      metric, chunk, dim, interpret=False):
+    """Per-dim int8 enc-select coarse scan + in-program exact f32 rerank —
+    the FULL-storage D<512 serve default since r5 (301K QPS @ host recall
+    0.9973 at 1M x 128D b=256 vs the per-row kernel's 240K @ 0.9977)."""
+    ci, _ = sq8pd_candidates(
+        queries, rows_pd, ptile, sdim, qu, m=m, chunk=chunk, dim=dim,
+        interpret=interpret,
+    )
+    return _exact_rerank_tail(queries, corpus, ci, k=k, metric=metric)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "chunk", "dim", "metric", "interpret")
+)
+def sq8pd_topk(queries, rows_pd, ptile, sdim, mid, qu, *, k, chunk, dim,
+               metric, interpret=False):
+    """Coarse-only pd top-k with metric-native values restored (tests and
+    benchmarks; the serve path is :func:`sq8pd_rerank_topk`)."""
+    idx, val = sq8pd_candidates(
+        queries, rows_pd, ptile, sdim, qu, m=k, chunk=chunk, dim=dim,
+        interpret=interpret,
+    )
+    empty = idx < 0
+    # qu * val + 2 q.mid = 2 q.x - pen  (pen = |x|^2 for euclidean, else 0)
+    qmid = 2.0 * (queries @ mid[: queries.shape[1]])
+    score = qu * val.astype(jnp.float32) + qmid[:, None]
+    if metric is DistanceMetric.EUCLIDEAN:
+        qq = jnp.sum(queries * queries, axis=1)
+        d2 = jnp.maximum(qq[:, None] - score, 0.0)
+        return jnp.where(empty, jnp.inf, jnp.sqrt(d2)), idx
+    dots = score * 0.5  # q.x
+    if metric is DistanceMetric.COSINE:
+        qn = jnp.sqrt(jnp.maximum(jnp.sum(queries * queries, axis=1), 1e-30))
+        dots = dots / qn[:, None]  # corpus rows pre-normalized
+    return jnp.where(empty, -jnp.inf, dots), idx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "m", "metric", "recall_target")
+)
+def sq8pd_xla_rerank_topk(queries, rows_pd, pen_f32, sdim, qu, corpus, *, k,
+                          m, metric, recall_target=0.99):
+    """Pure-XLA twin of :func:`sq8pd_rerank_topk` (Mosaic-free fallback,
+    same shadow arrays): monolithic int8 ``dot_general`` + f32 penalty
+    subtract + ``approx_max_k`` + the shared exact rerank tail."""
+    n, d_pad = rows_pd.shape
+    qi, _ = _sq8pd_quantize_queries(queries, sdim, qu, d_pad)
+    qi = qi[: queries.shape[0]]
+    doti = jax.lax.dot_general(
+        qi, rows_pd, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s = qu * doti.astype(jnp.float32) - pen_f32[None, :]
+    cv, ci = jax.lax.approx_max_k(s, m, recall_target=recall_target)
+    ci = jnp.where(cv == -jnp.inf, -1, ci)
+    return _exact_rerank_tail(queries, corpus, ci, k=k, metric=metric)
 
 
 def bucket_topk(
