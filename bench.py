@@ -438,10 +438,14 @@ def bench_ingest(n=1_000_000, d=128):
         step = 100_000
         for i in range(0, n, step):
             store.store_batch(ids[i : i + step], vecs[i : i + step])
-        store.flush()
+        t_frame = time.perf_counter() - t0  # WAL framing + page-cache writes
+        store.flush()  # msync + id-map checkpoint — the disk-weather part
         rate = n / (time.perf_counter() - t0)
         store.close()
-        return rate
+        # (durable_rate, framing_rate): the durable number depends on the
+        # box's disk (msync dominates — VERDICT r4 weak #8); the
+        # fsync-excluded framing rate isolates the engine cost
+        return rate, n / t_frame
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -559,7 +563,8 @@ def _stage_sift():
 
 
 def _stage_ingest():
-    return {"ingest_rate": bench_ingest()}
+    durable, framing = bench_ingest()
+    return {"ingest_rate": durable, "ingest_rate_nofsync": framing}
 
 
 def _stage_builds():
@@ -738,6 +743,12 @@ def main():
         }
     if ingest:
         payload["ingest_vec_s"] = round(ingest["ingest_rate"])
+        if "ingest_rate_nofsync" in ingest:
+            # engine-only framing rate (msync excluded) — separates WAL
+            # codec cost from the box's disk weather (VERDICT r4 weak #8)
+            payload["ingest_vec_s_nofsync"] = round(
+                ingest["ingest_rate_nofsync"]
+            )
     if sift:
         payload["sift_qps"] = round(sift["qps"], 1)
         payload["sift_recall"] = round(sift["recall"], 4)
