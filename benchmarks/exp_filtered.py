@@ -296,13 +296,19 @@ def main():
         beam, expansions = gi.params.beam_for_ef(ef, k_fetch)
         gmask = jnp.pad(jnp.asarray(mask_h), (0, gi.n_pad - n))
         eiv = gi._entry_ivf
-        kernel_entry = eiv is not None and use_pallas()
+        kernel_entry = eiv is not None
         estate = None
         emode = "legacy"
         if kernel_entry:
-            e_aux, e_frows = eiv._kernel_state()
-            estate = (eiv._centroids, eiv._cent_sq, eiv._parts, e_aux, e_frows)
-            emode = "kernel"
+            # mirror the production masked path (r5): masked searches use
+            # the XLA entry scan — mask-aware probe pruning + masked top-E
+            # seeds the beam at filtered-answer candidates
+            estate = (
+                eiv._centroids, eiv._cent_sq,
+                (eiv._parts, eiv._part_scale, eiv._part_minv),
+                eiv._part_rows, eiv._part_sq,
+            )
+            emode = "xla"
         router = (
             (gi._route_cents, gi._route_csq, gi._route_rows)
             if gi._route_cents is not None else None
@@ -318,7 +324,7 @@ def main():
 
         def graph_fn(q, corp, adj, sn, vd, seeds, m, *rest):
             rt = tuple(rest[:n_router]) if router is not None else None
-            es = tuple(rest[n_router:]) if emode == "kernel" else None
+            es = tuple(rest[n_router:]) if emode != "legacy" else None
             return _beam(
                 q, corp, adj, sn, vd, seeds, m, None, rt, es,
                 k=K, beam=beam, expansions=expansions,
@@ -336,7 +342,7 @@ def main():
 
         g_arrays = (gi._corpus, gi._adj, gi._sqnorm, gi._valid, gi._seed_ids,
                     gmask) + (router if router is not None else ()) + (
-                        estate if emode == "kernel" else ())
+                        estate if emode != "legacy" else ())
         _, gidx = graph_fn(gt_q, *g_arrays)
         r_g = rec(gidx)
         qps_g = scan_qps(

@@ -381,3 +381,57 @@ def test_match_array_join_respects_bound_tovar(social):
         ("alice", "bob"),
         ("bob", "alice"),
     }
+
+
+def test_correlated_mask_accumulator(rng):
+    """Filtered traversal (r5): masked entry seeding + the running
+    best-masked accumulator. On a cluster-correlated filter the masked
+    rows are far from the query, so (a) unmasked entries start the beam
+    where nothing passes the filter and (b) pool eviction drops masked
+    candidates before final selection — each alone collapses recall to
+    ~selectivity. With both fixes the graph serves ~1.0 recall at base
+    ef (measured on-chip + CPU)."""
+    import dataclasses
+
+    from velesdb_tpu.index.graph_index import GraphIndex
+    from velesdb_tpu.index.params import GraphParams
+    from velesdb_tpu.ops import DistanceMetric
+
+    n, d, c = 30_000, 24, 16
+    centers = rng.standard_normal((c, d)).astype(np.float32) * 3
+    assign = rng.integers(0, c, n)
+    corpus = centers[assign] + 0.5 * rng.standard_normal((n, d)).astype(
+        np.float32
+    )
+    params = dataclasses.replace(
+        GraphParams.auto(d, n), entry_probes=16, entry_points=64
+    )
+    gi = GraphIndex(d, DistanceMetric.EUCLIDEAN, params)
+    gi.build(corpus, np.ones(n, bool))
+    assert gi._entry_ivf is not None
+    mask = assign == 3
+    import jax.numpy as jnp
+
+    gmask = jnp.pad(jnp.asarray(mask), (0, gi.n_pad - n))
+    queries = (
+        centers[rng.integers(0, c, 16)]
+        + 0.5 * rng.standard_normal((16, d)).astype(np.float32)
+    )
+    _, idx = gi.search(queries, 10, ef=64, mask=gmask)
+    idx = np.asarray(idx)
+    assert (mask[idx[idx >= 0]]).all(), "filter violated"
+    ids = np.arange(n)[mask]
+    sub = corpus[mask]
+    hits = 0
+    for b in range(16):
+        gt = set(ids[np.argsort(np.linalg.norm(sub - queries[b], axis=1))[:10]])
+        hits += len(gt & set(idx[b])) / 10
+    assert hits / 16 > 0.8
+    # unmasked path unchanged: still near-exact on clustered data
+    _, uidx = gi.search(queries, 10, ef=64)
+    uidx = np.asarray(uidx)
+    uh = 0
+    for b in range(16):
+        gt = set(np.argsort(np.linalg.norm(corpus - queries[b], axis=1))[:10])
+        uh += len(gt & set(uidx[b])) / 10
+    assert uh / 16 > 0.9

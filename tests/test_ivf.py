@@ -432,3 +432,36 @@ def test_scatter_knn_device(rng):
         assert np.array_equal(si[r, :k_eff], nbrs.reshape(-1, k_eff)[slot])
         assert np.allclose(sv[r, :k_eff], vals.reshape(-1, k_eff)[slot])
     assert (si[:, k_eff:] == -1).all()
+
+
+def test_correlated_mask_probe_pruning(rng):
+    """Mask-aware probe pruning (r5): a CLUSTER-correlated filter keeps
+    whole embedding clusters far from most queries — distance-ordered
+    probing alone reads only masked-out partitions and recall collapses
+    to ~selectivity (measured on-chip, exp_filtered FILT_MASK=cluster).
+    Pruning the routing to partitions that contain masked rows re-aims
+    the probes at the kept clusters at the SAME nprobe."""
+    n, d, c = 40_000, 24, 16
+    centers = rng.standard_normal((c, d)).astype(np.float32) * 3
+    assign = rng.integers(0, c, n)
+    corpus = centers[assign] + 0.5 * rng.standard_normal((n, d)).astype(
+        np.float32
+    )
+    ivf = IvfIndex(d, DistanceMetric.EUCLIDEAN)
+    ivf.build(corpus, np.ones(n, bool))
+    mask = assign == 5  # one kept cluster, ~6% selectivity
+    queries = (
+        centers[rng.integers(0, c, 16)]
+        + 0.5 * rng.standard_normal((16, d)).astype(np.float32)
+    )
+    _, idx = ivf.search(queries, 10, nprobe=8, mask=mask)
+    idx = np.asarray(idx)
+    assert (mask[idx[idx >= 0]]).all(), "filter violated"
+    ids = np.arange(n)[mask]
+    sub = corpus[mask]
+    hits = 0
+    for b in range(16):
+        gt = set(ids[np.argsort(np.linalg.norm(sub - queries[b], axis=1))[:10]])
+        hits += len(gt & set(idx[b])) / 10
+    # without pruning this reads ~selectivity (~0.06)
+    assert hits / 16 > 0.8

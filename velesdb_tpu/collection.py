@@ -874,11 +874,32 @@ class Collection:
             used = max(self.vectors.used_slots, 1)
             sel = float(np.count_nonzero(np.asarray(mask)[:used])) / used
             if engine == "graph":
-                need = int(np.ceil(1.5 * k_fetch / max(sel, 1e-9)))
-                if sel <= 0.0 or need > 512:
-                    engine = "exact"
-                elif need > ef:
-                    ef = ((need + 7) // 8) * 8
+                has_masked_entry = (
+                    self.ann is not None
+                    and getattr(self.ann, "_entry_ivf", None) is not None
+                )
+                if has_masked_entry:
+                    # r5: with an entry IVF the beam SEEDS from the best
+                    # masked rows (mask-aware probe pruning + masked top-E)
+                    # and a running accumulator keeps every mask-passing
+                    # scored node through pool eviction — the pool no
+                    # longer starves at low selectivity (measured: cluster
+                    # masks went recall ~sel -> 1.0 at base ef). A modest
+                    # ef bump still helps RANDOM sparse masks by scoring
+                    # more nodes; cap it at the beam cap instead of
+                    # falling back to exact.
+                    if sel <= 0.0:
+                        engine = "exact"
+                    else:
+                        need = int(np.ceil(1.5 * k_fetch / max(sel, 1e-9)))
+                        if need > ef:
+                            ef = min(((need + 7) // 8) * 8, 512)
+                else:
+                    need = int(np.ceil(1.5 * k_fetch / max(sel, 1e-9)))
+                    if sel <= 0.0 or need > 512:
+                        engine = "exact"
+                    elif need > ef:
+                        ef = ((need + 7) // 8) * 8
             elif self.ivf is not None and self.ivf.part_len:
                 # IVF analog (r4): the probe pool is nprobe*L rows BEFORE
                 # the in-kernel mask, so ~nprobe*L*sel candidates survive —

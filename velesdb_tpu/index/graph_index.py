@@ -571,6 +571,9 @@ class GraphIndex:
             if (
                 _ENTRY_KERNEL_OK[0]
                 and use_pallas()
+                and mask is None  # masked entries need the XLA scan's
+                # mask-aware probe pruning + masked top-E (the Pallas
+                # probe kernel has no mask operand)
                 and eiv.part_len * self.dim >= _ENTRY_MIN_BLOCK
                 and probe_table_fits(b_pad, ep_eff)
             ):
@@ -579,7 +582,11 @@ class GraphIndex:
                     eiv._centroids, eiv._cent_sq, eiv._parts, e_aux, e_frows
                 )
                 entry_mode = "kernel"
-            elif b_pad <= MAX_KERNEL_BATCH:
+            elif b_pad <= MAX_KERNEL_BATCH or mask is not None:
+                # masked searches take the XLA scan at EVERY batch size:
+                # its mask-aware seeding dominates any per-probe slice-loop
+                # slowdown (unmasked entries on a correlated filter start
+                # the beam where no expansion can pass the result filter)
                 entry_state = (
                     eiv._centroids, eiv._cent_sq,
                     (eiv._parts, eiv._part_scale, eiv._part_minv),
@@ -1035,8 +1042,16 @@ def beam_search_impl(
 
             e_cents, e_csq, e_parts, e_prows, e_psq = entry_state
             e = entry_points
+            # mask-aware seeding (r5): with a filter, the entry scan passes
+            # the mask through — probe routing prunes to partitions that
+            # CONTAIN masked rows and the coarse top-E returns the best
+            # masked rows seen, so the beam STARTS at filtered-answer
+            # candidates. On a correlated (cluster) filter the query's own
+            # neighborhood holds zero masked rows and an unmasked entry
+            # seeds the beam in a region where every expansion fails the
+            # result filter (measured recall ~ selectivity).
             _, cand_ids = ivf_search_impl(
-                qn, e_cents, e_csq, e_parts, e_prows, e_psq, None,
+                qn, e_cents, e_csq, e_parts, e_prows, e_psq, mask,
                 k=e, nprobe=entry_probes, metric=metric,
             )
         # exact rescore (coarse SQ8 scores only ranked the candidates):
@@ -1147,6 +1162,29 @@ def beam_search_impl(
     d0 = jnp.concatenate([init_d, jnp.full((b, max(pad, 0)), _INF)], axis=1)[:, :beam]
     vis0 = jnp.zeros((b, beam), bool)
 
+    # filtered-result accumulator (r5): the pool merge keeps the best-beam
+    # by UNFILTERED distance, so on a correlated filter the masked entry
+    # candidates (far from the query by construction) are evicted by
+    # unmasked expansions before final selection ever sees them (measured:
+    # recall ~ selectivity on cluster masks even with masked seeding).
+    # Standard filtered-ANN practice — expand unmasked, SELECT masked —
+    # needs the selection to survive eviction: keep a running top-A buffer
+    # of every scored node that passes the mask (entries + each
+    # expansion), merged with the pool at final selection.
+    acc_w = 0
+    if mask is not None:
+        acc_w = min(beam, max(2 * k, 32))
+        mk0 = mask[jnp.maximum(ids0, 0)] & (ids0 >= 0)
+        acc_d0 = jnp.where(mk0, d0, _INF)
+        _, apos = jax.lax.top_k(-acc_d0, acc_w)
+        acc_d = jnp.take_along_axis(acc_d0, apos, axis=1)
+        acc_i = jnp.take_along_axis(
+            jnp.where(mk0, ids0, -1), apos, axis=1
+        )
+    else:
+        acc_d = jnp.zeros((b, 0), jnp.float32)
+        acc_i = jnp.zeros((b, 0), jnp.int32)
+
     # multi-expansion (CAGRA-style): each iteration expands the E best
     # unvisited candidates at once — E x fewer sequential steps, the
     # dominant cost on TPU where each step is a latency-bound gather
@@ -1154,7 +1192,7 @@ def beam_search_impl(
     rows = jnp.arange(b)[:, None]
 
     def body(_, state):
-        ids, dist, vis = state
+        ids, dist, vis, acc_d, acc_i = state
         sel = jnp.where(vis | (ids < 0), _INF, dist)
         neg_sel, best_pos = jax.lax.top_k(-sel, ew)  # [B, E]
         has = (-neg_sel) < _INF
@@ -1179,6 +1217,17 @@ def beam_search_impl(
         bad = bad | ~first
         nd = jnp.where(bad, _INF, nd)
         nids = jnp.where(bad, -1, nbrs)
+        if acc_w:
+            # fold mask-passing expansions into the filtered accumulator
+            # (duplicates possible across steps — deduped at selection)
+            amk = mask[jnp.maximum(nids, 0)] & (nids >= 0)
+            cd_all = jnp.concatenate([acc_d, jnp.where(amk, nd, _INF)], axis=1)
+            ci_all = jnp.concatenate(
+                [acc_i, jnp.where(amk, nids, -1)], axis=1
+            )
+            _, aord = jax.lax.top_k(-cd_all, acc_w)
+            acc_d = jnp.take_along_axis(cd_all, aord, axis=1)
+            acc_i = jnp.take_along_axis(ci_all, aord, axis=1)
         # merge + keep best `beam`
         all_ids = jnp.concatenate([ids, nids], axis=1)
         all_d = jnp.concatenate([dist, nd], axis=1)
@@ -1187,10 +1236,12 @@ def beam_search_impl(
         ids = jnp.take_along_axis(all_ids, order, axis=1)
         dist = jnp.take_along_axis(all_d, order, axis=1)
         vis = jnp.take_along_axis(all_v, order, axis=1)
-        return ids, dist, vis
+        return ids, dist, vis, acc_d, acc_i
 
     steps = max(2, -(-expansions // ew))
-    ids, dist, _ = jax.lax.fori_loop(0, steps, body, (ids0, d0, vis0))
+    ids, dist, _, acc_d, acc_i = jax.lax.fori_loop(
+        0, steps, body, (ids0, d0, vis0, acc_d, acc_i)
+    )
 
     # ---- f32 rerank of the head of the pool (dual-precision 2nd pass) ----
     if rerank_corpus is not None:
@@ -1227,14 +1278,51 @@ def beam_search_impl(
     if mask is not None:
         keep = mask[jnp.maximum(ids, 0)] & (ids >= 0)
         dist = jnp.where(keep, dist, _INF)
+        if acc_w:
+            if rerank_corpus is not None:
+                # accumulator distances rode the quantized basis — rescore
+                # its (few) rows exactly, like the pool-head rerank above
+                avecs = rerank_corpus[jnp.maximum(acc_i, 0)]
+                adots = jnp.einsum(
+                    "bd,bmd->bm", qn, avecs,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                if metric is DistanceMetric.EUCLIDEAN:
+                    qq = jnp.sum(qn * qn, axis=-1, keepdims=True)
+                    asq = jnp.sum(avecs * avecs, axis=-1)
+                    aex = qq + asq - 2.0 * adots
+                elif metric is DistanceMetric.COSINE:
+                    an = jnp.sqrt(
+                        jnp.maximum(jnp.sum(avecs * avecs, axis=-1), 1e-30)
+                    )
+                    aex = 1.0 - adots / an
+                else:
+                    aex = -adots
+                acc_d = jnp.where(jnp.isinf(acc_d) | (acc_i < 0), acc_d, aex)
+            # union pool + accumulator (pool FIRST so its f32-reranked head
+            # copies win the first-occurrence dedup), pre-trim, dedup ids
+            ids = jnp.concatenate([ids, acc_i], axis=1)
+            dist = jnp.concatenate([dist, acc_d], axis=1)
+            m = min(ids.shape[1], 2 * k + acc_w)
+            _, pre = jax.lax.top_k(-dist, m)
+            ids = jnp.take_along_axis(ids, pre, axis=1)
+            dist = jnp.take_along_axis(dist, pre, axis=1)
+            dup = jnp.sum(
+                jnp.tril(ids[:, :, None] == ids[:, None, :], k=-1), axis=2
+            ) > 0
+            dist = jnp.where(dup, _INF, dist)
+            ids = jnp.where(dup, -1, ids)
     if R > 1:
         # merge restarts: unfold to [B0, R*beam], dedup ids found by more
         # than one restart (keep the best-ranked copy), then select. Top
         # R*k candidates are enough — each id appears at most R times, so
         # they always contain >= k unique ids.
-        ids = ids.reshape(b0, R * beam)
-        dist = dist.reshape(b0, R * beam)
-        m = min(R * beam, max(R * k, k))
+        # width is `beam`, or the deduped union width when a mask is set
+        w = ids.shape[1]
+        ids = ids.reshape(b0, R * w)
+        dist = dist.reshape(b0, R * w)
+        m = min(R * w, max(R * k, k))
         _, pre = jax.lax.top_k(-dist, m)
         mids = jnp.take_along_axis(ids, pre, axis=1)  # [B0, m]
         mdist = jnp.take_along_axis(dist, pre, axis=1)

@@ -1037,6 +1037,19 @@ def ivf_search_impl(q, cents, cent_sq, parts, part_rows, part_sq, mask, *,
     if metric is DistanceMetric.EUCLIDEAN:
         route = route - 0.5 * cent_sq[None, :]
     route = _route_mask(route, cent_sq)  # bucket-padded partitions -> -inf
+    if mask is not None:
+        # mask-aware probe pruning (r5): a CORRELATED filter concentrates
+        # the masked rows in few partitions far from the query — distance-
+        # ordered probing then reads only masked-out rows (measured: recall
+        # collapses to ~selectivity on cluster masks, exp_filtered
+        # FILT_MASK=cluster; the r4 uniform-coverage guard never engages
+        # because its need model assumes masked rows spread evenly). A
+        # partition with ZERO masked rows cannot contribute a result, so
+        # drop it from routing: the top-nprobe probe set re-aims at the
+        # kept clusters. Strictly recall-non-decreasing (pruned probes
+        # contributed nothing); cost is one [C*L] bool gather + a reduce.
+        pmask = mask[jnp.maximum(part_rows, 0)] & (part_rows >= 0)
+        route = jnp.where(jnp.any(pmask, axis=1)[None, :], route, -jnp.inf)
     _, probe = jax.lax.top_k(route, nprobe)  # [B, P]
 
     hib = metric.higher_is_better
