@@ -84,6 +84,7 @@ class VectorStore:
         self._free_slots: list[int] = []
         self._next_slot = 0  # high-water mark
         self.version = 0  # monotone mutation counter (index staleness checks)
+        self._occ_cache = None  # (version, slot_ids, valid) — see occupancy()
         self._capacity = 0
         self._mmap: np.memmap | None = None
         if create and not os.path.exists(self._bin_path):
@@ -372,11 +373,24 @@ class VectorStore:
         return self._mmap
 
     def occupancy(self) -> tuple[np.ndarray, np.ndarray]:
-        """(slot ids int64[used_slots] with -1 for empty, valid mask bool)."""
+        """(slot ids int64[used_slots] with -1 for empty, valid mask bool).
+
+        Cached on ``version`` (every ``id_to_slot`` mutation bumps it):
+        the dict walk costs ~6ms at 100K rows and sits in EVERY serve
+        path's per-call hot loop (hydration, columnar id source — hybrid
+        stage profile r5). Returned arrays are shared read-only views —
+        every consumer only indexes them."""
+        cached = self._occ_cache
+        if cached is not None and cached[0] == self.version:
+            return cached[1], cached[2]
         ids = np.full(self._next_slot, -1, dtype=np.int64)
         for vid, slot in self.id_to_slot.items():
             ids[slot] = vid
-        return ids, ids >= 0
+        valid = ids >= 0
+        ids.setflags(write=False)
+        valid.setflags(write=False)
+        self._occ_cache = (self.version, ids, valid)
+        return ids, valid
 
     def vacuum(self) -> int:
         """Compact the slot space: live rows migrate below the new high-water
