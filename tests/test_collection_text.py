@@ -144,3 +144,76 @@ def test_hybrid_quantized_rides_host_rerank_path(tmp_db_dir, rng):
                   [{"text": "alpha" if i % 2 else "beta"} for i in range(n)])
     got = c.hybrid_search(vecs[33], "alpha", k=5, vector_weight=0.8)
     assert got and got[0].id == 33
+
+
+def test_hybrid_mono_path_engages_and_matches(tmp_db_dir, rng, monkeypatch):
+    """r5: the single-program hybrid (`ops/hybrid_mono.py`) must ENGAGE for
+    the exact FULL-precision serve (a silent always-fallback would hide a
+    5x dispatch-wall regression) and agree id-for-id with the 3-program
+    fused form on the same inputs."""
+    import velesdb_tpu.ops.hybrid_mono as hm
+
+    calls = []
+    orig = hm.hybrid_mono_topk
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(hm, "hybrid_mono_topk", spy)
+
+    db = Database.open(tmp_db_dir)
+    c = db.create_collection("hm", dim=24, metric="cosine")
+    n = 3000
+    vecs = rng.standard_normal((n, 24)).astype(np.float32)
+    words = ["alpha", "beta", "gamma", "delta"]
+    c.upsert_bulk(
+        range(n), vecs,
+        [{"text": f"{words[i % 4]} {words[(i // 4) % 4]}",
+          "price": float(i % 100)} for i in range(n)],
+    )
+    filt = {"type": "lt", "field": "price", "value": 50.0}
+    q = vecs[17] + 0.01 * rng.standard_normal(24).astype(np.float32)
+    got = c.hybrid_search(q, "alpha beta", k=10, vector_weight=0.4,
+                          filter=filt)
+    assert calls, "mono hybrid path did not engage for exact FULL serve"
+    assert all(r.payload["price"] < 50.0 for r in got)
+
+    # force the 3-program form on the SAME collection/inputs and compare
+    monkeypatch.setattr(
+        c, "_hybrid_mono_dispatch",
+        lambda *a, **k: None,
+    )
+    want = c.hybrid_search(q, "alpha beta", k=10, vector_weight=0.4,
+                           filter=filt)
+    assert [r.id for r in got] == [r.id for r in want]
+    for a, b in zip(got, want):
+        assert abs(a.score - b.score) < 1e-6
+
+
+def test_hybrid_mono_skips_quantized_and_explicit_quality(tmp_db_dir, rng,
+                                                          monkeypatch):
+    """The mono gate must fall through for quantized storage (vector branch
+    is the host rerank pass) — and the fallback still serves correctly."""
+    import velesdb_tpu.ops.hybrid_mono as hm
+
+    calls = []
+    orig = hm.hybrid_mono_topk
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(hm, "hybrid_mono_topk", spy)
+
+    db = Database.open(tmp_db_dir)
+    c = db.create_collection("hq2", dim=24, metric="euclidean",
+                             storage_mode="sq8")
+    n = 2000
+    vecs = rng.standard_normal((n, 24)).astype(np.float32)
+    c.upsert_bulk(range(n), vecs,
+                  [{"text": "alpha" if i % 2 else "beta"}
+                   for i in range(n)])
+    got = c.hybrid_search(vecs[33], "alpha", k=5, vector_weight=0.8)
+    assert not calls
+    assert got and got[0].id == 33

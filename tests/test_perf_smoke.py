@@ -153,6 +153,41 @@ def test_search_single_readback_per_call(db, rng, monkeypatch):
     assert calls["n"] <= 1, f"search paid {calls['n']} device_get readbacks"
 
 
+def test_hybrid_mono_single_program_per_call(db, rng, monkeypatch):
+    """r5 mono hybrid gate: one public hybrid call performs exactly ONE
+    jitted-program dispatch class worth of work host-side — at most one
+    device_get readback AND one device_put staging batch (the 3-program
+    form paid a per-array H2D + per-program dispatch wall; see
+    docs/BENCHMARKS.md hybrid stage decomposition)."""
+    coll = db.create_collection("hmono", 32)
+    coll.upsert_bulk(
+        range(2000), _clustered(rng, 2000, 32),
+        [{"text": "alpha" if i % 2 else "beta", "p": i % 9}
+         for i in range(2000)],
+    )
+    qs = rng.standard_normal((8, 32)).astype(np.float32)
+    coll.hybrid_search_batch(qs, ["alpha"] * 8, 5)  # warm compiles
+
+    calls = {"get": 0, "put": 0}
+    real_get, real_put = jax.device_get, jax.device_put
+
+    def counting_get(x):
+        calls["get"] += 1
+        return real_get(x)
+
+    def counting_put(x, *a, **kw):
+        calls["put"] += 1
+        return real_put(x, *a, **kw)
+
+    monkeypatch.setattr(jax, "device_get", counting_get)
+    monkeypatch.setattr(jax, "device_put", counting_put)
+    coll.hybrid_search_batch(
+        rng.standard_normal((8, 32)).astype(np.float32), ["beta"] * 8, 5
+    )
+    assert calls["get"] <= 1, f"hybrid paid {calls['get']} readbacks"
+    assert calls["put"] <= 1, f"hybrid paid {calls['put']} device_put batches"
+
+
 def _timed(fn, reps=3):
     best = float("inf")
     for _ in range(reps):

@@ -1405,6 +1405,18 @@ class Collection:
         if raw_mask is not None:
             used = max(self.vectors.used_slots, 1)
             mask = _pad_mask(raw_mask, self._brute.n_pad or used)
+        got = self._hybrid_mono_dispatch(
+            q, query_texts, k, fetch, raw_mask, mask,
+            w_vec=w_vec, w_txt=w_txt, rrf_k=rrf_k, ef=ef, quality=quality,
+        )
+        if got is not None:
+            fused_vals, fused_idx = got
+            slot_ids, _ = self.vectors.occupancy()
+            self._slot_ids = slot_ids
+            fused_vals, fused_idx = _jax.device_get((fused_vals, fused_idx))
+            return self._hydrate(
+                np.asarray(fused_vals), np.asarray(fused_idx), k
+            )
         v_vals, v_idx, _engine, _sig, _t0 = self._search_device(
             q, fetch, mask, ef, quality
         )
@@ -1429,6 +1441,105 @@ class Collection:
         return self._hydrate(
             np.asarray(fused_vals), np.asarray(fused_idx), k
         )
+
+    def _hybrid_mono_dispatch(self, q, query_texts, k, fetch, raw_mask,
+                              mask, *, w_vec, w_txt, rrf_k, ef, quality):
+        """Serve the hybrid query as ONE jitted program when the vector
+        branch would run the exact FULL-precision engine (the common case;
+        `ops/hybrid_mono.py`). Returns device ``(vals, idx)`` or ``None``
+        to fall through to the 3-program form (ANN engines, quantized
+        storage, explicit ef/quality, empty text index).
+
+        Why: the 3-program form pays a per-array H2D plus a per-program
+        dispatch wall through the tunnel — ~5 round trips/batch measured
+        while device compute is ~1ms (docs/BENCHMARKS.md hybrid stage
+        decomposition). Here every host input ships in ONE ``device_put``
+        and the device side is one dispatch + the one [B, k] readback."""
+        if ef is not None or quality is not None:
+            return None
+        if self.storage_mode is not StorageMode.FULL:
+            return None
+        if self.index_kind in ("graph", "ivf"):
+            return None
+        engine = "exact"
+        if self.metric in _ANN_METRICS:
+            engine = self._choose_engine(
+                q.shape[0], None, SearchQuality.BALANCED.ef
+            )
+        if engine != "exact":
+            return None
+        core = self._brute.serve_engine(fetch)
+        if core == "streamed-scan":
+            vector_core = "streamed"
+        elif core == "fused-xla":
+            vector_core = "fused"
+        else:
+            return None
+        used = max(self.vectors.used_slots, 1)
+        prep = self.text_index.prep_batch(list(query_texts), used)
+        if prep is None:
+            return None
+        bid, wt = prep
+        ti = self.text_index
+        mask_t = None
+        if raw_mask is not None:
+            m = np.asarray(raw_mask, bool)
+            mask_t = (
+                np.pad(m, (0, ti.n_pad - m.shape[0]))
+                if m.shape[0] < ti.n_pad else m[: ti.n_pad]
+            )
+        try:
+            import jax as _jax
+            import jax.numpy as jnp
+
+            from velesdb_tpu.ops.hybrid_mono import hybrid_mono_topk
+
+            # ONE staged transfer for every host input (per-array puts pay
+            # a tunnel round trip each — the measured hybrid floor)
+            host_inputs = [
+                q.astype(np.float32, copy=False), bid, wt,
+                np.float32(w_vec),
+            ]
+            slots = {"q": 0, "bid": 1, "wt": 2, "w_vec": 3}
+            if mask is not None:
+                slots["mask_v"] = len(host_inputs)
+                host_inputs.append(np.asarray(mask, bool))
+            if mask_t is not None:
+                slots["mask_t"] = len(host_inputs)
+                host_inputs.append(mask_t)
+            if w_txt is not None:
+                slots["w_txt"] = len(host_inputs)
+                host_inputs.append(np.float32(w_txt))
+            if rrf_k is not None:
+                slots["rrf_k"] = len(host_inputs)
+                host_inputs.append(np.float32(rrf_k))
+            staged = _jax.device_put(tuple(host_inputs))
+            brute = self._brute
+            return hybrid_mono_topk(
+                staged[slots["q"]],
+                brute._full,
+                brute._valid,
+                brute._full_sqnorm,
+                staged[slots["mask_v"]] if "mask_v" in slots else None,
+                ti._block_docs,
+                ti._block_scores,
+                staged[slots["bid"]],
+                staged[slots["wt"]],
+                staged[slots["mask_t"]] if "mask_t" in slots else None,
+                staged[slots["w_vec"]],
+                staged[slots["w_txt"]] if "w_txt" in slots else None,
+                staged[slots["rrf_k"]] if "rrf_k" in slots else None,
+                k=k,
+                fetch=fetch,
+                metric=self.metric,
+                n_pad_t=ti.n_pad,
+                vector_core=vector_core,
+            )
+        except Exception as e:  # compile/lowering failure: 3-program form
+            from velesdb_tpu.ops.demotions import record_demotion
+
+            record_demotion("hybrid-mono", e)
+            return None
 
     def _hybrid_host_fused(self, query_vectors, query_texts, k,
                            vector_weight, filter):

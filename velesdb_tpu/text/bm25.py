@@ -35,7 +35,7 @@ import numpy as np
 
 from velesdb_tpu.text.tokenizer import extract_text, tokenize
 
-__all__ = ["Bm25Index", "BLOCK"]
+__all__ = ["Bm25Index", "BLOCK", "bm25_score_blocks"]
 
 BLOCK = 128  # postings per device block (lane width)
 
@@ -181,13 +181,13 @@ class Bm25Index:
         vals, slots = jax.device_get(got)
         return np.asarray(vals), np.asarray(slots, np.int64)
 
-    def search_batch_dev(self, queries: list[str], k: int, n_slots: int,
-                         mask=None):
-        """Device-resident batched BM25 top-k: ``(scores, slots)`` as DEVICE
-        arrays (``slots == -1`` for empty), or ``None`` when no query term
-        hits the vocabulary / the index is empty. The fused hybrid path
-        composes this with the vector engine's device output and an
-        on-device RRF — no per-branch readback RTT."""
+    def prep_batch(self, queries: list[str], n_slots: int):
+        """Host half of a batched query: tokenize + postings-block lookup,
+        padded to a rectangular ``(block_ids [B, L], weights [B, L])`` numpy
+        pair, or ``None`` when no query term hits the vocabulary / the index
+        is empty. The mono-fused hybrid path stages these with the query
+        vectors in ONE ``device_put`` and feeds :func:`bm25_score_blocks`
+        inside its single program."""
         self.refresh(n_slots)
         if self._block_docs is None:
             return None
@@ -216,6 +216,19 @@ class Bm25Index:
         for i, (r, w) in enumerate(zip(rows, weights)):
             bid[i, : len(r)] = r
             wt[i, : len(w)] = w
+        return bid, wt
+
+    def search_batch_dev(self, queries: list[str], k: int, n_slots: int,
+                         mask=None):
+        """Device-resident batched BM25 top-k: ``(scores, slots)`` as DEVICE
+        arrays (``slots == -1`` for empty), or ``None`` when no query term
+        hits the vocabulary / the index is empty. The fused hybrid path
+        composes this with the vector engine's device output and an
+        on-device RRF — no per-branch readback RTT."""
+        prep = self.prep_batch(queries, n_slots)
+        if prep is None:
+            return None
+        bid, wt = prep
         mask_dev = None
         if mask is not None:
             m = np.asarray(mask, bool)
@@ -258,3 +271,8 @@ def _bm25_score(block_ids, block_wt, block_docs, block_scores, mask, *, n_pad, k
         dense = jnp.where(mask[None, :], dense, 0.0)
     vals, idx = jax.lax.top_k(dense, k)
     return vals, jnp.where(vals > 0.0, idx, -1)
+
+
+# public name for cross-module composition (the mono-fused hybrid program
+# traces this inline alongside the vector scan; ops/hybrid_mono.py)
+bm25_score_blocks = _bm25_score
