@@ -218,6 +218,15 @@ def run_config(name, n, d, metric_name, batch=256):
     points = []
 
     def measure(engine, knob, fn, arrays, batches=(batch,), latency=False):
+        try:
+            _measure(engine, knob, fn, arrays, batches, latency)
+        except Exception as e:  # one engine's compile/runtime failure must
+            # not void the whole config (the r4 bench lesson) — record it
+            msg = str(e).splitlines()[0][:200]
+            points.append({"engine": engine, "knob": knob, "error": msg})
+            print(name, engine, "FAILED:", msg, flush=True)
+
+    def _measure(engine, knob, fn, arrays, batches, latency):
         _, idx = fn(gt_q, *arrays)
         idx = np.asarray(idx)
         r = float(
@@ -247,7 +256,7 @@ def run_config(name, n, d, metric_name, batch=256):
             print(name, pt, flush=True)
 
     interp = not use_pallas()
-    chunk = min(bucket_chunk_for(batch, ((d + 127) // 128) * 128), n_pad)
+    chunk = min(bucket_chunk_for(batch, ((d + 127) // 128) * 128, 4, n_pad), n_pad)
     measure(
         "exact-bucket", f"chunk={chunk}",
         functools.partial(
@@ -271,7 +280,7 @@ def run_config(name, n, d, metric_name, batch=256):
         hi_dev, lo_dev = split_f32_rows(
             jnp.pad(norm_dev, ((0, 0), (0, d_pad128 - d)))
         )
-        chunk_hl = min(bucket_chunk_for(batch, d_pad128, 8), n_pad)
+        chunk_hl = min(bucket_chunk_for(batch, d_pad128, 8, n_pad), n_pad)
         measure(
             "exact-hl", f"chunk={chunk_hl}",
             functools.partial(
@@ -311,7 +320,7 @@ def run_config(name, n, d, metric_name, batch=256):
         s2, m2 = sq8.scale, sq8.minv
         sq8_pen = jnp.where(valid, 0.0, jnp.inf)
     sq8_chunk = min(
-        bucket_chunk_for(batch, ((d + 127) // 128) * 128, 5), n_pad
+        bucket_chunk_for(batch, ((d + 127) // 128) * 128, 5, n_pad), n_pad
     )
     if n <= 2_000_000:  # staged-unpack fallback engine; superseded by int8
         measure(
@@ -331,7 +340,7 @@ def run_config(name, n, d, metric_name, batch=256):
 
     rows8 = sq8_int8_rows(sq8.codes)
     sq8i_chunk = min(
-        bucket_chunk_for(batch, ((d + 127) // 128) * 128, 1), n_pad
+        bucket_chunk_for(batch, ((d + 127) // 128) * 128, 1, n_pad), n_pad
     )
     measure(
         "sq8-int8", f"chunk={sq8i_chunk}",
@@ -683,7 +692,7 @@ def run_config_binary(name, n, d, batch=256):
     aux = jnp.where(valid, csum, csum + _HAM_BIG).astype(jnp.int32)
     jax.block_until_ready(aux)
     d_pad = bits.shape[1]
-    mxu_chunk = min(bucket_chunk_for(batch, d_pad, 1), n_pad)
+    mxu_chunk = min(bucket_chunk_for(batch, d_pad, 1, n_pad), n_pad)
 
     def mxu_coarse_fn(q, bt, ax):
         qb = (q >= 0.0).astype(jnp.int8)

@@ -375,7 +375,7 @@ class BruteForceIndex:
                 return "streamed-scan"
             if self._assist_pd is not None:
                 m = min(max(2 * k - 4, 16), 256)
-                chunk_i8 = min(bucket_chunk_for(b_pad8, d_pad, 1), self.n_pad)
+                chunk_i8 = min(bucket_chunk_for(b_pad8, d_pad, 1, self.n_pad), self.n_pad)
                 if m >= k and _bucket_safe(self.n_pad, chunk_i8, m):
                     if _SQ8PD_OK[0]:
                         return "int8-assist-pd"
@@ -383,18 +383,18 @@ class BruteForceIndex:
                         return "int8-assist-pd-xla"
             if self._assist is not None:
                 m = min(max(2 * k - 4, 16), 256)
-                chunk_i8 = min(bucket_chunk_for(b_pad8, d_pad, 1), self.n_pad)
+                chunk_i8 = min(bucket_chunk_for(b_pad8, d_pad, 1, self.n_pad), self.n_pad)
                 if m >= k and _bucket_safe(self.n_pad, chunk_i8, m):
                     if _SQ8I_OK[0]:
                         return "int8-assist"
                     if _SQ8I_XLA_OK[0]:
                         return "int8-assist-xla"
             if _HL_OK[0] and self._full_hl is not None:
-                chunk_hl = min(bucket_chunk_for(b_pad8, d_pad, 8), self.n_pad)
+                chunk_hl = min(bucket_chunk_for(b_pad8, d_pad, 8, self.n_pad), self.n_pad)
                 if _bucket_safe(self.n_pad, chunk_hl, k):
                     return "split-bf16"
             itemsize = 4 if self._full is None else self._full.dtype.itemsize
-            chunk = min(bucket_chunk_for(b_pad8, d_pad, itemsize), self.n_pad)
+            chunk = min(bucket_chunk_for(b_pad8, d_pad, itemsize, self.n_pad), self.n_pad)
             if _PALLAS_OK[0] and _bucket_safe(self.n_pad, chunk, k):
                 return "bucket-f32"
             return "streamed-scan"
@@ -404,7 +404,7 @@ class BruteForceIndex:
                 and self._sq8_rows8 is not None
                 and _bucket_safe(
                     self.n_pad,
-                    min(bucket_chunk_for(b_pad8, d_pad, 1), self.n_pad),
+                    min(bucket_chunk_for(b_pad8, d_pad, 1, self.n_pad), self.n_pad),
                     k,
                 )
             ):
@@ -414,7 +414,7 @@ class BruteForceIndex:
                 and self._sq8_words is not None
                 and _bucket_safe(
                     self.n_pad,
-                    min(bucket_chunk_for(b_pad8, d_pad, 5), self.n_pad),
+                    min(bucket_chunk_for(b_pad8, d_pad, 5, self.n_pad), self.n_pad),
                     k,
                 )
             ):
@@ -428,7 +428,7 @@ class BruteForceIndex:
                     self.n_pad,
                     min(
                         bucket_chunk_for(
-                            b_pad8, self._ham_bits.shape[1], 1
+                            b_pad8, self._ham_bits.shape[1], 1, self.n_pad
                         ),
                         self.n_pad,
                     ),
@@ -511,7 +511,7 @@ class BruteForceIndex:
                 and self._sq8_rows8 is not None
                 and _bucket_safe(
                     self.n_pad,
-                    min(bucket_chunk_for(b_pad8, d_pad128, 1), self.n_pad),
+                    min(bucket_chunk_for(b_pad8, d_pad128, 1, self.n_pad), self.n_pad),
                     k_eff,
                 )
             ):
@@ -527,7 +527,7 @@ class BruteForceIndex:
                         queries, self._sq8_rows8, self._sq8_scale,
                         self._sq8_minv, pen, k=k_eff, metric=self.metric,
                         chunk=min(
-                            bucket_chunk_for(b_pad8, d_pad128, 1), self.n_pad
+                            bucket_chunk_for(b_pad8, d_pad128, 1, self.n_pad), self.n_pad
                         ),
                         interpret=False,
                     )
@@ -539,6 +539,7 @@ class BruteForceIndex:
                     b_pad8,
                     d_pad128,
                     5,  # packed words (1B/dim) + in-VMEM unpacked f32 copy
+                    self.n_pad,
                 ),
                 self.n_pad,
             )
@@ -586,6 +587,7 @@ class BruteForceIndex:
                             ((queries.shape[0] + 7) // 8) * 8,
                             self._ham_bits.shape[1],
                             1,
+                            self.n_pad,
                         ),
                         self.n_pad,
                     ),
@@ -611,7 +613,8 @@ class BruteForceIndex:
                         )
                     chunk = min(
                         bucket_chunk_for(
-                            ((queries.shape[0] + 7) // 8) * 8, d_pad, 1
+                            ((queries.shape[0] + 7) // 8) * 8, d_pad, 1,
+                            self.n_pad,
                         ),
                         self.n_pad,
                     )
@@ -682,7 +685,7 @@ class BruteForceIndex:
         b_pad = ((max(b, 8) + 7) // 8) * 8
         d_pad = ((self.dim + 127) // 128) * 128
         chunk = min(
-            bucket_chunk_for(b_pad, d_pad, self._full.dtype.itemsize),
+            bucket_chunk_for(b_pad, d_pad, self._full.dtype.itemsize, self.n_pad),
             self.n_pad,
         )
         mask_dev = None if mask is None else _pad_to(mask, self.n_pad)
@@ -695,7 +698,7 @@ class BruteForceIndex:
         if not prefer_streamed and self._assist_pd is not None:
             # per-dim enc-select assist (r5 default; see rebuild comment)
             m = min(max(2 * k - 4, 16), 256)
-            chunk_i8 = min(bucket_chunk_for(b_pad, d_pad, 1), self.n_pad)
+            chunk_i8 = min(bucket_chunk_for(b_pad, d_pad, 1, self.n_pad), self.n_pad)
             if m >= k and _bucket_safe(self.n_pad, chunk_i8, m):
                 rows_pd, pen_int, pen_f32, sdim, mid, qu = self._assist_pd
                 if _SQ8PD_OK[0]:
@@ -769,7 +772,7 @@ class BruteForceIndex:
             # recall is already 0.997+ host-basis at m=16); scale with k
             # but keep the coarse pass inside the bucket-collision guard.
             m = min(max(2 * k - 4, 16), 256)
-            chunk_i8 = min(bucket_chunk_for(b_pad, d_pad, 1), self.n_pad)
+            chunk_i8 = min(bucket_chunk_for(b_pad, d_pad, 1, self.n_pad), self.n_pad)
             if m >= k and _bucket_safe(self.n_pad, chunk_i8, m):
                 rows8, sc, mv, pen8 = self._assist
                 if mask_dev is not None:
@@ -832,7 +835,7 @@ class BruteForceIndex:
         if not prefer_streamed and _HL_OK[0] and self._full_hl is not None:
             # split-bf16 scoring: true-f32 fidelity at f32-kernel speed
             # (host-oracle identity 0.953 -> 0.986 measured at 1M x 128D)
-            chunk_hl = min(bucket_chunk_for(b_pad, d_pad, 8), self.n_pad)
+            chunk_hl = min(bucket_chunk_for(b_pad, d_pad, 8, self.n_pad), self.n_pad)
             if _bucket_safe(self.n_pad, chunk_hl, k):
                 try:
                     from velesdb_tpu.ops.bucket_kernel import bucket_topk_hl

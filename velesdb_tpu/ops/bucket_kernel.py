@@ -84,13 +84,20 @@ BUCKET_MIN_ROWS = 131_072
 _LANES = 128
 
 
-def bucket_chunk_for(b: int, d: int, itemsize: int = 4) -> int:
+def bucket_chunk_for(b: int, d: int, itemsize: int = 4, n: int = 0) -> int:
     """Largest power-of-two chunk fitting the ~16MB scoped-VMEM budget.
 
     Model calibrated on v5e Mosaic outcomes: ``1.5*chunk*d*itemsize``
     (corpus block, partially double-buffered) + ``4*b*chunk`` (score tile)
     <= 15.5MB. Known fits: (8192, 128, f32, b=256), (2048, 768, f32,
-    b=256); known OOM: (4096, 128, f32, b=1024) at 20.4MB."""
+    b=256); known OOM: (4096, 128, f32, b=1024) at 20.4MB.
+
+    ``n`` (total padded rows, when known) adds a measured ~0.3 B/row
+    scoped-overhead term: at 5.24M x 128D f32 the compiler reports 16.47MB
+    for chunk=8192 (484KB over the 16MB limit — AOT-probed r5) while
+    chunk=4096 compiles; the same probe shows every int8 kernel still fits
+    at 8192, which this linear term reproduces (int8 base is ~5MB lower).
+    Callers that omit ``n`` keep the pre-r5 model (safe below ~2M rows)."""
     budget = 15_500_000 - b * d * 4  # resident queries
     chunk = 256
     # cap at 8K even where int8 layouts (itemsize 1) would fit 16K: buckets
@@ -100,6 +107,7 @@ def bucket_chunk_for(b: int, d: int, itemsize: int = 4) -> int:
     while chunk < 8192:
         nxt = chunk * 2
         need = (3 * nxt * d * itemsize) // 2 + 4 * b * nxt + 8 * b * _LANES
+        need += (3 * n) // 10
         if need > budget:
             break
         chunk = nxt
@@ -845,7 +853,7 @@ def bucket_topk(
     if chunk is None:
         chunk = bucket_chunk_for(
             _round_up(q.shape[0], 8), _round_up(q.shape[1], 128),
-            c.dtype.itemsize,
+            c.dtype.itemsize, c.shape[0],
         )
     if penalty is None:
         if metric is DistanceMetric.EUCLIDEAN:

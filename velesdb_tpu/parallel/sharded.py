@@ -395,7 +395,9 @@ class ShardedBruteForce:
                 qd, *self._assist, self._corpus, md,
                 mesh=self.mesh, k=k, m=m, metric=self.metric,
                 chunk=min(
-                    bucket_chunk_for(b_pad, d_pad, 1), self._assist_chunk
+                    bucket_chunk_for(b_pad, d_pad, 1,
+                     self.n_pad // self.mesh.shape["rows"]),
+                 self._assist_chunk
                 ),
                 interpret=not use_pallas(),
             )
@@ -418,7 +420,9 @@ class ShardedBruteForce:
             return False
         n_local = self.n_pad // self.mesh.shape["rows"]
         d_pad = ((self.dim + 127) // 128) * 128
-        chunk = min(bucket_chunk_for(b_pad, d_pad, 1), self._assist_chunk)
+        chunk = min(bucket_chunk_for(b_pad, d_pad, 1,
+                     self.n_pad // self.mesh.shape["rows"]),
+                 self._assist_chunk)
         m = min(max(2 * k - 4, 16), 256)
         return m >= k and _bucket_safe(n_local, chunk, m)
 
