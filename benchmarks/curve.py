@@ -422,9 +422,12 @@ def run_config(name, n, d, metric_name, batch=256):
             latency=(nprobe == 64),
         )
 
-    if n >= 500_000:
+    if 500_000 <= n <= 2_000_000:
         # spill=2: the >=0.95-recall small-batch operating point at 1M
-        # (plain probing ceilings at ~0.949 regardless of nprobe)
+        # (plain probing ceilings at ~0.949 regardless of nprobe). Gated
+        # off above 2M: spill doubles the grouped-corpus partition bytes
+        # and the SECOND grouped copy RESOURCE_EXHAUSTED the chip at 5M
+        # (q5b r5); large-N serving routes to assist/graph anyway.
         ivf2 = IvfIndex(d, metric, spill=2)
         ivf2.build(corpus_dev[:n], np.ones(n, bool))
 
@@ -450,8 +453,20 @@ def run_config(name, n, d, metric_name, batch=256):
                 latency=(nprobe == 64),
             )
 
-    gi = GraphIndex(d, metric, GraphParams.auto(d, n))
-    gi.build(corpus, np.ones(n, bool), corpus_dev=norm_dev[:n])
+    # free the IVF grouped-corpus copy and the int8 shadow before the
+    # graph build — at 5M x 128D they hold ~3.4GB of HBM the build needs
+    del ivf, _ivf
+    del rows8
+    try:
+        gi = GraphIndex(d, metric, GraphParams.auto(d, n))
+        gi.build(corpus, np.ones(n, bool), corpus_dev=norm_dev[:n])
+    except Exception as e:
+        msg = str(e).splitlines()[0][:200]
+        points.append({"engine": "graph", "knob": "build", "error": msg})
+        print(name, "graph build FAILED:", msg, flush=True)
+        return {"config": name, "n": n, "d": d, "metric": metric.value,
+                "batch": batch, "k": K, "iters_per_dispatch": ITERS,
+                "samples": SAMPLES, "points": points}
     _beam = functools.partial(
         _jax.jit,
         static_argnames=(
@@ -521,7 +536,14 @@ def run_config(name, n, d, metric_name, batch=256):
     # dual-precision beam: SQ8 gathers + f32 final rerank (round-3)
     from velesdb_tpu.ops.quantization import SQ8Vectors
 
-    sqt = sq8_quantize(gi._corpus)
+    try:
+        sqt = sq8_quantize(gi._corpus)
+    except Exception as e:  # capacity shapes: skip the dual-precision row
+        points.append({"engine": "graph-sq8", "knob": "quantize",
+                       "error": str(e).splitlines()[0][:200]})
+        return {"config": name, "n": n, "d": d, "metric": metric.value,
+                "batch": batch, "k": K, "iters_per_dispatch": ITERS,
+                "samples": SAMPLES, "points": points}
 
     def beam_sq8_fn(q, cd, sc, mn, corp, adj, sn, vd, seeds, *rest, _b, _e):
         off = 3 if has_router else 0
