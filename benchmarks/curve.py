@@ -456,7 +456,6 @@ def run_config(name, n, d, metric_name, batch=256):
     # free the IVF grouped-corpus copy and the int8 shadow before the
     # graph build — at 5M x 128D they hold ~3.4GB of HBM the build needs
     del ivf, _ivf
-    del rows8
     try:
         gi = GraphIndex(d, metric, GraphParams.auto(d, n))
         gi.build(corpus, np.ones(n, bool), corpus_dev=norm_dev[:n])
