@@ -48,6 +48,17 @@ def _scan_chunk(n_pad):
     return _pick_chunk(n_pad, 65536) or min(65536, n_pad)
 SAMPLES = int(os.environ.get("CURVE_SAMPLES", 3))
 
+# CURVE_ENGINES=graph,graph-sq8 — allowlist: measure only these engines and
+# MERGE their fresh points into the existing config row (other engines'
+# recorded points are kept). Lets a crashed config's missing ladder re-run
+# without paying for the already-captured engines (r5: the 5M graph ladder).
+_ENG = os.environ.get("CURVE_ENGINES")
+ENGINES = set(_ENG.split(",")) if _ENG else None
+
+
+def want(*engines):
+    return ENGINES is None or any(e in ENGINES for e in engines)
+
 
 def scan_stats(fn, arrays, queries, batch, d):
     """Device-side timing of ``fn(q, *ops)``: one jitted scan over ITERS
@@ -218,6 +229,8 @@ def run_config(name, n, d, metric_name, batch=256):
     points = []
 
     def measure(engine, knob, fn, arrays, batches=(batch,), latency=False):
+        if not want(engine):
+            return
         try:
             _measure(engine, knob, fn, arrays, batches, latency)
         except Exception as e:  # one engine's compile/runtime failure must
@@ -271,7 +284,7 @@ def run_config(name, n, d, metric_name, batch=256):
     # serve path at D < 512 since r3b. Demotion-ladder engine; skipped at
     # the >=5M configs (its +4B/dim shadow is HBM the ANN ladders need)
     d_pad128 = ((d + 127) // 128) * 128
-    if n <= 2_000_000:
+    if n <= 2_000_000 and want("exact-hl"):
         from velesdb_tpu.ops.bucket_kernel import (
             bucket_topk_hl,
             split_f32_rows,
@@ -304,78 +317,85 @@ def run_config(name, n, d, metric_name, batch=256):
         latency=True,
     )
 
-    sq8 = sq8_quantize(norm_dev)
-    words = sq8_pack_blocked(sq8.codes)
-    deq = sq8_dequantize(sq8)
-    dn = jnp.sum(deq * deq, axis=1)
-    del deq  # [N_pad, D] f32 — 2.5GB dead weight at the 5M config
-    if metric is DistanceMetric.COSINE:
-        inv = jnp.where(dn > 1e-30, jax.lax.rsqrt(jnp.maximum(dn, 1e-30)), 0.0)
-        s2, m2 = sq8.scale * inv, sq8.minv * inv
-        sq8_pen = jnp.where(valid, 0.0, jnp.inf)
-    elif metric is DistanceMetric.EUCLIDEAN:
-        s2, m2 = sq8.scale, sq8.minv
-        sq8_pen = jnp.where(valid, dn, jnp.inf)
-    else:
-        s2, m2 = sq8.scale, sq8.minv
-        sq8_pen = jnp.where(valid, 0.0, jnp.inf)
-    sq8_chunk = min(
-        bucket_chunk_for(batch, ((d + 127) // 128) * 128, 5, n_pad), n_pad
-    )
-    if n <= 2_000_000:  # staged-unpack fallback engine; superseded by int8
-        measure(
-            "sq8-bucket", f"chunk={sq8_chunk}",
-            functools.partial(
-                sq8_bucket_topk, k=K, metric=metric, chunk=sq8_chunk,
-                interpret=interp,
-            ),
-            (words, s2.astype(jnp.float32), m2.astype(jnp.float32), sq8_pen),
-            batches=(batch, 16),
-            latency=True,
-        )
-    del words
-
-    # int8-direct SQ8 (int8 MXU dots, no unpack — serves D < 512 in prod)
-    from velesdb_tpu.ops.bucket_kernel import sq8_int8_rows, sq8i_bucket_topk
-
-    rows8 = sq8_int8_rows(sq8.codes)
     sq8i_chunk = min(
         bucket_chunk_for(batch, ((d + 127) // 128) * 128, 1, n_pad), n_pad
     )
-    measure(
-        "sq8-int8", f"chunk={sq8i_chunk}",
-        functools.partial(
-            sq8i_bucket_topk, k=K, metric=metric, chunk=sq8i_chunk,
-            interpret=interp,
-        ),
-        (rows8, s2.astype(jnp.float32), m2.astype(jnp.float32), sq8_pen),
-        batches=(batch, 16),
-        latency=True,
-    )
+    if want("sq8-bucket", "sq8-int8", "exact-assist"):
+        sq8 = sq8_quantize(norm_dev)
+        words = sq8_pack_blocked(sq8.codes)
+        deq = sq8_dequantize(sq8)
+        dn = jnp.sum(deq * deq, axis=1)
+        del deq  # [N_pad, D] f32 — 2.5GB dead weight at the 5M config
+        if metric is DistanceMetric.COSINE:
+            inv = jnp.where(
+                dn > 1e-30, jax.lax.rsqrt(jnp.maximum(dn, 1e-30)), 0.0
+            )
+            s2, m2 = sq8.scale * inv, sq8.minv * inv
+            sq8_pen = jnp.where(valid, 0.0, jnp.inf)
+        elif metric is DistanceMetric.EUCLIDEAN:
+            s2, m2 = sq8.scale, sq8.minv
+            sq8_pen = jnp.where(valid, dn, jnp.inf)
+        else:
+            s2, m2 = sq8.scale, sq8.minv
+            sq8_pen = jnp.where(valid, 0.0, jnp.inf)
+        sq8_chunk = min(
+            bucket_chunk_for(batch, ((d + 127) // 128) * 128, 5, n_pad), n_pad
+        )
+        if n <= 2_000_000:  # staged-unpack fallback; superseded by int8
+            measure(
+                "sq8-bucket", f"chunk={sq8_chunk}",
+                functools.partial(
+                    sq8_bucket_topk, k=K, metric=metric, chunk=sq8_chunk,
+                    interpret=interp,
+                ),
+                (words, s2.astype(jnp.float32), m2.astype(jnp.float32),
+                 sq8_pen),
+                batches=(batch, 16),
+                latency=True,
+            )
+        del words
 
-    # int8-assist: coarse int8 scan + exact f32 gather-rerank in one
-    # program — the FULL-collection serve default at D < 512 since r3e
-    # (`index/brute.py`; benchmarks/exp_sq8_assist.py for the A/B)
-    from velesdb_tpu.ops.bucket_kernel import sq8i_rerank_topk
+        # int8-direct SQ8 (int8 MXU dots, no unpack — serves D<512 in prod)
+        from velesdb_tpu.ops.bucket_kernel import (
+            sq8_int8_rows,
+            sq8i_bucket_topk,
+        )
 
-    measure(
-        "exact-assist", f"m=16 chunk={sq8i_chunk}",
-        functools.partial(
-            sq8i_rerank_topk, k=K, m=16, metric=metric, chunk=sq8i_chunk,
-            interpret=interp,
-        ),
-        (rows8, s2.astype(jnp.float32), m2.astype(jnp.float32), sq8_pen,
-         norm_dev),
-        batches=(batch, 16),
-        latency=True,
-    )
-    del rows8
+        rows8 = sq8_int8_rows(sq8.codes)
+        measure(
+            "sq8-int8", f"chunk={sq8i_chunk}",
+            functools.partial(
+                sq8i_bucket_topk, k=K, metric=metric, chunk=sq8i_chunk,
+                interpret=interp,
+            ),
+            (rows8, s2.astype(jnp.float32), m2.astype(jnp.float32), sq8_pen),
+            batches=(batch, 16),
+            latency=True,
+        )
+
+        # int8-assist: coarse int8 scan + exact f32 gather-rerank in one
+        # program — the FULL-collection serve default at D < 512 since r3e
+        # (`index/brute.py`; benchmarks/exp_sq8_assist.py for the A/B)
+        from velesdb_tpu.ops.bucket_kernel import sq8i_rerank_topk
+
+        measure(
+            "exact-assist", f"m=16 chunk={sq8i_chunk}",
+            functools.partial(
+                sq8i_rerank_topk, k=K, m=16, metric=metric, chunk=sq8i_chunk,
+                interpret=interp,
+            ),
+            (rows8, s2.astype(jnp.float32), m2.astype(jnp.float32), sq8_pen,
+             norm_dev),
+            batches=(batch, 16),
+            latency=True,
+        )
+        del rows8, sq8
 
     # per-dim enc-select assist — the FULL-collection serve default at
     # D < 512 since r5 (the whole affine epilogue folds into the int dot;
     # single max pass with the slice index in the low 6 bits — see
     # ops/bucket_kernel.py pd family + benchmarks/exp_sq8i_v2.py)
-    if d < 512:
+    if d < 512 and want("exact-assist-pd"):
         from velesdb_tpu.ops.bucket_kernel import (
             sq8pd_build,
             sq8pd_ptile,
@@ -399,30 +419,35 @@ def run_config(name, n, d, metric_name, batch=256):
             )
             del rows_pd, ptile, pen_int
 
-    ivf = IvfIndex(d, metric)
-    ivf.build(corpus_dev[:n], np.ones(n, bool))
     import jax as _jax
 
     _ivf = functools.partial(
         _jax.jit, static_argnames=("k", "nprobe", "metric")
     )(ivf_search_impl)
-    nprobes = (4, 8, 16, 32, 64, 128) if n >= 500_000 else (4, 8, 16, 32)
-    for nprobe in nprobes:
-        measure(
-            "ivf", f"nprobe={nprobe}",
-            functools.partial(
-                lambda q, c, cs, p, pr, ps, _np: _ivf(
-                    q, c, cs, p, pr, ps, None, k=K, nprobe=_np, metric=metric
+    if want("ivf"):
+        ivf = IvfIndex(d, metric)
+        ivf.build(corpus_dev[:n], np.ones(n, bool))
+        nprobes = (4, 8, 16, 32, 64, 128) if n >= 500_000 else (4, 8, 16, 32)
+        for nprobe in nprobes:
+            measure(
+                "ivf", f"nprobe={nprobe}",
+                functools.partial(
+                    lambda q, c, cs, p, pr, ps, _np: _ivf(
+                        q, c, cs, p, pr, ps, None, k=K, nprobe=_np,
+                        metric=metric
+                    ),
+                    _np=nprobe,
                 ),
-                _np=nprobe,
-            ),
-            (ivf._centroids, ivf._cent_sq, ivf._parts, ivf._part_rows,
-             ivf._part_sq),
-            batches=(batch, 16) if nprobe in (32, 64) else (batch,),
-            latency=(nprobe == 64),
-        )
+                (ivf._centroids, ivf._cent_sq, ivf._parts, ivf._part_rows,
+                 ivf._part_sq),
+                batches=(batch, 16) if nprobe in (32, 64) else (batch,),
+                latency=(nprobe == 64),
+            )
+        # free the grouped-corpus copy before the graph build — at 5M x
+        # 128D it holds ~2.5GB of HBM the build needs
+        del ivf
 
-    if 500_000 <= n <= 2_000_000:
+    if 500_000 <= n <= 2_000_000 and want("ivf-spill2"):
         # spill=2: the >=0.95-recall small-batch operating point at 1M
         # (plain probing ceilings at ~0.949 regardless of nprobe). Gated
         # off above 2M: spill doubles the grouped-corpus partition bytes
@@ -453,9 +478,11 @@ def run_config(name, n, d, metric_name, batch=256):
                 latency=(nprobe == 64),
             )
 
-    # free the IVF grouped-corpus copy and the int8 shadow before the
-    # graph build — at 5M x 128D they hold ~3.4GB of HBM the build needs
-    del ivf, _ivf
+    del _ivf
+    if not want("graph", "graph-legacy-entry", "graph-sq8"):
+        return {"config": name, "n": n, "d": d, "metric": metric.value,
+                "batch": batch, "k": K, "iters_per_dispatch": ITERS,
+                "samples": SAMPLES, "points": points}
     try:
         gi = GraphIndex(d, metric, GraphParams.auto(d, n))
         gi.build(corpus, np.ones(n, bool), corpus_dev=norm_dev[:n])
@@ -535,6 +562,10 @@ def run_config(name, n, d, metric_name, batch=256):
     # dual-precision beam: SQ8 gathers + f32 final rerank (round-3)
     from velesdb_tpu.ops.quantization import SQ8Vectors
 
+    if not want("graph-sq8"):
+        return {"config": name, "n": n, "d": d, "metric": metric.value,
+                "batch": batch, "k": K, "iters_per_dispatch": ITERS,
+                "samples": SAMPLES, "points": points}
     try:
         sqt = sq8_quantize(gi._corpus)
     except Exception as e:  # capacity shapes: skip the dual-precision row
@@ -901,6 +932,16 @@ def main():
         fresh.append(run_config("5Mx128D-euclidean", 5_000_000, 128,
                                 "euclidean"))
     names = {c["config"] for c in fresh}
+    if ENGINES is not None:
+        # partial re-run: keep the recorded points of engines NOT in the
+        # allowlist (and drop any stale error rows for re-run engines)
+        old_by_name = {c["config"]: c for c in out["configs"]}
+        for c in fresh:
+            old = old_by_name.get(c["config"])
+            if old is not None:
+                kept = [p for p in old.get("points", [])
+                        if p.get("engine") not in ENGINES]
+                c["points"] = kept + c["points"]
     out["configs"] = [c for c in out["configs"] if c["config"] not in names] + fresh
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
