@@ -217,3 +217,98 @@ def test_hybrid_mono_skips_quantized_and_explicit_quality(tmp_db_dir, rng,
     got = c.hybrid_search(vecs[33], "alpha", k=5, vector_weight=0.8)
     assert not calls
     assert got and got[0].id == 33
+
+
+def test_hybrid_mono_composes_assist_cores(tmp_db_dir, rng, monkeypatch):
+    """r5 final: the mono hybrid composes the int8-assist vector cores (the
+    D<512 FULL-precision serve defaults) instead of falling back to the
+    3-program form. On the CPU test mesh the Mosaic kernels can't lower, so
+    after the shadows build the Pallas flags are switched off and the
+    pure-XLA twins (same shadow arrays, same contract) serve — the dispatch
+    ladder is identical either way. Verifies engagement through the PUBLIC
+    API and id-for-id agreement with the 3-program form on the same inputs,
+    for both assist families."""
+    import velesdb_tpu.index.brute as brute_mod
+    import velesdb_tpu.ops.bucket_kernel as bk
+    import velesdb_tpu.ops.hybrid_mono as hm
+
+    monkeypatch.setattr(brute_mod, "use_pallas", lambda: True)
+    monkeypatch.setattr(brute_mod, "BUCKET_MIN_ROWS", 1024)
+    # shrink the VMEM chunk model so the 4K-row test corpus spans enough
+    # 128-lane buckets to clear _bucket_safe at m = 2*fetch-4
+    fake_chunk = lambda b, d, itemsize=4, n=0: 256
+    monkeypatch.setattr(bk, "bucket_chunk_for", fake_chunk)
+    monkeypatch.setattr(brute_mod, "bucket_chunk_for", fake_chunk)
+    saved = (brute_mod._SQ8PD_OK[0], brute_mod._SQ8I_OK[0])
+    try:
+        _run_assist_mono_case(tmp_db_dir, rng, monkeypatch, hm, brute_mod)
+    finally:
+        brute_mod._SQ8PD_OK[0], brute_mod._SQ8I_OK[0] = saved
+
+
+def _run_assist_mono_case(tmp_db_dir, rng, monkeypatch, hm, brute_mod):
+    from velesdb_tpu.database import Database
+
+    engaged = []
+    orig = hm.hybrid_mono_topk
+
+    def spy(*a, **kw):
+        engaged.append(kw.get("vector_core"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(hm, "hybrid_mono_topk", spy)
+
+    db = Database.open(tmp_db_dir)
+    n, d = 4096, 24
+    words = ["alpha", "beta", "gamma", "delta"]
+
+    def payloads():
+        return [
+            {"text": f"{words[i % 4]} {words[(i // 4) % 4]}",
+             "price": float(i % 100)} for i in range(n)
+        ]
+
+    filt = {"type": "lt", "field": "price", "value": 50.0}
+
+    # build BOTH collections' shadows with the Pallas flags ON (rebuild
+    # gates shadow construction on them), then flip the kernel flags off so
+    # serve_engine routes to the XLA twins the CPU mesh can run
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    c1 = db.create_collection("hma", dim=d, metric="cosine")
+    c1.upsert_bulk(range(n), vecs, payloads())
+    c1.refresh_device()
+    assert c1._brute._assist_pd is not None
+
+    # far-offset tiny-spread corpus: pd builder refuses (pen_int past the
+    # int32 cap), per-row int8 shadow serves — same input as test_streamed
+    vecs2 = (rng.standard_normal((n, d)) * 0.001 + 1000.0).astype(np.float32)
+    c2 = db.create_collection("hmb", dim=d, metric="euclidean")
+    c2.upsert_bulk(range(n), vecs2, payloads())
+    c2.refresh_device()
+    assert c2._brute._assist_pd is None and c2._brute._assist is not None
+
+    brute_mod._SQ8PD_OK[0] = False
+    brute_mod._SQ8I_OK[0] = False
+
+    # per-dim enc-select family
+    q = vecs[17] + 0.01 * rng.standard_normal(d).astype(np.float32)
+    got = c1.hybrid_search(q, "alpha beta", k=10, vector_weight=0.4,
+                           filter=filt)
+    assert engaged and engaged[-1] == "assist-pd-xla"
+    assert all(r.payload["price"] < 50.0 for r in got)
+    monkeypatch.setattr(c1, "_hybrid_mono_dispatch", lambda *a, **kw: None)
+    want = c1.hybrid_search(q, "alpha beta", k=10, vector_weight=0.4,
+                            filter=filt)
+    assert [r.id for r in got] == [r.id for r in want]
+    for a, b in zip(got, want):
+        assert abs(a.score - b.score) < 1e-6
+
+    # per-row family
+    q2 = vecs2[33] + 0.0001 * rng.standard_normal(d).astype(np.float32)
+    got2 = c2.hybrid_search(q2, "alpha", k=10, vector_weight=0.6,
+                            filter=filt)
+    assert engaged[-1] == "assist-xla"
+    monkeypatch.setattr(c2, "_hybrid_mono_dispatch", lambda *a, **kw: None)
+    want2 = c2.hybrid_search(q2, "alpha", k=10, vector_weight=0.6,
+                             filter=filt)
+    assert [r.id for r in got2] == [r.id for r in want2]

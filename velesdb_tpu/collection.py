@@ -1468,11 +1468,52 @@ class Collection:
             )
         if engine != "exact":
             return None
-        core = self._brute.serve_engine(fetch)
+        brute = self._brute
+        core = brute.serve_engine(fetch)
+        assist = None
+        statics = {}
         if core == "streamed-scan":
             vector_core = "streamed"
         elif core == "fused-xla":
             vector_core = "fused"
+        elif core in ("int8-assist-pd", "int8-assist-pd-xla",
+                      "int8-assist", "int8-assist-xla"):
+            # the D<512 exact serve defaults — compose the SAME shadow
+            # arrays + statics brute.search would dispatch with (mirrors
+            # index/brute.py lines ~698-814; masks apply in-program)
+            import jax as _jax
+
+            from velesdb_tpu.index.brute import _bucket_safe
+            from velesdb_tpu.ops.bucket_kernel import bucket_chunk_for
+
+            b_pad = ((max(q.shape[0], 8) + 7) // 8) * 8
+            d_pad = ((self.dim + 127) // 128) * 128
+            chunk_i8 = min(
+                bucket_chunk_for(b_pad, d_pad, 1, brute.n_pad), brute.n_pad
+            )
+            m = min(max(2 * fetch - 4, 16), 256)
+            if m < fetch or not _bucket_safe(brute.n_pad, chunk_i8, m):
+                return None
+            statics = {"m": m, "chunk": chunk_i8, "dim": self.dim}
+            if core == "int8-assist-pd":
+                from velesdb_tpu.ops.bucket_kernel import sq8pd_ptile
+
+                rows_pd, pen_int, _pf, sdim, _mid, qu = brute._assist_pd
+                ptile = brute._pd_ptile.get(chunk_i8)
+                if ptile is None:
+                    ptile = _jax.device_put(sq8pd_ptile(pen_int, chunk_i8))
+                    brute._pd_ptile[chunk_i8] = ptile
+                assist = (rows_pd, ptile, sdim, qu)
+                vector_core = "assist-pd"
+            elif core == "int8-assist-pd-xla":
+                rows_pd, _pi, pen_f32, sdim, _mid, qu = brute._assist_pd
+                assist = (rows_pd, pen_f32, sdim, qu)
+                vector_core = "assist-pd-xla"
+            else:
+                assist = brute._assist  # (rows8, scale, minv, pen)
+                vector_core = (
+                    "assist" if core == "int8-assist" else "assist-xla"
+                )
         else:
             return None
         used = max(self.vectors.used_slots, 1)
@@ -1514,7 +1555,6 @@ class Collection:
                 slots["rrf_k"] = len(host_inputs)
                 host_inputs.append(np.float32(rrf_k))
             staged = _jax.device_put(tuple(host_inputs))
-            brute = self._brute
             return hybrid_mono_topk(
                 staged[slots["q"]],
                 brute._full,
@@ -1529,11 +1569,13 @@ class Collection:
                 staged[slots["w_vec"]],
                 staged[slots["w_txt"]] if "w_txt" in slots else None,
                 staged[slots["rrf_k"]] if "rrf_k" in slots else None,
+                assist,
                 k=k,
                 fetch=fetch,
                 metric=self.metric,
                 n_pad_t=ti.n_pad,
                 vector_core=vector_core,
+                **statics,
             )
         except Exception as e:  # compile/lowering failure: 3-program form
             from velesdb_tpu.ops.demotions import record_demotion
