@@ -224,3 +224,66 @@ def test_wall_bounds_vs_baseline(db, rng):
     wall = _timed(build, reps=2)
     limit = BASELINE["ivf_build_4000x64_s"] * WALL_SLACK
     assert wall < limit, f"warm IVF build wall {wall:.3f}s > {limit:.3f}s"
+
+
+def test_hybrid_mono_assist_single_program_per_call(db, rng, monkeypatch):
+    """The D<512 assist-core mono hybrid (r5 final) keeps the same RTT
+    invariant as the streamed-core one: at most ONE readback and ONE staged
+    device_put per public call. Shadows build with the Pallas flags on;
+    the pd kernel flag then flips off so the CPU mesh serves the XLA twin
+    (identical dispatch ladder, same staging/readback structure)."""
+    import velesdb_tpu.index.brute as brute_mod
+    import velesdb_tpu.ops.bucket_kernel as bk
+    import velesdb_tpu.ops.hybrid_mono as hm
+
+    monkeypatch.setattr(brute_mod, "use_pallas", lambda: True)
+    monkeypatch.setattr(brute_mod, "BUCKET_MIN_ROWS", 1024)
+    fake_chunk = lambda b, d, itemsize=4, n=0: 256
+    monkeypatch.setattr(bk, "bucket_chunk_for", fake_chunk)
+    monkeypatch.setattr(brute_mod, "bucket_chunk_for", fake_chunk)
+
+    coll = db.create_collection("hmassist", 32)
+    coll.upsert_bulk(
+        range(4096), _clustered(rng, 4096, 32),
+        [{"text": "alpha" if i % 2 else "beta", "p": i % 9}
+         for i in range(4096)],
+    )
+    coll.refresh_device()
+    assert coll._brute._assist_pd is not None
+
+    engaged = []
+    orig = hm.hybrid_mono_topk
+
+    def spy(*a, **kw):
+        engaged.append(kw.get("vector_core"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(hm, "hybrid_mono_topk", spy)
+
+    saved = brute_mod._SQ8PD_OK[0]
+    brute_mod._SQ8PD_OK[0] = False  # CPU mesh: serve the XLA twin
+    try:
+        qs = rng.standard_normal((8, 32)).astype(np.float32)
+        coll.hybrid_search_batch(qs, ["alpha"] * 8, 5)  # warm compiles
+        assert engaged and engaged[-1] == "assist-pd-xla"
+
+        calls = {"get": 0, "put": 0}
+        real_get, real_put = jax.device_get, jax.device_put
+
+        def counting_get(x):
+            calls["get"] += 1
+            return real_get(x)
+
+        def counting_put(x, *a, **kw):
+            calls["put"] += 1
+            return real_put(x, *a, **kw)
+
+        monkeypatch.setattr(jax, "device_get", counting_get)
+        monkeypatch.setattr(jax, "device_put", counting_put)
+        coll.hybrid_search_batch(
+            rng.standard_normal((8, 32)).astype(np.float32), ["beta"] * 8, 5
+        )
+        assert calls["get"] <= 1, f"assist hybrid paid {calls['get']} readbacks"
+        assert calls["put"] <= 1, f"assist hybrid paid {calls['put']} puts"
+    finally:
+        brute_mod._SQ8PD_OK[0] = saved
