@@ -505,7 +505,14 @@ def run_config(name, n, d, metric_name, batch=256):
                 "samples": SAMPLES, "points": points}
     try:
         gi = GraphIndex(d, metric, GraphParams.auto(d, n))
-        gi.build(corpus, np.ones(n, bool), corpus_dev=norm_dev[:n])
+        src = norm_dev[:n]  # materialized slice copy (build aliases it)
+        if ENGINES is not None:
+            # graph-only re-run: the PADDED corpus only feeds the (skipped)
+            # exact/SQ8 engines — at 5Mx128D it is 2.7GB of HBM the beam
+            # ladder needs (the r5 full-ladder run RESOURCE_EXHAUSTED here)
+            del corpus_dev, norm_dev, pen, sqn
+        gi.build(corpus, np.ones(n, bool), corpus_dev=src)
+        del src  # gi keeps its own (padded) copy; drop the build alias
     except Exception as e:
         msg = str(e).splitlines()[0][:200]
         points.append({"engine": "graph", "knob": "build", "error": msg})
